@@ -1,13 +1,309 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2), each with equivalent DuckDB SQL for the oracle gate.
+  *
+  * Determinism conventions (SURVEY §7.4): every query ends in a total
+  * ORDER BY; DOUBLE outputs are rounded (2 dp for money sums, 4–6 dp for
+  * ratios/scores); integers are BIGINT on both sides; window/sort keys are
+  * never NULL. Vector math is double-precision sequential left-folds on
+  * both sides, so raw scores are bit-identical pre-rounding.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference §3.2 pipeline) on sf0.001; rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Rag.flagship(spark, "/root/testdata/sf0.001")
+
+  // ---- DuckDB SQL fragments for vector math (exact parity with
+  // VectorOps: double cast, left-fold sum — bit-identical scores). ----
+  private def sqlSumSq(a: String): String =
+    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, x) -> acc + x)"
+  private def sqlNorm(a: String): String = s"sqrt(${sqlSumSq(a)})"
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational / aggregation / window (SURVEY §2.9 extensions) ----
+    "q1_pricing" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q3_top_revenue" -> ((s, d) => Relational.topRevenueOrders(s, d)),
+    "q_window_topn" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "q_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
+    "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    "q_events_json" -> ((s, d) => Relational.eventsJson(s, d)),
+    "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
+    "q_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      Store.upsert(base, updates, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // ---- vector core (SURVEY §2.3, V1–V6) ----
+    "v_normalize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = VectorOps.l2Norm(col("embedding"))
+      emb.select(
+          col("vec_id"),
+          round(n, 6).as("norm"),
+          round(element_at(VectorOps.l2Normalize(col("embedding")), 1), 6).as("first_dim"))
+        .orderBy(col("vec_id"))
+    }),
+    "v_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec")))
+      emb.crossJoin(q)
+        .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("__qvec")), 6).as("score"))
+        .orderBy(col("vec_id"))
+    }),
+    "v_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec")))
+      Knn.topK(emb.crossJoin(q).withColumnRenamed("embedding", "vec"), "vec", "vec_id",
+          col("__qvec"), 5)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+    "v_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val points = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"))
+      Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
+    "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
+    "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
+    "rag_flagship" -> ((s, d) => Rag.flagship(s, d)),
+    "eval_per_row" -> ((s, d) => Eval.evalPerRow(s, d)),
+    "eval_macro" -> ((s, d) => Eval.evalMacro(s, d))
+  )
+
+  // Shared oracle CTE for the RAG hit set (mirrors Rag.hits exactly).
+  private val ragHitsCte: String =
+    s"""WITH pts AS (
+       |  SELECT e.vec_id AS point_id, e.embedding, d.text
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |hits AS (
+       |  SELECT q.query_id, p.point_id, trim(coalesce(p.text, '')) AS t,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS BIGINT) AS rank
+       |  FROM q, pts p
+       |  QUALIFY rank <= 5)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |    o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(o_totalprice), 2) AS total_revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_order_stats" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4)
+        |    AS median_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "v_normalize" ->
+      s"""SELECT vec_id, round(norm, 6) AS norm,
+         |  round(embedding[1]::DOUBLE / (CASE WHEN norm = 0 THEN 1.0 ELSE norm END), 6)
+         |    AS first_dim
+         |FROM (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS norm FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
+    "v_cosine" ->
+      s"""SELECT e.vec_id, round(${sqlCos("e.embedding", "q.embedding")}, 6) AS score
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY e.vec_id""".stripMargin,
+    "v_topk" ->
+      s"""SELECT e.vec_id, round(${sqlCos("e.embedding", "q.embedding")}, 6) AS score
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY ${sqlCos("e.embedding", "q.embedding")} DESC, e.vec_id
+         |LIMIT 5""".stripMargin,
+    "v_knn_join" ->
+      s"""SELECT q.vec_id AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank,
+         |  p.vec_id AS point_id,
+         |  round(${sqlCos("q.embedding", "p.embedding")}, 6) AS score
+         |FROM embeddings q, embeddings p
+         |WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "rag_context" ->
+      s"""$ragHitsCte,
+         |budget AS (
+         |  SELECT query_id, point_id, rank, t,
+         |    coalesce(sum(length(t)) OVER (PARTITION BY query_id ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM hits WHERE length(t) > 0),
+         |parts AS (
+         |  SELECT query_id, rank,
+         |    '[Page ' || point_id || ' | Chunk ' || rank || ']' || chr(10) ||
+         |      substr(t, 1, CAST(greatest(least(800 - prev, length(t)), 0) AS INT)) AS part,
+         |    least(length(t), 800 - prev) AS used
+         |  FROM budget WHERE prev < 800)
+         |SELECT query_id,
+         |  string_agg(part, chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY rank)
+         |    AS context,
+         |  CAST(sum(used) AS BIGINT) AS context_text_chars
+         |FROM parts
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
+    "rag_predict" ->
+      s"""$ragHitsCte,
+         |toks AS (
+         |  SELECT query_id, unnest(string_split(trim(t), ' ')) AS tok FROM hits),
+         |cnt AS (
+         |  SELECT query_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         |top AS (
+         |  SELECT query_id, tok, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, tok) AS BIGINT) AS r
+         |  FROM cnt QUALIFY r <= 5)
+         |SELECT query_id, string_agg(tok, ',' ORDER BY r) AS predicted,
+         |  CAST(sum(c) AS BIGINT) AS support
+         |FROM top
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
+    "eval_per_row" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    string_agg(json_extract_string(props, '$.k'), ', ' ORDER BY ts, event_id) AS answers
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(json_extract_string(props, '$.k'), ' ' ORDER BY ts, event_id) AS predicted
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT g.user_id,
+        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
+        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+        |  FROM g JOIN p ON g.user_id = p.user_id)
+        |SELECT user_id,
+        |  round(CASE WHEN len(gold) = 0 THEN 0.0
+        |    ELSE len(list_intersect(gold, predk))::DOUBLE / len(gold) END, 6) AS recall_at_k,
+        |  round(coalesce(1.0 / list_position(
+        |    list_transform(predk, x -> list_contains(gold, x)), true), 0.0), 6) AS mrr_at_k
+        |FROM m
+        |ORDER BY user_id""".stripMargin,
+    "eval_macro" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    string_agg(json_extract_string(props, '$.k'), ', ' ORDER BY ts, event_id) AS answers
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(json_extract_string(props, '$.k'), ' ' ORDER BY ts, event_id) AS predicted
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT g.user_id,
+        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
+        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+        |  FROM g JOIN p ON g.user_id = p.user_id),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN len(gold) = 0 THEN 0.0
+        |      ELSE len(list_intersect(gold, predk))::DOUBLE / len(gold) END AS recall_at_k,
+        |    coalesce(1.0 / list_position(
+        |      list_transform(predk, x -> list_contains(gold, x)), true), 0.0) AS mrr_at_k
+        |  FROM m)
+        |SELECT round(coalesce(avg(recall_at_k), 0.0), 6) AS avg_recall_at_k,
+        |  round(coalesce(avg(mrr_at_k), 0.0), 6) AS avg_mrr_at_k
+        |FROM r""".stripMargin
+  )
 }

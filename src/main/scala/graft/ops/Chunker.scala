@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunker — re-expression of `read_pdf_text`
+  * (`Qdrant/main.py:21-56`) as a set-oriented generator: 1 doc-row → N
+  * chunk-rows via `posexplode`. No custom UDTF needed.
+  *
+  * Faithful semantics (SURVEY §2.2):
+  *  - P1/P2: split on separator, `trim` each paragraph, drop empties
+  *    BEFORE index assignment (`Qdrant/main.py:36`);
+  *  - P3: `posexplode` assigns the 0-based `chunk_index`;
+  *  - P4: the min-length filter runs AFTER index assignment
+  *    (`Qdrant/main.py:40-41`) — dropped short paragraphs leave GAPS in
+  *    `chunk_index`, which we preserve;
+  *  - P6: `joinParagraphs=false` → the whole document is a single chunk.
+  *
+  * Scale: the chunker is a narrow transform (no shuffle); at 100 TB it
+  * pipelines directly over the parquet scan, with column pruning reading
+  * only the id + text columns.
+  */
+object Chunker {
+
+  /** Chunk `textCol`, carrying `idCols` through.
+    * Output columns: idCols..., chunk_index LONG, chunk_text STRING.
+    */
+  def chunk(
+      docs: DataFrame,
+      idCols: Seq[String],
+      textCol: String = "text",
+      separator: String = "\n\n",
+      minLen: Int = 50,
+      joinParagraphs: Boolean = true): DataFrame = {
+    val paras: Column =
+      if (joinParagraphs)
+        filter(transform(split(col(textCol), separator), trim(_)), p => length(p) > 0)
+      else
+        filter(array(trim(col(textCol))), p => length(p) > 0)
+    docs
+      .select(idCols.map(col) :+ posexplode(paras): _*)
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+      .filter(length(col("chunk_text")) >= minLen)
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+  }
+
+  /** The chunk-dump text line of the reference's side-effect sink
+    * (`Qdrant/main.py:48-52`): `[Page {p} | Chunk {c}]\n{text}\n`.
+    */
+  def dumpLine(page: Column, chunkIndex: Column, text: Column): Column =
+    format_string("[Page %s | Chunk %s]\n%s\n", page, chunkIndex, text)
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IR-metrics evaluation — `evaluate_mrr_at_k` (`Qdrant/llm.py:138-163`):
+  * Recall@k and MRR@k over law-section numbers extracted from free text.
+  * The reference's per-row pandas loop becomes one narrow projection plus
+  * a single global aggregate — one stage + reduce.
+  *
+  * Semantics preserved (SURVEY §2.6):
+  *  - E1: `re.findall(r'\d+')` → `regexp_extract_all` (order-preserving);
+  *  - E2: gold is a SET (`array_distinct`); pred keeps list order;
+  *  - E3: pred head-k slice BEFORE rank/recall;
+  *  - E4/E5: rank of first relevant prediction, reciprocal rank 0.0 when
+  *    none (`Qdrant/llm.py:150-156`);
+  *  - E6: recall = |gold ∩ pred_k| / |gold|, 0.0 on empty gold
+  *    (`Qdrant/llm.py:157`) — `array_intersect` dedups, matching Python's
+  *    `set(pred)` coercion;
+  *  - E8: macro averages, 0.0 on an empty frame (`Qdrant/llm.py:160-163`).
+  */
+object Eval {
+
+  /** E1: ordered digit-runs of a string, null-safe. */
+  def extractNumbers(c: Column): Column =
+    regexp_extract_all(coalesce(c, lit("")), lit("[0-9]+"), lit(0))
+
+  /** E4: 1-based rank of the first prediction present in gold, else NULL.
+    * (`array_position` returns 0 for "not found" — normalized to NULL so
+    * `1/rank` stays null-safe, mirroring Python's `None`.)
+    */
+  def firstRelevantRank(gold: Column, predK: Column): Column =
+    nullif(array_position(transform(predK, p => array_contains(gold, p)), lit(true)), lit(0L))
+
+  /** Adds `recall_at_k` and `mrr_at_k` DOUBLE columns computed from two
+    * free-text columns (gold answers, predicted text).
+    */
+  def withMetrics(df: DataFrame, answersCol: String, predCol: String, k: Int): DataFrame = {
+    val gold = array_distinct(extractNumbers(col(answersCol)))
+    val predK = slice(extractNumbers(col(predCol)), 1, k)
+    val rank = firstRelevantRank(gold, predK)
+    df.withColumn(
+        "recall_at_k",
+        when(size(gold) === 0, lit(0.0d))
+          .otherwise(size(array_intersect(gold, predK)).cast("double") / size(gold).cast("double")))
+      .withColumn("mrr_at_k", coalesce(lit(1.0d) / rank.cast("double"), lit(0.0d)))
+  }
+
+  /** E8: macro averages; 0.0 on empty input for parity with the
+    * reference's `sum/len or 0.0`.
+    */
+  def macroAverages(withMetricCols: DataFrame): DataFrame =
+    withMetricCols.agg(
+      coalesce(avg(col("recall_at_k")), lit(0.0d)).as("avg_recall_at_k"),
+      coalesce(avg(col("mrr_at_k")), lit(0.0d)).as("avg_mrr_at_k"))
+
+  /** Harness-data instantiation of the evaluation pipeline: per user,
+    * gold = the JSON `k` values of purchase events, prediction = the
+    * `k` values of all events in time order — then Recall@5 / MRR@5 from
+    * the two STRINGS, exercising the digit-extraction path (E1) exactly
+    * as the reference does on LLM output text.
+    */
+  def evalFrameOnEvents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("kv", get_json_object(col("props"), "$.k"))
+    def orderedJoin(df: DataFrame, sep: String, as: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("kv").as("v")))),
+            s => s.getField("v")),
+          sep).as(as))
+    val gold = orderedJoin(ev.filter(col("event_type") === "purchase"), ", ", "answers")
+    val pred = orderedJoin(ev, " ", "predicted")
+    withMetrics(gold.join(pred, "user_id"), "answers", "predicted", 5)
+  }
+
+  def evalPerRow(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    evalFrameOnEvents(spark, sfDir)
+      .select(
+        col("user_id"),
+        round(col("recall_at_k"), 6).as("recall_at_k"),
+        round(col("mrr_at_k"), 6).as("mrr_at_k"))
+      .orderBy(col("user_id"))
+
+  def evalMacro(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    macroAverages(evalFrameOnEvents(spark, sfDir))
+      .select(
+        round(col("avg_recall_at_k"), 6).as("avg_recall_at_k"),
+        round(col("avg_mrr_at_k"), 6).as("avg_mrr_at_k"))
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational demos over the harness star schema (SURVEY §2.9) — the
+  * group-by / join / window / rollup / JSON / event-window surface the
+  * reference lacks but an LLM-data pipeline at 100 TB needs daily.
+  *
+  * Plan-shape notes (verified via `.explain("formatted")`):
+  *  - filters + column selection push into the parquet scans
+  *    (`PushedFilters`, pruned `ReadSchema`);
+  *  - dimension sides of joins are `broadcast()` — no shuffle of the fact
+  *    table for dim joins; only genuine aggregations shuffle, with
+  *    map-side partial aggregation;
+  *  - top-n per group uses `row_number` ≤ n → `WindowGroupLimit`
+  *    (map-side partial top-k);
+  *  - every query ends in a total order + rounding so the DuckDB oracle
+  *    hash-matches (SURVEY §7.4 determinism).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: one scan, map-side partial agg. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: broadcast dims, aggregate revenue, top-10. */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Top-3 orders per customer by totalprice — WindowGroupLimit path. */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Revenue rollup over region→nation (grouping-set aggregation).
+    * NULL group keys are coalesced to 'ALL' so sort keys stay non-null
+    * (Spark and DuckDB disagree on default NULL ordering).
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val dims = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    ord
+      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_revenue"),
+        col("n_orders"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Tumbling 1-hour event windows — batch analog of the streaming agg
+    * (graft.streaming.EventStream runs the same plan incrementally).
+    */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** JSON scalar extraction from the `props` payload column. */
+  def eventsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum —
+    * the batch analog of stateful stream sessionization.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, lit(1L))
+      .otherwise(lit(0L))
+    Tables.events(spark, sfDir)
+      .withColumn("session_id", sum(newSession).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
+    * per order-priority — the "wide agg" shape.
+    */
+  def orderStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+      .orderBy(col("o_orderpriority"))
+}

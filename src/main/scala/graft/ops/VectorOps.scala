@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column operators — the core capability of the reference
+  * (L2-normalize `Qdrant/main.py:15-18`, cosine scoring implied by
+  * `Distance.COSINE` at `Qdrant/main.py:107`, search scoring consumed at
+  * `Qdrant/VectorDB/Database.py:22-28`).
+  *
+  * All ops are pure Catalyst column expressions (higher-order array
+  * functions) — no UDFs. That keeps them inside whole-stage codegen, lets
+  * Catalyst constant-fold literal query vectors, and makes every op
+  * expressible in ANSI-ish SQL for the DuckDB oracle.
+  *
+  * Numeric discipline for oracle parity: elements are cast FLOAT→DOUBLE
+  * before arithmetic, and `aggregate` is a sequential left fold (same
+  * element order as DuckDB's `list_reduce`), so sums are reproducible
+  * bit-for-bit modulo the final rounding the queries apply.
+  */
+object VectorOps {
+
+  /** ARRAY<FLOAT> → ARRAY<DOUBLE>; double math end-to-end. */
+  def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Σ x² — sequential left fold, deterministic order. */
+  def sumSquares(v: Column): Column =
+    aggregate(toDoubleArray(v), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm ‖v‖₂. */
+  def l2Norm(v: Column): Column = sqrt(sumSquares(v))
+
+  /** L2-normalize with the reference's zero-vector guard
+    * (`Qdrant/main.py:18`: `norm or 1.0` — a zero vector passes through
+    * unchanged instead of producing NaN).
+    */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    val safe = when(n === 0.0d, lit(1.0d)).otherwise(n)
+    transform(toDoubleArray(v), x => x / safe)
+  }
+
+  /** Dot product a·b (`zip_with` + left-fold `aggregate`). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Cosine similarity a·b / (‖a‖‖b‖); 0.0 when either norm is zero
+    * (mirrors the zero-vector guard — no NaN escapes).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Deterministic hash featurizer — the engine's stand-in for the
+    * SentenceTransformer encode boundary (`Qdrant/main.py:95,104`; model
+    * inference is out-of-engine per SURVEY §2.3 V2). Bag-of-words hashed
+    * into `dim` buckets, then L2-normalized, as pure expressions.
+    *
+    * Scale note: this O(dim × tokens) per-row form is fine for corpus-side
+    * embedding at ingest (it is narrow — no shuffle); the 100 TB path would
+    * swap in a custom codegen Expression with a single pass over tokens,
+    * behind this same function.
+    */
+  def embedText(text: Column, dim: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val counts = transform(
+      sequence(lit(0), lit(dim - 1)),
+      j => size(filter(toks, t => pmod(hash(t), lit(dim)) === j)).cast("double"))
+    l2Normalize(counts)
+  }
+
+  /** Distributed hashed bag-of-words featurizer — the 100 TB path.
+    *
+    * explode(tokens) → hash-bucket → count per (id, bucket) →
+    * map_from_entries → dense L2-normalized vector. Linear in tokens
+    * (ONE hash per token, vs dim× for the per-row expression form), fully
+    * partition-parallel, and — crucially — the aggregation is a
+    * materialization barrier: downstream joins score against a plain
+    * array column instead of Catalyst inlining the featurizer expression
+    * into every candidate pair (which turns a linear featurize + k-NN
+    * into a quadratic recompute; observed 508 s → ~5 s at sf0.1).
+    *
+    * Output: `idCols` + `embedding ARRAY<DOUBLE>`.
+    */
+  def embedTextDistributed(
+      df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ids = idCols.map(col)
+    val toks = df.select(
+      ids :+ explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"): _*)
+    toks
+      .withColumn("__b", pmod(hash(col("__tok")), lit(dim)))
+      .groupBy(ids :+ col("__b"): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .groupBy(ids: _*)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+      .withColumn(
+        "embedding",
+        l2Normalize(transform(
+          sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("__m"), j), lit(0.0)))))
+      .drop("__m")
+  }
+}
