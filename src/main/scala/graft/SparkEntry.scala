@@ -29,7 +29,8 @@ object SparkEntry {
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- relational / aggregation / window (SURVEY §2.9 extensions) ----
     "q1_pricing" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_top_revenue" -> ((s, d) => Relational.topRevenueOrders(s, d)),
@@ -89,7 +90,7 @@ object SparkEntry {
     "rag_flagship" -> ((s, d) => Rag.flagship(s, d)),
     "eval_per_row" -> ((s, d) => Eval.evalPerRow(s, d)),
     "eval_macro" -> ((s, d) => Eval.evalMacro(s, d))
-  )
+  ) ++ SparkEntryExt.queries
 
   // Shared oracle CTE for the RAG hit set (mirrors Rag.hits exactly).
   private val ragHitsCte: String =
@@ -305,5 +306,5 @@ object SparkEntry {
         |SELECT round(coalesce(avg(recall_at_k), 0.0), 6) AS avg_recall_at_k,
         |  round(coalesce(avg(mrr_at_k), 0.0), 6) AS avg_mrr_at_k
         |FROM r""".stripMargin
-  )
+  ) ++ SparkEntryExt.oracleSql
 }

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Query registry, part 2: chunker, dedup ladder, text analysis,
+  * similarity search, multimodal metadata (SURVEY §2.2 / §2.9 /
+  * north-star extensions). Merged into [[SparkEntry]].
+  */
+object SparkEntryExt {
+
+  // DuckDB fragments reused across oracle entries.
+  private val toksSql = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+  private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+  private def sqlSumSq(a: String): String =
+    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, x) -> acc + x)"
+  private def sqlNorm(a: String): String = s"sqrt(${sqlSumSq(a)})"
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+  private def bucketSql(col: String): String =
+    s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
+       | + CASE WHEN $col[3] > 0 THEN 2 ELSE 0 END + CASE WHEN $col[4] > 0 THEN 1 ELSE 0 END)::BIGINT"""
+      .stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> ((s, d) =>
+      Chunker.chunk(Tables.documents(s, d), Seq("doc_id"), separator = " the ", minLen = 50)
+        .select(col("doc_id"), col("chunk_index"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_index"))),
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 1, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+          prefixBits = 8, maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text",
+          n = 1, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(
+          emb.filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
+          "vec_id", "point_id", "embedding", bits = 4, k = 3)
+        .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_neardup" -> ((s, d) =>
+      SimilaritySearch.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, bits = 4)
+        .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+        .orderBy(col("id_a"), col("id_b"))),
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.qualityStats(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d), "doc_id", "text", limit = 20)),
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"), col("r"))),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "mm_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_chunk" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' the '), s -> trim(s)),
+        |      s -> length(s) > 0) AS paras
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, i - 1 AS chunk_index, paras[i] AS chunk_text
+        |  FROM p, LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index, chunk_text
+        |FROM e WHERE length(chunk_text) >= 50
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS representative
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest($toksSql) AS sh FROM documents),
+         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+         |mh AS (
+         |  SELECT doc_id, seed, min(${h32Sql("seed || '|' || sh")}) AS mh
+         |  FROM sh, seeds GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT sh) AS s FROM sh GROUP BY doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |FROM cand
+         |JOIN sets sa ON cand.doc_a = sa.doc_id
+         |JOIN sets sb ON cand.doc_b = sb.doc_id
+         |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |    len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c, ${h32Sql("tok")} AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+         |pb AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN c ELSE -c END) AS s
+         |  FROM tc, bits GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM pb GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c, ${h32Sql("tok")} AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+         |pb AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN c ELSE -c END) AS s
+         |  FROM tc, bits GROUP BY doc_id, b),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM pb GROUP BY doc_id),
+         |bk AS (SELECT doc_id, simhash, simhash // 16777216 AS bucket FROM sim)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS s FROM documents WHERE doc_id < 100)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         |FROM t a, t b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_ivf" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
+         |p AS (SELECT vec_id AS point_id, embedding, bucket FROM b WHERE vec_id >= 10),
+         |s AS (
+         |  SELECT q.query_id, p.point_id,
+         |    ${sqlCos("q.embedding", "p.embedding")} AS score,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS BIGINT) AS rank
+         |  FROM q JOIN p ON q.bucket = p.bucket
+         |  QUALIFY rank <= 3)
+         |SELECT query_id, rank, point_id, round(score, 6) AS score
+         |FROM s ORDER BY query_id, rank""".stripMargin,
+    "sim_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |  round(${sqlCos("a.embedding", "b2.embedding")}, 6) AS score
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${sqlCos("a.embedding", "b2.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+         |  round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+         |    (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
+         |  round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio,
+         |  round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
+         |    / len(t), 6) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x)))::DOUBLE / n AS s_de,
+        |    len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE / n AS s_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','de','y','es'], x)))::DOUBLE / n AS s_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x)))::DOUBLE / n AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['的','是','在','了','和'], x)))::DOUBLE / n AS s_zh
+        |  FROM (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS t,
+        |          greatest(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')), 1)::DOUBLE AS n
+        |        FROM documents)),
+        |m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |        greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN s_de = m AND m > 0 THEN 'de'
+        |       WHEN s_en = m AND m > 0 THEN 'en'
+        |       WHEN s_es = m AND m > 0 THEN 'es'
+        |       WHEN s_fr = m AND m > 0 THEN 'fr'
+        |       WHEN s_zh = m AND m > 0 THEN 'zh'
+        |       ELSE 'und' END AS pred_lang,
+        |  round(m, 6) AS lang_score
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      s"""SELECT term, count(*) AS cnt
+         |FROM (SELECT unnest($toksSql) AS term FROM documents)
+         |GROUP BY term
+         |ORDER BY cnt DESC, term
+         |LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |s AS (SELECT doc_id, term, tf, df, tf::DOUBLE * ln(n.n / df::DOUBLE) AS raw
+         |      FROM tf JOIN df USING (term), n),
+         |r AS (SELECT doc_id, term, tf, df, raw,
+         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS BIGINT) AS r
+         |      FROM s QUALIFY r <= 3)
+         |SELECT doc_id, r, term, tf, df, round(raw, 6) AS tfidf
+         |FROM r WHERE doc_id < 100
+         |ORDER BY doc_id, r""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(t, tok -> ${h32Sql("tok")})),
+         |    (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+         |FROM (SELECT doc_id, $toksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      s"""SELECT doc_id,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
+         |  ${h32Sql("text")} AS checksum
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (SURVEY §2.9 / north-star extension):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard — the standard
+  * training-data dedup ladder.
+  *
+  * Scale design: every op is built around the LSH discipline — never
+  * score all N² pairs. Exact dedup is a single hash group-by; MinHash
+  * candidates come from band-bucket equi-joins (shuffle on band key, AQE
+  * handles skewed buckets); SimHash pairs join on a hamming-prefix
+  * bucket. Only candidate pairs are verified with exact similarity.
+  *
+  * Oracle portability: signatures use a 32-bit hex-prefix of md5 (same
+  * bytes in Spark and DuckDB) instead of Spark's murmur3, so every
+  * operator here is DuckDB-checkable end-to-end.
+  */
+object Dedup {
+
+  /** Portable 32-bit hash: first 8 hex chars of md5, as BIGINT. */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant for the MinHash family. */
+  def h32Seeded(seed: Int, s: Column): Column =
+    h32(concat_ws("|", lit(seed.toString), s))
+
+  /** Whitespace tokens, empty-safe (parity with DuckDB
+    * `string_split(trim(x), ' ')` + non-empty filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), " "), t => t =!= "")
+
+  /** Word n-gram shingles (n=1 → unigram set). */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) tokens(text)
+    else {
+      val toks = tokens(text)
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Exact dedup: cluster table keyed by content hash
+    * (`sha2` group-by; the degenerate-but-dominant case at corpus scale).
+    */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("representative"))
+      .orderBy(col("content_hash"))
+
+  /** Distinct (doc, shingle) pairs. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: `numHashes` independent min-of-hash aggregates
+    * per doc — pure `min(h(seed, shingle))` group-by, no custom
+    * aggregate needed (SURVEY §7.3).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s => min(h32Seeded(s, col("sh"))).as(s"mh$s"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band table: (doc_id, band, key) where key concatenates the
+    * band's `rowsPerBand` signature values.
+    */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val key = concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs: docs sharing at least one band bucket (a < b).
+    * This equi-join on (band, key) is THE scale move: at 100 TB the
+    * band table shuffles once and only same-bucket pairs materialize.
+    */
+  def lshCandidates(bandTable: DataFrame): DataFrame = {
+    val a = bandTable.as("a")
+    val b = bandTable.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets (|A∩B| / |A∪B|).
+    */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("s"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_distinct(concat(col("sa"), col("sb")))).cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact verify. Returns (doc_a, doc_b, jaccard).
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val cands = lshCandidates(lshBands(minHashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    verifyJaccard(cands, sh)
+  }
+
+  /** 32-bit SimHash per doc: per-token hash bits weighted by token count,
+    * sign-aggregated per bit position, recomposed to a BIGINT.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCounts = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", h32(col("tok")))
+    val perBit = tokCounts
+      .select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        when(expr("(h div CAST(pow(2, b) AS BIGINT)) % 2") === 1, col("c")).otherwise(-col("c")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+    perBit
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (the
+    * scale path — only same-prefix pairs are compared), then keep pairs
+    * within `maxHamming` of each other via `bit_count(xor)`.
+    */
+  def simHashPairs(sim: DataFrame, prefixBits: Int, maxHamming: Int): DataFrame = {
+    val bucketed = sim.withColumn("bucket", shiftright(col("simhash"), 32 - prefixBits))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  /** Brute-force n-gram Jaccard over a bounded candidate set (exact
+    * baseline; the LSH pipeline is the scale path for all-pairs).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), n)).as("s"))
+    val a = sets.as("a")
+    val b = sets.as("b")
+    a.crossJoin(b)
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_distinct(concat(col("a.s"), col("b.s")))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus prep (SURVEY §2.9 / north-star):
+  * quality stats, language ID, token counting, TF-IDF, fingerprinting.
+  * All narrow transforms or single-shuffle aggregations; everything is
+  * built-in expressions (codegen-friendly, oracle-expressible).
+  */
+object TextAnalysis {
+
+  import Dedup.{h32, tokens}
+
+  private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Per-doc quality stats: token counts, type-token ratio, average token
+    * length, stopword ratio — the standard LLM-corpus quality scorers.
+    */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val en = stopwordsByLang.toMap.apply("en")
+    val stopHits = size(filter(toks, t => t.isin(en: _*))).cast("double")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      n.as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n.cast("double"), 6)
+        .as("avg_token_len"),
+      round(size(array_distinct(toks)).cast("double") / n.cast("double"), 6).as("type_token_ratio"),
+      round(stopHits / n.cast("double"), 6).as("stopword_ratio"))
+  }
+
+  /** Heuristic language ID: stopword-profile hit-rate per language,
+    * argmax with alphabetical tie-break (deterministic CASE cascade so
+    * the oracle SQL is a literal transliteration).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val n = greatest(size(toks).cast("double"), lit(1.0d))
+    val scores: Seq[(String, Column)] = stopwordsByLang.map { case (lang, sw) =>
+      lang -> (size(filter(toks, t => t.isin(sw: _*))).cast("double") / n)
+    }
+    val m = greatest(scores.map(_._2): _*)
+    // CASE cascade in language order → alphabetically-first max wins ties
+    val predFirst = scores.foldLeft(Option.empty[Column]) {
+      case (None, (lang, s)) => Some(when(s === m && m > 0.0d, lit(lang)))
+      case (Some(acc), (lang, s)) => Some(acc.when(s === m && m > 0.0d, lit(lang)))
+    }.get.otherwise(lit("und"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      predFirst.as("pred_lang"),
+      round(m, 6).as("lang_score"))
+  }
+
+  /** Global term frequencies, ranked. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, limit: Int): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term").asc)
+      .limit(limit)
+
+  /** TF-IDF with idf = ln(N / df); top `perDoc` terms per document.
+    * Two shuffles (tf group-by, df group-by) + a broadcast join of the
+    * small df table — at 100 TB the df table is still ~vocab-sized.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, perDoc: Int): DataFrame = {
+    val nDocs = docs.count().toDouble // tiny scalar; computed once
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf_raw"), col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf_raw", col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= perDoc)
+      .select(col("doc_id"), col("r"), col("term"), col("tf"), col("df"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fold acc = (acc*31 + h32(token)) mod 1e9+7 — order-sensitive, so
+    * it distinguishes permuted docs where bag-of-words collides.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      aggregate(
+        tokens(col(textCol)),
+        lit(0L),
+        (acc, t) => pmod(acc * 31 + h32(t), lit(1000000007L))).as("fingerprint"))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.EventStream
+
+/** Dedup / store / multimodal / streaming behavior. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: updates win, non-updated rows survive, idempotent") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val upd = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
+    val got = Store.upsert(base, upd, "id").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "C")))
+    val again = Store.upsert(Store.upsert(base, upd, "id"), upd, "id")
+    assert(again.count() == 3)
+  }
+
+  test("dedup: exact clusters group identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactClusters(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("dedup: identical docs share full minhash signature; jaccard 1.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z")).toDF("doc_id", "text")
+    val got = Dedup.minHashLsh(df, "doc_id", "text", 1, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("dedup: simhash of permuted doc equals original (bag semantics)") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "q r s t u v")).toDF("doc_id", "text")
+    val h = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L) && h(1L) != h(3L))
+  }
+
+  test("fingerprint: order-sensitive — permuted doc differs") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprint(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) != f(2L))
+  }
+
+  test("multimodal: partition-batched feature extraction, deterministic stub") {
+    val docs = Tables.documents(spark, sf0001).limit(10)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.withMedia(docs, "doc_id", "text"), dim = 8, frameSize = 64)
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(r => r.n_frames == (r.n_bytes + 63) / 64))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(
+      Multimodal.withMedia(docs, "doc_id", "text"), dim = 8, frameSize = 64).collect()
+    assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+  }
+
+  test("streaming: incremental hourly agg equals the batch plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(tmp)
+    val streamed = EventStream.runOnce(spark, tmp, "ev_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Relational.eventsHourly(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("csv: multiline quoted round-trip (S4/S5, utf-8 Thai)") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString + "/out"
+    val df = Seq(("line1\nline2", "20, 21, 113", "1319/2512"))
+      .toDF("text", "answers", "คำพิพากษาศาลฎีกาที่")
+    df.write.option("header", "true").option("escape", "\"").csv(tmp)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(tmp)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    val r = back.first()
+    assert(r.getString(0) == "line1\nline2" && r.getString(2) == "1319/2512")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Knn, VectorOps}
+
+/** Vector-op edge semantics (SURVEY §2.3) + properties (SURVEY §5.3). */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("V1: zero-vector guard — zero vector passes through unchanged") {
+    val df = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+    val got = df.select(VectorOps.l2Normalize(col("v"))).first().getSeq[Double](0)
+    assert(got == Seq(0.0, 0.0))
+  }
+
+  test("V1: normalized vector has unit norm; idempotent") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("v")
+    val once = df.select(VectorOps.l2Normalize(col("v")).as("n"))
+    val norm = once.select(VectorOps.l2Norm(col("n"))).first().getDouble(0)
+    assert(math.abs(norm - 1.0) < 1e-12)
+    val twice = once.select(VectorOps.l2Normalize(col("n"))).first().getSeq[Double](0)
+    val expect = Seq(0.6, 0.8)
+    assert(twice.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("V3: dot and cosine") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(VectorOps.dot(col("a"), col("b"))).first().getDouble(0) == 11.0)
+    val cos = df.select(VectorOps.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(cos - 11.0 / (math.sqrt(5) * 5)) < 1e-12)
+  }
+
+  test("V3: cosine with a zero vector is 0.0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(VectorOps.cosine(col("a"), col("b"))).first().getDouble(0) == 0.0)
+  }
+
+  test("V5/V6: kNN join returns min(k,|points|) rows per query, ties by id") {
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    // two points tied at score 1.0 → rank order must follow point id
+    val points = Seq((10L, Array(2.0f, 0.0f)), (11L, Array(3.0f, 0.0f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("pid", "pv")
+    val got = Knn.knnJoin(queries, points, "qid", "qv", "pid", "pv", 5)
+      .select("rank", "pid").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1, 10L), (2, 11L), (3, 12L)))
+  }
+
+  test("top-k subset property: topK(k) is a prefix of topK(k+1)") {
+    val emb = ops.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).first().getSeq[Float](0)
+    val qLit = typedLit(q)
+    def ids(k: Int) = Knn.topK(emb, "embedding", "vec_id", qLit, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(6).take(4) == ids(4).take(4))
+  }
+
+  test("embedTextDistributed matches per-row embedText") {
+    val df = Seq((1L, "a b c a"), (2L, "x y")).toDF("id", "text")
+    val perRow = df.select(col("id"), VectorOps.embedText(col("text"), 8).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dist = VectorOps.embedTextDistributed(df, Seq("id"), "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(perRow.keySet == dist.keySet)
+    for (k <- perRow.keySet)
+      assert(perRow(k).zip(dist(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 }, s"id $k")
+  }
+}
