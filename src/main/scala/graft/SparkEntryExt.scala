@@ -77,7 +77,9 @@ object SparkEntryExt {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "q_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_datemath" -> ((s, d) => Relational.dateMathFuncs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -258,6 +260,36 @@ object SparkEntryExt {
          |  CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
          |  ${h32Sql("text")} AS checksum
          |FROM documents
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_setops" ->
+      """WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |s AS (
+        |  SELECT 'union' AS set_op, o_custkey
+        |  FROM (SELECT o_custkey FROM hv UNION SELECT o_custkey FROM ur)
+        |  UNION ALL
+        |  SELECT 'intersect', o_custkey
+        |  FROM (SELECT o_custkey FROM hv INTERSECT SELECT o_custkey FROM ur)
+        |  UNION ALL
+        |  SELECT 'except', o_custkey
+        |  FROM (SELECT o_custkey FROM hv EXCEPT SELECT o_custkey FROM ur))
+        |SELECT set_op, count(*) AS n_customers, min(o_custkey) AS min_key,
+        |  max(o_custkey) AS max_key
+        |FROM s GROUP BY set_op
+        |ORDER BY set_op""".stripMargin,
+    "q_datemath" ->
+      """WITH b AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mo,
+        |    (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+        |    date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS age_days,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT yr, mo, count(*) AS n, min(dow) AS min_dow, max(age_days) AS max_age_days,
+        |  round(sum(sqrt(o_totalprice)), 4) AS sum_sqrt_price,
+        |  round(avg(pow(o_totalprice, 2) / 1e9), 4) AS avg_sq_price_b,
+        |  round(sum(ln(o_totalprice)), 4) AS sum_ln_price,
+        |  round(max(abs(o_totalprice - 100000.0)), 2) AS max_abs_dev
+        |FROM b GROUP BY yr, mo
+        |ORDER BY yr, mo""".stripMargin
   )
 }

@@ -121,6 +121,45 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Set operations (union / intersect / except) over customer key sets —
+    * the relational surface the reference lacks entirely (SURVEY §2.9).
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val highValue = ord.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val u = highValue.union(urgent).distinct().withColumn("set_op", lit("union"))
+    val i = highValue.intersect(urgent).withColumn("set_op", lit("intersect"))
+    val e = highValue.except(urgent).withColumn("set_op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .groupBy(col("set_op"))
+      .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("min_key"),
+        max(col("o_custkey")).as("max_key"))
+      .orderBy(col("set_op"))
+  }
+
+  /** Date / math scalar-function gallery over orders — year/month/dow
+    * extraction, datediff, math funcs — grouped so output stays small.
+    */
+  def dateMathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(to_date(lit("2002-01-01")), col("o_orderdate")).cast("long").as("age_days"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("dow")).as("min_dow"),
+        max(col("age_days")).as("max_age_days"),
+        round(sum(sqrt(col("o_totalprice"))), 4).as("sum_sqrt_price"),
+        round(avg(pow(col("o_totalprice"), 2) / 1e9), 4).as("avg_sq_price_b"),
+        round(sum(log(col("o_totalprice"))), 4).as("sum_ln_price"),
+        round(max(abs(col("o_totalprice") - 100000.0)), 2).as("max_abs_dev"))
+      .orderBy(col("yr"), col("mo"))
+
   /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
     * per order-priority — the "wide agg" shape.
     */

@@ -33,12 +33,29 @@ object VectorOps {
   /** L2-normalize with the reference's zero-vector guard
     * (`Qdrant/main.py:18`: `norm or 1.0` — a zero vector passes through
     * unchanged instead of producing NaN).
+    *
+    * Implementation note: higher-order functions are interpreted and do
+    * NOT hoist loop-invariant subexpressions out of lambdas — a naive
+    * `transform(v, x => x / norm(v))` recomputes the full norm (an
+    * aggregate over v) once per ELEMENT (observed 129 evaluations/row).
+    * The nested array-of-struct wrappers below are let-bindings: each
+    * single-element `transform` evaluates its payload exactly once, so
+    * the dense array and its norm are computed once per row and the
+    * inner lambda only does a field access + divide.
     */
-  def l2Normalize(v: Column): Column = {
-    val n = l2Norm(v)
-    val safe = when(n === 0.0d, lit(1.0d)).otherwise(n)
-    transform(toDoubleArray(v), x => x / safe)
-  }
+  def l2Normalize(v: Column): Column =
+    flatten(transform(
+      array(struct(toDoubleArray(v).as("d"))), // let d = double(v)
+      s =>
+        flatten(transform(
+          array(struct(
+            s.getField("d").as("d"), // let n = ||d||
+            sqrt(aggregate(s.getField("d"), lit(0.0), (acc, x) => acc + x * x)).as("n"))),
+          t => {
+            val n = t.getField("n")
+            val safe = when(n === 0.0d, lit(1.0d)).otherwise(n)
+            transform(t.getField("d"), x => x / safe)
+          }))))
 
   /** Dot product a·b (`zip_with` + left-fold `aggregate`). */
   def dot(a: Column, b: Column): Column =
@@ -100,12 +117,27 @@ object VectorOps {
       .groupBy(ids :+ col("__b"): _*)
       .agg(count(lit(1)).cast("double").as("__c"))
       .groupBy(ids: _*)
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+      .agg(
+        map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"),
+        // ‖counts‖² as a plain aggregate — one norm per row for free,
+        // instead of re-aggregating the dense array downstream
+        sum(col("__c") * col("__c")).as("__ss"))
       .withColumn(
         "embedding",
-        l2Normalize(transform(
-          sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at(col("__m"), j), lit(0.0)))))
-      .drop("__m")
+        transform(
+          transform(
+            sequence(lit(0), lit(dim - 1)),
+            j => coalesce(element_at(col("__m"), j), lit(0.0))),
+          x => x / when(col("__ss") === 0.0d, lit(1.0d)).otherwise(sqrt(col("__ss")))))
+      .drop("__m", "__ss")
+      // Exchange barrier: materialize the dense vector BEFORE any consumer
+      // join. Without it CollapseProject inlines the (single-use, but
+      // expensive) normalize-from-map expression into the consumer, and a
+      // k-NN join then re-evaluates it once per candidate PAIR instead of
+      // once per point — the optimizer does not model join fan-out.
+      // (Observed 20.6 s → 1.7 s for the flagship kNN at sf0.1.) A tiny
+      // id-hash shuffle of the finished vectors; at 100 TB you'd persist
+      // this table anyway.
+      .repartition(ids: _*)
   }
 }
