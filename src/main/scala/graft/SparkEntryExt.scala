@@ -103,10 +103,12 @@ object SparkEntryExt {
     "dedup_minhash" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, unnest($toksSql) AS sh FROM documents),
+         |shh AS (SELECT doc_id, ${h32Sql("sh")} AS h FROM sh),
          |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
          |mh AS (
-         |  SELECT doc_id, seed, min(${h32Sql("seed || '|' || sh")}) AS mh
-         |  FROM sh, seeds GROUP BY doc_id, seed),
+         |  SELECT doc_id, seed,
+         |    min(((1 + 104729 * seed) * h + (12345 + 7919 * seed)) % 4294967311) AS mh
+         |  FROM shh, seeds GROUP BY doc_id, seed),
          |bands AS (
          |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
          |  FROM mh GROUP BY doc_id, band),
@@ -114,7 +116,7 @@ object SparkEntryExt {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list(DISTINCT sh) AS s FROM sh GROUP BY doc_id)
+         |sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM shh GROUP BY doc_id)
          |SELECT doc_a, doc_b,
          |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
          |    len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
