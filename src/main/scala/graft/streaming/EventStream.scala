@@ -31,6 +31,57 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
 
+  case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessState(nSessions: Long, lastMicros: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization: per-user custom state via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset state API the
+    * batch `Relational.sessionize` (lag + running sum) is the set
+    * equivalent of. Same 30-min gap rule. Rows are sorted within the
+    * group by event time before folding (single-batch demo; a production
+    * stream pairs this with a watermark so late rows are bounded).
+    */
+  def statefulSessionCounts(
+      events: org.apache.spark.sql.Dataset[EvRow]): org.apache.spark.sql.Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (n, last, cnt) = state.getOption
+            .map(s => (s.nSessions, s.lastMicros, 0L))
+            .getOrElse((0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime // ms precision is enough for the gap rule
+            if (last == Long.MinValue || t - last > 1800L * 1000) n += 1
+            last = t
+            cnt += 1
+          }
+          state.update(SessState(n, last))
+          UserSessions(uid, n, cnt)
+      }
+  }
+
+  /** Drive the stateful sessionizer over a parquet dir, single batch,
+    * update-mode memory sink.
+    */
+  def runSessionsOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+      .select(col("event_id"), col("ts"), col("user_id")).as[EvRow]
+    val q = statefulSessionCounts(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive the streaming plan over a parquet directory with a memory
     * sink, synchronously (for tests / local smoke): returns the final
     * materialized result table.
