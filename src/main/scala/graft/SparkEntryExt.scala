@@ -79,7 +79,10 @@ object SparkEntryExt {
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"))),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
-    "q_datemath" -> ((s, d) => Relational.dateMathFuncs(s, d))
+    "q_datemath" -> ((s, d) => Relational.dateMathFuncs(s, d)),
+    "q_cube" -> ((s, d) => Relational.revenueCube(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -292,6 +295,25 @@ object SparkEntryExt {
         |  round(sum(ln(o_totalprice)), 4) AS sum_ln_price,
         |  round(max(abs(o_totalprice - 100000.0)), 2) AS max_abs_dev
         |FROM b GROUP BY yr, mo
-        |ORDER BY yr, mo""".stripMargin
+        |ORDER BY yr, mo""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderpriority)
+        |ORDER BY region, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
+    // q_approx_distinct intentionally has no oracle: HLL sketch values
+    // are engine-specific (driver records the weaker rows-only check)
   )
 }

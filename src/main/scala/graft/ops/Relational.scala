@@ -160,6 +160,54 @@ object Relational {
         round(max(abs(col("o_totalprice") - 100000.0)), 2).as("max_abs_dev"))
       .orderBy(col("yr"), col("mo"))
 
+  /** CUBE over (region, priority): all 4 grouping combinations in one
+    * pass (grouping-set expansion happens map-side before the shuffle).
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    val dims = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(dims), col("o_custkey") === dims("c_custkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy(col("region"), col("priority"))
+  }
+
+  /** SQL front-end surface: temp views + `spark.sql` with GROUPING SETS
+    * (identical text runs on the DuckDB oracle).
+    */
+  def groupingSetsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** HLL sketch vs exact distinct (engine-specific sketch — driver does
+    * a rows-only check; no cross-engine oracle for sketch internals).
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
     * per order-priority — the "wide agg" shape.
     */
