@@ -76,8 +76,10 @@ object Rag {
     // multi-chunk docs, preserving the reference's gap-index semantics.
     val chunks = Chunker.chunk(docs, Seq("doc_id"), separator = " the ", minLen = 20)
       .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
-    val chunkEmb = VectorOps.embedTextDistributed(chunks, Seq("chunk_id"), "chunk_text", dim)
-    val points = chunks.join(chunkEmb, "chunk_id")
+    // carry chunk metadata + text through the featurizer's group-bys as
+    // grouping keys: one plan, no join-back, chunker scanned once
+    val points = VectorOps.embedTextDistributed(
+      chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
     val queries = VectorOps
       .embedTextDistributed(docs.filter(col("doc_id") < nQueries), Seq("doc_id"), "text", dim)
       .select(col("doc_id").as("qid"), col("embedding").as("qvec"))

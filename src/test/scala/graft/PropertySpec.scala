@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+
+/** Generator-based properties (SURVEY §5.3) — scalacheck Gens sampled
+  * with a fixed seed, asserted through the Spark operators.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-100.0f, 100.0f)).map(_.toArray))
+
+  test("property: normalize → unit norm (nonzero) and idempotent") {
+    val vecs = samples(vecGen, 40) :+ Array(0.0f, 0.0f, 0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val once = df.select(col("id"), VectorOps.l2Normalize(col("v")).as("n"), col("v"))
+    val rows = once
+      .select(col("id"), VectorOps.l2Norm(col("n")).as("norm"),
+        VectorOps.l2Norm(col("v")).as("orig"))
+      .collect()
+    rows.foreach { r =>
+      val norm = r.getDouble(1); val orig = r.getDouble(2)
+      if (orig == 0.0) assert(norm == 0.0) else assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    val twice = once.select(
+      VectorOps.l2Norm(VectorOps.l2Normalize(col("n"))).as("nn"), col("id")).collect()
+    twice.foreach { r => assert(r.getDouble(0) == 0.0 || math.abs(r.getDouble(0) - 1.0) < 1e-9) }
+  }
+
+  test("property: cosine symmetric, bounded, self-similarity 1") {
+    val vecs = samples(vecGen.map(_.padTo(16, 0.0f)), 30)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorOps.cosine(col("a.v"), col("b.v")).as("ab"),
+        VectorOps.cosine(col("b.v"), col("a.v")).as("ba"),
+        col("a.id").as("ia"), col("b.id").as("ib"))
+      .collect()
+    pairs.foreach { r =>
+      val ab = r.getDouble(0); val ba = r.getDouble(1)
+      assert(ab == ba, "symmetry")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, "bounded")
+    }
+  }
+
+  test("property: kNN join — per-query rows == min(k, |points|), scores non-increasing") {
+    val points = samples(vecGen.map(_.padTo(8, 0.0f)), 25).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "pv")
+    val queries = samples(vecGen.map(_.padTo(8, 0.0f)), 5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("qid", "qv")
+    for (k <- Seq(1, 3, 30)) {
+      val hits = Knn.knnJoin(queries, points, "qid", "qv", "pid", "pv", k)
+        .select("query_id", "rank", "score").collect()
+        .groupBy(_.getLong(0))
+      assert(hits.size == 5)
+      hits.values.foreach { rs =>
+        assert(rs.length == math.min(k, 25))
+        val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "monotone")
+      }
+    }
+  }
+
+  test("property: context length ≤ budget; budget-consumed == min(budget, total text)") {
+    val textGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    for (budget <- Seq(1, 10, 55, 1000)) {
+      val hits = samples(textGen, 8).zipWithIndex.map { case (t, i) => (1L, i + 1, t) }
+      val df = hits.toDF("q", "rank", "text")
+      val out = ContextAssembly
+        .budgetedContext(df, "q", "rank", "text", col("rank"), col("rank"), budget)
+        .first()
+      val total = hits.map(_._3.length).sum
+      assert(out.getAs[Long]("context_text_chars") == math.min(budget, total))
+    }
+  }
+
+  test("property: recall and mrr always in [0,1]") {
+    val numListGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 30)).map(_.mkString(", ")))
+    val rows = samples(Gen.zip(numListGen, numListGen), 60)
+    val df = rows.toDF("answers", "predicted")
+    Eval.withMetrics(df, "answers", "predicted", 5)
+      .select("recall_at_k", "mrr_at_k").collect()
+      .foreach { r =>
+        assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+        assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      }
+  }
+
+  test("property: dedup idempotence — exact clusters stable under re-dedup") {
+    val docs = samples(Gen.oneOf("aaa", "bbb", "ccc", "ddd"), 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val reps = Dedup.exactClusters(docs, "doc_id", "text")
+    val deduped = docs.join(
+      reps.select(col("representative").as("doc_id")), Seq("doc_id"), "left_semi")
+    val again = Dedup.exactClusters(deduped, "doc_id", "text")
+    assert(again.count() == reps.count())
+    assert(again.filter(col("n_docs") > 1).count() == 0)
+  }
+
+  test("S3: chunk-dump text sink writes the golden format to disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("dump").toString + "/out"
+    val docs = Seq((1, "first paragraph here\n\nsecond paragraph text")).toDF("page", "text")
+    Chunker.chunk(docs, Seq("page"), minLen = 5)
+      .select(Chunker.dumpLine(col("page"), col("chunk_index"), col("chunk_text")).as("value"))
+      .write.text(tmp)
+    val back = spark.read.text(tmp).collect().map(_.getString(0)).mkString("\n")
+    assert(back.contains("[Page 1 | Chunk 0]") && back.contains("[Page 1 | Chunk 1]"))
+  }
+}
