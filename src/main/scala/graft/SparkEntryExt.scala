@@ -81,6 +81,9 @@ object SparkEntryExt {
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_datemath" -> ((s, d) => Relational.dateMathFuncs(s, d)),
     "q_cube" -> ((s, d) => Relational.revenueCube(s, d)),
+    "q_window_funcs" -> ((s, d) => Relational.windowFuncs(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
+    "q_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
   )
@@ -306,6 +309,36 @@ object SparkEntryExt {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE(r_name, o_orderpriority)
         |ORDER BY region, priority""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+        |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 12)) AS head_upper,
+        |  reverse(substr(text, 1, 8)) AS head_rev,
+        |  replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+        |  lpad(doc_id::VARCHAR, 6, '0') AS id_padded,
+        |  CAST(strpos(text, 'data') AS BIGINT) AS data_pos,
+        |  CAST(levenshtein(substr(text, 1, 10), 'the fast k') AS BIGINT) AS lev,
+        |  CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+        |  lang || '|' || source AS tag
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, round(sum(value), 2) AS sum_value, count(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

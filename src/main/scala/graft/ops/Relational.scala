@@ -160,6 +160,45 @@ object Relational {
         round(max(abs(col("o_totalprice") - 100000.0)), 2).as("max_abs_dev"))
       .orderBy(col("yr"), col("mo"))
 
+  /** Ranking / navigation window-function gallery per customer. */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 20)
+      .select(
+        col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(lead(col("o_totalprice"), 1, 0.0).over(w), 2).as("next_price"),
+        round(lag(col("o_totalprice"), 1, 0.0).over(w), 2).as("prev_price"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** String scalar-function gallery over documents. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        reverse(substring(col("text"), 1, 8)).as("head_rev"),
+        regexp_replace(substring(col("text"), 1, 20), " ", "_").as("head_snake"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("id_padded"),
+        instr(col("text"), "data").cast("long").as("data_pos"),
+        levenshtein(substring(col("text"), 1, 10), lit("the fast k")).cast("long").as("lev"),
+        length(trim(col("text"))).cast("long").as("trimmed_len"),
+        concat_ws("|", col("lang"), col("source")).as("tag"))
+      .orderBy(col("doc_id"))
+
+  /** Salted two-phase aggregation (Skew.saltedSumCount) — answer equals
+    * the plain group-by (that is the oracle), plan survives a hot key.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedSumCount(Tables.events(spark, sfDir), "user_id", "value", 8)
+      .orderBy(col("user_id"))
+
   /** CUBE over (region, priority): all 4 grouping combinations in one
     * pass (grouping-set expansion happens map-side before the shuffle).
     */

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** ANN quality: IVF bucketed search measured against the exact kNN
+  * oracle (SURVEY §4: exactness is what any ANN index is judged
+  * against).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("ivf recall@3 vs exact kNN is reported and sane; hits subset of bucket") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val points = emb.filter(col("vec_id") >= 20).withColumnRenamed("vec_id", "point_id")
+    val exact = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 3)
+      .select("query_id", "point_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SimilaritySearch
+      .ivfTopK(queries, points, "vec_id", "point_id", "embedding", bits = 2, k = 3)
+      .select("query_id", "point_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // every query has ≤3 ivf hits; recall vs exact is measurable and > 0
+    val recalls = exact.map { case (q, ex) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      ex.intersect(got).size.toDouble / ex.size
+    }
+    val macroRecall = recalls.sum / recalls.size
+    info(f"IVF(bits=2) recall@3 vs exact: $macroRecall%.3f")
+    assert(macroRecall > 0.2, s"suspiciously low ivf recall $macroRecall")
+    assert(ivf.values.forall(_.size <= 3))
+  }
+
+  test("cosineNearDup(bits=0) is the exact form: matches threshold filter on all pairs") {
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 60)
+    val exact = SimilaritySearch.cosineNearDup(emb, "vec_id", "embedding", 0.3, bits = 0).count()
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(VectorOps.cosine(col("va"), col("vb")) >= 0.3).count()
+    assert(exact == brute)
+  }
+}
