@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * functions into the SQL function registry so `spark.sql` users can
+  * call them directly:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * ...
+  * spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, "", "", "", "", "4.1.2", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - double-precision dot product of two float/double arrays"),
+      (args: Seq[Expression]) => VectorExpressions.DotProductExpr(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity, 0.0 on zero vectors"),
+      (args: Seq[Expression]) => VectorExpressions.CosineSimilarityExpr(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      info("graft_sorted_intersect_size",
+        "graft_sorted_intersect_size(a, b) - |A∩B| of two sorted BIGINT arrays"),
+      (args: Seq[Expression]) => VectorExpressions.SortedIntersectSizeExpr(args(0), args(1))))
+  }
+}
