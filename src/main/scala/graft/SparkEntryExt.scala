@@ -75,6 +75,8 @@ object SparkEntryExt {
         .orderBy(col("doc_id"), col("r"))),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"))),
@@ -234,6 +236,17 @@ object SparkEntryExt {
         |  round(m, 6) AS lang_score
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT)
+         |    AS bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  round(length(text)::DOUBLE / greatest(
+         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+'))::DOUBLE, 1.0), 6)
+         |    AS chars_per_token
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       s"""SELECT term, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

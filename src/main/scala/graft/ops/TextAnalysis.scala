@@ -61,6 +61,27 @@ object TextAnalysis {
       round(m, 6).as("lang_score"))
   }
 
+  /** BPE-ish regex tokenizer: letter runs, digit runs, and
+    * non-alphanumeric punctuation runs as separate tokens (the GPT-2
+    * pre-tokenizer shape, ASCII simplification — identical semantics in
+    * Spark's Java regex and DuckDB's RE2 for this class-only pattern).
+    */
+  def regexTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))
+
+  /** Token accounting per doc: whitespace tokens vs BPE-ish regex tokens
+    * vs chars — the "how many tokens is this corpus" estimator.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexTokens(col(textCol))).cast("long").as("bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      round(length(col(textCol)).cast("double") /
+        greatest(size(regexTokens(col(textCol))).cast("double"), lit(1.0)), 6)
+        .as("chars_per_token"))
+
   /** Global term frequencies, ranked. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, limit: Int): DataFrame =
     docs
