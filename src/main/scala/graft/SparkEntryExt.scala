@@ -20,6 +20,36 @@ object SparkEntryExt {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+  /** Shared DuckDB CTE: MinHash-LSH candidate pairs verified at j ≥ 0.5
+    * (mirrors Dedup.minHashLsh with 16 hashes, 2 bands × 8 rows).
+    */
+  private lazy val minhashPairsCte: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest($toksSql) AS sh FROM documents),
+       |shh AS (SELECT doc_id, ${h32Sql("sh")} AS h FROM sh),
+       |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+       |mh AS (
+       |  SELECT doc_id, seed,
+       |    min(((1 + 104729 * seed) * h + (12345 + 7919 * seed)) % 4294967311) AS mh
+       |  FROM shh, seeds GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM shh GROUP BY doc_id),
+       |prs AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.s, sb.s))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.s, sb.s))) AS j
+       |  FROM cand
+       |  JOIN sets sa ON cand.doc_a = sa.doc_id
+       |  JOIN sets sb ON cand.doc_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
+
   private def bucketSql(col: String): String =
     s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
        | + CASE WHEN $col[3] > 0 THEN 2 ELSE 0 END + CASE WHEN $col[4] > 0 THEN 1 ELSE 0 END)::BIGINT"""
@@ -38,6 +68,13 @@ object SparkEntryExt {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleN = 1, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 3).orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -109,31 +146,30 @@ object SparkEntryExt {
         |GROUP BY 1
         |ORDER BY content_hash""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, unnest($toksSql) AS sh FROM documents),
-         |shh AS (SELECT doc_id, ${h32Sql("sh")} AS h FROM sh),
-         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-         |mh AS (
-         |  SELECT doc_id, seed,
-         |    min(((1 + 104729 * seed) * h + (12345 + 7919 * seed)) % 4294967311) AS mh
-         |  FROM shh, seeds GROUP BY doc_id, seed),
-         |bands AS (
-         |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM shh GROUP BY doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-         |FROM cand
-         |JOIN sets sa ON cand.doc_a = sa.doc_id
-         |JOIN sets sb ON cand.doc_b = sb.doc_id
-         |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
-         |    len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+      s"""$minhashPairsCte
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+         |FROM prs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cluster" ->
+      s"""$minhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+         |l1 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l0
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l2 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l1
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l3 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l2
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, label AS cluster_id FROM l3
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tc AS (
          |  SELECT doc_id, tok, count(*) AS c, ${h32Sql("tok")} AS h

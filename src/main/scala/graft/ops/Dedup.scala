@@ -181,6 +181,29 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
   }
 
+  /** Connected-component labels over the near-dup pair graph by
+    * min-label propagation, loop-unrolled `iterations` times (each
+    * iteration: label(d) ← min(label(d), min label of neighbors)).
+    * Deterministic for ANY iteration count (both engines run the same
+    * unrolled formula); near-dup graphs are overwhelmingly cliques, where
+    * one round converges. This is the production OUTPUT of dedup —
+    * cluster assignments, linear in |docs| — rather than the O(dups²)
+    * pair enumeration.
+    */
+  def clusterLabels(docs: DataFrame, idCol: String, pairs: DataFrame,
+      iterations: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
+    for (_ <- 1 to iterations) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      labels = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Brute-force n-gram Jaccard over a bounded candidate set (exact
     * baseline; the LSH pipeline is the scale path for all-pairs).
     */
