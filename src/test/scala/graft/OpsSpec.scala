@@ -32,6 +32,22 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("dedup: composed pipeline — exact copies and near-dups share a cluster") {
+    // 40 shared tokens → j = 40/41 ≈ 0.976; with the fixed hash family
+    // the band collision is deterministic (verified by this test run)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),              // exact dups
+      (3L, base + " extra"),               // near-dup of 1
+      (4L, "q r s t u v w z")              // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupPipeline(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L), "exact dups share cluster")
+    assert(got(1L) == got(3L), "near dup joins the cluster")
+    assert(got(4L) != got(1L), "unrelated doc separate")
+  }
+
   test("dedup: simhash of permuted doc equals original (bag semantics)") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "q r s t u v")).toDF("doc_id", "text")
     val h = Dedup.simHash(df, "doc_id", "text").collect()
