@@ -123,6 +123,13 @@ object SparkEntryExt {
     "q_window_funcs" -> ((s, d) => Relational.windowFuncs(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
+    "q_asof_join" -> ((s, d) => Relational.asofViewBeforePurchase(s, d)),
+    "q_geomean" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(udaf(graft.functions.GeoMean).apply(col("o_totalprice")), 4)
+          .as("geo_mean_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
   )
@@ -388,6 +395,29 @@ object SparkEntryExt {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'view')),
+        |w AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+        |  FROM ev)
+        |SELECT user_id, event_id, ts AS purchase_ts,
+        |  make_timestamp(last_view_us) AS view_ts,
+        |  epoch_us(ts) - last_view_us AS gap_us
+        |FROM w
+        |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_geomean" ->
+      """SELECT o_orderpriority,
+        |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

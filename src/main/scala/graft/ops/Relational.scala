@@ -160,6 +160,35 @@ object Relational {
         round(max(abs(col("o_totalprice") - 100000.0)), 2).as("max_abs_dev"))
       .orderBy(col("yr"), col("mo"))
 
+  /** As-of join: for each purchase event, the most recent prior-or-equal
+    * 'view' event of the same user. Spark has no ASOF JOIN operator —
+    * composed from built-ins per the preference ladder (SURVEY §7.3):
+    * union the two tagged streams, carry the last view timestamp forward
+    * with a running `max` window, filter to purchases. One shuffle
+    * (user_id), no pairwise join at all — at 100 TB this beats a range
+    * join by never materializing candidate pairs. Oracle: DuckDB's
+    * native ASOF JOIN.
+    */
+  def asofViewBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_view_us",
+        max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .filter(col("last_view_us").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        col("ts").as("purchase_ts"),
+        timestamp_micros(col("last_view_us")).as("view_ts"),
+        (unix_micros(col("ts")) - col("last_view_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Ranking / navigation window-function gallery per customer. */
   def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey").asc)
