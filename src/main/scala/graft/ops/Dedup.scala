@@ -192,14 +192,27 @@ object Dedup {
     */
   def clusterLabels(docs: DataFrame, idCol: String, pairs: DataFrame,
       iterations: Int): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Iterative algorithm discipline (same reason GraphX checkpoints):
+    // each round references `labels` TWICE (self ∪ neighbor-join), so an
+    // unpersisted lineage doubles per round — round 3 would re-run the
+    // whole upstream LSH pipeline up to 8×. Persist the edge list once
+    // and the (tiny) label table each round to pin the lineage.
+    // both directions in ONE pass over pairs (a union of two selects
+    // would embed — and therefore execute — the upstream pair pipeline
+    // twice before the cache can fill)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
     for (_ <- 1 to iterations) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
       labels = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
