@@ -124,6 +124,8 @@ object SparkEntryExt {
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q_salted_agg" -> ((s, d) => Relational.saltedAgg(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofViewBeforePurchase(s, d)),
+    "q_range_join" -> ((s, d) => Relational.rangeJoinTiers(s, d)),
+    "q_pivot" -> ((s, d) => Relational.pivotEventTypes(s, d)),
     "q_geomean" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -411,6 +413,26 @@ object SparkEntryExt {
         |FROM w
         |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('bronze', 0.0, 50.0), ('silver', 50.0, 120.0),
+        |  ('gold', 120.0, 180.0), ('platinum', 180.0, 1e9))
+        |SELECT tier, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier
+        |ORDER BY tier""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events
+        |WHERE user_id < 50
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_geomean" ->
       """SELECT o_orderpriority,
         |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,

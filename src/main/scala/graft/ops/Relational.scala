@@ -189,6 +189,38 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Non-equi (range) join: classify event values against a small tier
+    * table of [lo, hi) bands. The tier side is broadcast → a
+    * BroadcastNestedLoopJoin whose inner loop is 4 comparisons — the
+    * right shape when one side is tiny; banded/bucketed pre-join is the
+    * alternative when both sides are large.
+    */
+  def rangeJoinTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("bronze", 0.0, 50.0), ("silver", 50.0, 120.0),
+      ("gold", 120.0, 180.0), ("platinum", 180.0, 1e9))
+      .toDF("tier", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        round(min(col("value")), 2).as("min_v"), round(max(col("value")), 2).as("max_v"))
+      .orderBy(col("tier"))
+  }
+
+  /** Pivot: per-user event-type counts as columns (conditional
+    * aggregation under the hood — the oracle mirrors it with CASE).
+    */
+  def pivotEventTypes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** Ranking / navigation window-function gallery per customer. */
   def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey").asc)
