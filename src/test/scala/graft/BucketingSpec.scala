@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Tables
+
+/** Bucketed-table co-located join (SCALING.md claim): writing both join
+  * sides bucketed+sorted by the key lets Spark plan a sort-merge join
+  * with NO shuffle exchange — the 100 TB fact⋈fact strategy.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
+    // force a non-broadcast join so bucketing is what avoids the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(joined.count() > 0)
+      // inspect the FINAL adaptive plan (collect() doesn't descend into
+      // AdaptiveSparkPlanExec, so assert on the executed-plan string)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$planStr")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
