@@ -88,6 +88,32 @@ object Rag {
     val ctx = ContextAssembly.budgetedContext(
       hitRows, "query_id", "rank", "chunk_text",
       pageCol = col("doc_id"), chunkCol = col("chunk_index"), maxCtxChars = maxCtxChars)
-    ctx.orderBy(col("query_id"))
+    // L2 stand-in (SURVEY §2.5): extractive prediction = top-5 terms of
+    // the retrieved hits, ranked (count DESC, term ASC)
+    val toks = hitRows
+      .select(col("query_id"), explode(split(trim(col("chunk_text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("query_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("c"), col("tok").asc)
+    val predicted = toks
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .groupBy(col("query_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("r"), col("tok").as("t")))), s => s.getField("t")),
+        " ").as("predicted"))
+    // L1 prompt projection with the reference's empty-context fallback
+    val q = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("text").as("question"))
+    ctx.join(predicted, Seq("query_id"), "left")
+      .join(q, "query_id")
+      .select(
+        col("query_id"),
+        col("context"),
+        col("context_text_chars"),
+        coalesce(col("predicted"), lit("")).as("predicted"),
+        ContextAssembly.prompt(col("context"), col("question"),
+          "คุณเป็นผู้ช่วยกฎหมาย จงตอบโดยอ้างอิงมาตราที่เกี่ยวข้อง").as("prompt"))
+      .orderBy(col("query_id"))
   }
 }
