@@ -42,9 +42,12 @@ object SparkEntry {
     "q_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
     "q_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
+      // no inner round: Spark rounds decimals HALF_UP, DuckDB rounds the
+      // binary double — near .xx5 they differ by a cent; x*1.1 itself is
+      // bit-identical on both engines, so only the aggregate is rounded
       val updates = base
         .filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
       Store.upsert(base, updates, "o_orderkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
@@ -191,7 +194,7 @@ object SparkEntry {
     "q_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate, o_orderpriority
+        |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 10 = 0),
         |merged AS (
         |  SELECT * FROM orders
