@@ -117,6 +117,19 @@ object SparkEntryExt {
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Tables.documents(s, d).filter(col("doc_id") < 50),
+          "doc_id", "text", frameSize = 64)
+        .orderBy(col("doc_id"), col("frame_id"))),
+    "q_correlation" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(corr(col("value"), col("k")), 6).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_datemath" -> ((s, d) => Relational.dateMathFuncs(s, d)),
     "q_cube" -> ((s, d) => Relational.revenueCube(s, d)),
@@ -327,6 +340,28 @@ object SparkEntryExt {
          |  ${h32Sql("text")} AS checksum
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_id,
+         |  CAST(length(f) AS BIGINT) AS frame_len,
+         |  ${h32Sql("f")} AS frame_checksum
+         |FROM (
+         |  SELECT doc_id, i, substr(text, (i - 1) * 64 + 1, 64) AS f
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(CAST((length(text) + 63) // 64 AS INT), 1))) AS i) g
+         |  WHERE doc_id < 50)
+         |WHERE length(f) > 0
+         |ORDER BY doc_id, frame_id""".stripMargin,
+    "q_correlation" ->
+      """SELECT event_type,
+        |  round(corr(value, k), 6) AS corr_vk,
+        |  round(covar_samp(value, k), 4) AS covar_vk,
+        |  count(*) AS n
+        |FROM (SELECT event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_setops" ->
       """WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
         |ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -74,6 +74,27 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling as a generator: 1 media row → N fixed-size frame
+    * rows (the video-frame / audio-window shape), each with its offset
+    * and a portable content checksum. Narrow transform — frames pipeline
+    * straight out of the scan, no shuffle.
+    */
+  def sampleFrames(docs: DataFrame, idCol: String, textCol: String, frameSize: Int): DataFrame = {
+    val nFrames = greatest(
+      expr(s"CAST((length($textCol) + ${frameSize - 1}) div $frameSize AS INT)"), lit(1))
+    val frames = transform(
+      sequence(lit(0), nFrames - 1),
+      i => col(textCol).substr(i * frameSize + 1, lit(frameSize)))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(frames).as(Seq("frame_id", "frame")))
+      .filter(length(col("frame")) > 0)
+      .select(
+        col("doc_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        length(col("frame")).cast("long").as("frame_len"),
+        Dedup.h32(col("frame")).as("frame_checksum"))
+  }
+
   /** Declarative metadata projection (oracle-checkable): byte length,
     * frame count at `frameSize`, and a portable content checksum.
     */
