@@ -117,6 +117,13 @@ object SparkEntryExt {
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"))),
+    "v_embed_text" -> ((s, d) =>
+      VectorOps.embedTextPortable(
+          Tables.documents(s, d).filter(col("doc_id") < 20), Seq("doc_id"), "text", 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "val")))
+        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("val"), 6).as("val"))
+        .orderBy(col("doc_id"), col("dim_idx"))),
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Tables.documents(s, d).filter(col("doc_id") < 50),
           "doc_id", "text", frameSize = 64)
@@ -340,6 +347,25 @@ object SparkEntryExt {
          |  ${h32Sql("text")} AS checksum
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "v_embed_text" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '), x -> x <> ''))
+         |    AS tok
+         |  FROM documents WHERE doc_id < 20),
+         |cnt AS (
+         |  SELECT doc_id, CAST(${h32Sql("tok")} % 16 AS INT) AS b, count(*)::DOUBLE AS c
+         |  FROM tok GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM cnt GROUP BY doc_id),
+         |dims AS (
+         |  SELECT doc_id, unnest(generate_series(0, 15)) AS j
+         |  FROM (SELECT DISTINCT doc_id FROM tok)),
+         |vals AS (
+         |  SELECT d.doc_id, d.j, coalesce(c.c, 0.0) AS v
+         |  FROM dims d LEFT JOIN cnt c ON d.doc_id = c.doc_id AND d.j = c.b)
+         |SELECT v.doc_id, CAST(v.j AS BIGINT) AS dim_idx,
+         |  round(v.v / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END), 6) AS val
+         |FROM vals v JOIN nrm n ON v.doc_id = n.doc_id
+         |ORDER BY v.doc_id, dim_idx""".stripMargin,
     "mm_frames" ->
       s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_id,
          |  CAST(length(f) AS BIGINT) AS frame_len,

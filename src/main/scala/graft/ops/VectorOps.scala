@@ -118,13 +118,35 @@ object VectorOps {
       df: org.apache.spark.sql.DataFrame,
       idCols: Seq[String],
       textCol: String,
-      dim: Int): org.apache.spark.sql.DataFrame = {
+      dim: Int): org.apache.spark.sql.DataFrame =
+    embedTextImpl(df, idCols, textCol, dim, portableHash = false)
+
+  /** Variant with the md5-based portable bucket hash — identical buckets
+    * computable in DuckDB, so the featurizer itself is oracle-checkable
+    * (`v_embed_text`). Murmur3 (`hash()`) stays the default for speed.
+    */
+  def embedTextPortable(
+      df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame =
+    embedTextImpl(df, idCols, textCol, dim, portableHash = true)
+
+  private def embedTextImpl(
+      df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      dim: Int,
+      portableHash: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val ids = idCols.map(col)
     val toks = df.select(
       ids :+ explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"): _*)
+    val bucket =
+      if (portableHash) pmod(Dedup.h32(col("__tok")), lit(dim.toLong)).cast("int")
+      else pmod(hash(col("__tok")), lit(dim))
     toks
-      .withColumn("__b", pmod(hash(col("__tok")), lit(dim)))
+      .withColumn("__b", bucket)
       .groupBy(ids :+ col("__b"): _*)
       .agg(count(lit(1)).cast("double").as("__c"))
       .groupBy(ids: _*)
