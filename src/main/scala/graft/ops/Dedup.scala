@@ -197,6 +197,11 @@ object Dedup {
     // unpersisted lineage doubles per round — round 3 would re-run the
     // whole upstream LSH pipeline up to 8×. Persist the edge list once
     // and the (tiny) label table each round to pin the lineage.
+    // NOTE: cache materialization is only AQE-planned when
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+    // (set in Bench/Verify/test sessions; see SCALING.md) — without it
+    // the persisted subtree executes a static plan (measured 5.7× slower
+    // here: the LSH candidate join loses its runtime broadcast).
     // both directions in ONE pass over pairs (a union of two selects
     // would embed — and therefore execute — the upstream pair pipeline
     // twice before the cache can fill)
