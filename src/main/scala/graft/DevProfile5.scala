@@ -21,7 +21,7 @@ object DevProfile5 {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
     val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.shingleRows(docs, "doc_id", "text", 1).withColumn("h", Dedup.h32(col("sh")))
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).withColumn("h", Dedup.h32(col("sh")))
     time("shingleRows.count")(println("  n=" + sh.count()))
     val sig = Dedup.minHashSignatures(sh, 16)
     time("signatures.count")(println("  n=" + sig.count()))

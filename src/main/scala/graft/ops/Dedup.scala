@@ -33,15 +33,18 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(trim(text), " "), t => t =!= "")
 
-  /** Word n-gram shingles (n=1 → unigram set). */
-  def shingles(text: Column, n: Int): Column =
-    if (n == 1) tokens(text)
-    else {
-      val toks = tokens(text)
+  /** Word n-gram shingles (n=1 → unigram set). For n > 1 pass a
+    * PRE-MATERIALIZED token-array column (own projection), not the raw
+    * split expression: higher-order-function lambdas re-evaluate
+    * argument subtrees per element, so an inlined split/filter would
+    * re-tokenize the text once per n-gram window.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-    }
 
   /** Exact dedup: cluster table keyed by content hash
     * (`sha2` group-by; the degenerate-but-dominant case at corpus scale).
@@ -52,10 +55,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("representative"))
       .orderBy(col("content_hash"))
 
-  /** Distinct (doc, shingle) pairs. */
+  /** Distinct (doc, shingle) pairs. Tokens materialize in their own
+    * projection first (multi-use, non-cheap alias — CollapseProject
+    * keeps the barrier, so the text is tokenized exactly once per doc).
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("sh"))
       .distinct()
 
   /** Universal-hash family over a 32-bit base hash: hᵢ(x) = (aᵢ·x + bᵢ)
@@ -236,14 +243,14 @@ object Dedup {
     * duplicate group.
     */
   def nearDupPipeline(docs: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, shingleN: Int = 1): DataFrame = {
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
       sha2(col(textCol), 256).as("__ch"))
     val reps = withHash.groupBy(col("__ch")).agg(min(col("doc_id")).as("rep_id"))
     val repDocs = withHash.join(reps, "__ch")
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("__text").as("text"))
-    val pairs = minHashLsh(repDocs, "doc_id", "text", shingleN = 1,
+    val pairs = minHashLsh(repDocs, "doc_id", "text", shingleN = shingleN,
       numHashes = 16, rowsPerBand = 8).filter(col("jaccard") >= jaccardThreshold)
     val repClusters = clusterLabels(repDocs, "doc_id", pairs, iterations = 3)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
@@ -256,9 +263,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
-    val sets = docs.select(
-      col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), n)).as("s"))
+    val sets = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("__toks"), n)).as("s"))
     val a = sets.as("a")
     val b = sets.as("b")
     a.crossJoin(b)
