@@ -104,6 +104,16 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTrainedTopK(
+          emb.filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
+          "vec_id", "point_id", "embedding",
+          kCentroids = 16, iters = 2, nprobe = 4, k = 3)
+        .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "sim_neardup" -> ((s, d) =>
       SimilaritySearch.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4)
@@ -267,6 +277,48 @@ object SparkEntryExt {
          |  QUALIFY rank <= 3)
          |SELECT query_id, rank, point_id, round(score, 6) AS score
          |FROM s ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_trained" -> {
+      // Unrolled deterministic k-means (2 Lloyd iterations, centroids
+      // rounded to 6 dp each update) + multi-probe IVF search —
+      // mirrors SimilaritySearch.ivfTrainedTopK step for step.
+      def assignCte(src: String, cents: String): String =
+        s"""SELECT pid, v, cid FROM (
+           |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
+           |  FROM (SELECT p.pid, p.v, c.cid, ${sqlCos("p.v", "c.c")} AS s
+           |        FROM $src p CROSS JOIN $cents c)) WHERE rn = 1""".stripMargin
+      def updateCte(assigned: String): String =
+        s"""SELECT cid, list(m ORDER BY j) AS c FROM (
+           |  SELECT cid, j, round(avg(v[j]), 6) AS m
+           |  FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+           |  GROUP BY cid, j) GROUP BY cid""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
+         |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cid, v AS c
+         |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 16)),
+         |a1 AS (${assignCte("pts", "c0")}),
+         |c1 AS (${updateCte("a1")}),
+         |a2 AS (${assignCte("pts", "c1")}),
+         |c2 AS (${updateCte("a2")}),
+         |ap AS (${assignCte("pts", "c2")}),
+         |qp AS (
+         |  SELECT pid AS qid, v AS qv, cid FROM (
+         |    SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
+         |    FROM (SELECT q.pid, q.v, c.cid, ${sqlCos("q.v", "c.c")} AS s
+         |          FROM qs q CROSS JOIN c2 c)) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT qp.qid AS query_id, ap.pid AS point_id, ${sqlCos("qp.qv", "ap.v")} AS score
+         |  FROM qp JOIN ap ON qp.cid = ap.cid),
+         |ranked AS (
+         |  SELECT query_id, point_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id) AS BIGINT)
+         |      AS rank
+         |  FROM scored QUALIFY rank <= 3)
+         |SELECT query_id, rank, point_id, round(score, 6) AS score
+         |FROM ranked ORDER BY query_id, rank""".stripMargin
+    },
     "sim_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
