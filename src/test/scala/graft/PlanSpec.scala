@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Physical-plan shape assertions: the scale-critical plan properties
+  * SCALING.md claims (filter pushdown, column pruning, broadcast joins,
+  * window-group-limit top-k) are pinned here so a refactor that
+  * silently loses one fails the suite, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("parquet scan pushes id predicates down and prunes columns") {
+    val df = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]"),
+      s"doc_id filter did not reach the parquet scan:\n$plan")
+    assert(!plan.contains("lang"),
+      s"unprojected column still read (pruning lost):\n$plan")
+  }
+
+  test("kNN join broadcasts the query side and plans a WindowGroupLimit top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val points = emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id")
+    val plan = formatted(
+      Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast — the crossJoin would shuffle N×Q at scale:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k not rewritten to WindowGroupLimit (partial top-k before shuffle):\n$plan")
+  }
+
+  test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
+    val plan = formatted(
+      Knn.topK(emb.withColumnRenamed("vec_id", "point_id"), "embedding", "point_id",
+        lit(qvec.toArray), 5))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sort+limit did not fuse (a full sort at 100 TB):\n$plan")
+  }
+
+  test("LSH candidate generation is an equi-join on the band key, not a nested loop") {
+    val docs = Tables.documents(spark, sf0001)
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).withColumn("h", Dedup.h32(col("sh")))
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minHashSignatures(sh, 16), 16, 8))
+    val plan = formatted(cands)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"band-bucket join is not an equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation degenerated to all-pairs:\n$plan")
+  }
+
+  test("IVF cell join is an equi-join on the cell id (prune before score)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = formatted(SimilaritySearch.ivfTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
+      "vec_id", "point_id", "embedding", bits = 4, k = 3))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"bucket join is not an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF degenerated to a cartesian scoring pass:\n$plan")
+  }
+
+  test("star-schema join keeps small dimensions broadcast") {
+    val plan = formatted(Relational.revenueCube(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension tables (region/nation/customer) not broadcast:\n$plan")
+  }
+}
