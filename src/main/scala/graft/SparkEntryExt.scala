@@ -110,7 +110,7 @@ object SparkEntryExt {
           emb.filter(col("vec_id") < 10),
           emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
           "vec_id", "point_id", "embedding",
-          kCentroids = 16, iters = 2, nprobe = 4, k = 3)
+          dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),

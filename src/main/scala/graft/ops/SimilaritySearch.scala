@@ -67,20 +67,25 @@ object SimilaritySearch {
     * group-bys; nothing here needs a driver-side loop over data.
     */
   def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      dim: Int, k: Int, iters: Int): DataFrame = {
     val pts = normalized(points, idCol, vecCol)
     val wInit = Window.orderBy(col("__id"))
     var cents = pts.orderBy(col("__id")).limit(k)
       .select((row_number().over(wInit) - 1).cast("long").as("cid"),
         col("__v").as("centroid"))
     for (_ <- 1 to iters) {
+      // Update = `dim` per-component avg aggregates in ONE group-by
+      // (map-side combinable, one shuffle of k×dim partials per mapper)
+      // rather than posexplode + two shuffles: exploding multiplies the
+      // assignment output by `dim` before the exchange — a 64× row
+      // blowup at 100 TB for no information gain.
+      val avgs = (0 until dim).map(j =>
+        round(avg(element_at(col("__v"), j + 1)), 6).as(s"__m$j"))
       cents = assignToCentroid(pts, cents)
-        .select(col("cid"), posexplode(col("__v")).as(Seq("__j", "__x")))
-        .groupBy(col("cid"), col("__j"))
-        .agg(round(avg(col("__x")), 6).as("__m"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("__j"), col("__m")))),
-          s => s.getField("__m")).as("centroid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("cid"),
+          array((0 until dim).map(j => col(s"__m$j")): _*).as("centroid"))
     }
     cents
   }
@@ -117,13 +122,14 @@ object SimilaritySearch {
       queryIdCol: String,
       pointIdCol: String,
       vecCol: String,
+      dim: Int,
       kCentroids: Int,
       iters: Int,
       nprobe: Int,
       k: Int): DataFrame = {
     // Used by three consumers (point assignment + query probing); k rows
     // of k-dim doubles — persist so Lloyd's iterations run once.
-    val cents = kmeansCentroids(points, pointIdCol, vecCol, kCentroids, iters).persist()
+    val cents = kmeansCentroids(points, pointIdCol, vecCol, dim, kCentroids, iters).persist()
     val assignedPts = assignToCentroid(normalized(points, pointIdCol, vecCol), cents)
       .select(col("__id").as("point_id"), col("__v").as("__pv"), col("cid"))
     val wq = Window.partitionBy(col("__id")).orderBy(desc("__s"), col("cid"))

@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
     }
     def trainedAt(nprobe: Int): Map[Long, Set[Long]] = SimilaritySearch
       .ivfTrainedTopK(queries, points, "vec_id", "point_id", "embedding",
-        kCentroids = 8, iters = 2, nprobe = nprobe, k = 3)
+        dim = 64, kCentroids = 8, iters = 2, nprobe = nprobe, k = 3)
       .select("query_id", "point_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val sign = SimilaritySearch
