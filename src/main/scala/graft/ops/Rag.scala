@@ -84,7 +84,12 @@ object Rag {
       .embedTextDistributed(docs.filter(col("doc_id") < nQueries), Seq("doc_id"), "text", dim)
       .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
     // both sides L2-normalized by construction → dot metric (1 array pass)
-    val hitRows = Knn.knnJoin(queries, points, "qid", "qvec", "chunk_id", "embedding", k, metric = "dot")
+    // hitRows feeds BOTH the context and prediction subtrees; measured:
+    // ReuseExchange already dedups the shared chunk→embed→kNN upstream,
+    // and an explicit persist() only added materialization overhead
+    // (6.0 s vs 6.4–8.3 s at sf0.1) — so no cache here.
+    val hitRows = Knn.knnJoin(queries, points, "qid", "qvec", "chunk_id", "embedding", k,
+      metric = "dot")
     val ctx = ContextAssembly.budgetedContext(
       hitRows, "query_id", "rank", "chunk_text",
       pageCol = col("doc_id"), chunkCol = col("chunk_index"), maxCtxChars = maxCtxChars)
