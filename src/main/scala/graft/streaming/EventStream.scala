@@ -82,6 +82,34 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact-dedup: at-least-once sources redeliver rows, so
+    * the ingest edge of a training-data pipeline needs key-dedup as a
+    * STREAM operator, not just the batch `Dedup.exactClusters`.
+    * `dropDuplicatesWithinWatermark` keeps the first row per key and —
+    * unlike plain `dropDuplicates` — evicts key state once the
+    * watermark passes it, so state is bounded by the delay horizon
+    * (duplicates arriving within `delay` of each other are caught;
+    * state never grows with total keys seen — the 100 TB/day
+    * requirement).
+    */
+  def dedupStream(events: DataFrame, delay: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Drive the streaming dedup over a parquet dir, single batch,
+    * append-mode memory sink.
+    */
+  def runDedupOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val q = dedupStream(stream, "1 hour", Seq("event_id")).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive the streaming plan over a parquet directory with a memory
     * sink, synchronously (for tests / local smoke): returns the final
     * materialized result table.

@@ -88,6 +88,35 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming: watermarked dedup collapses at-least-once redelivery to the distinct set") {
+    val tmp = java.nio.file.Files.createTempDirectory("evdedup").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(200)
+    // simulate at-least-once: every event delivered twice
+    ev.union(ev).write.mode("overwrite").parquet(tmp)
+    val streamed = EventStream.runDedupOnce(spark, tmp, "ev_dedup_test")
+    assert(streamed.count() == ev.count(),
+      "each redelivered event must survive exactly once")
+    assert(streamed.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("binaryFile source: raw bytes + metadata, extraction as a column op (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    val contents = Seq("doc one: สัญญา", "doc two: มาตรา 113")
+    contents.zipWithIndex.foreach { case (s, i) =>
+      java.nio.file.Files.write(dir.resolve(s"d$i.bin"),
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val bin = spark.read.format("binaryFile").load(dir.toString)
+    assert(bin.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val extracted = bin
+      .select(decode(col("content"), "UTF-8").as("text"), col("length"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(extracted == contents.map(s =>
+      (s, s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)).toSet)
+  }
+
   test("csv: multiline quoted round-trip (S4/S5, utf-8 Thai)") {
     val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString + "/out"
     val df = Seq(("line1\nline2", "20, 21, 113", "1319/2512"))
