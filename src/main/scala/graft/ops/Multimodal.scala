@@ -74,6 +74,44 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: deterministic stride downsample of the byte stream to
+    * ≤ `targetBytes` (the image-resize / audio-downsample stand-in). A
+    * real deployment swaps only this function for a scaler; the
+    * binary→binary column plumbing around it is the real part.
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out = new Array[Byte](targetBytes)
+      // proportional index: floor(j·n/target) < n for j < target, so the
+      // output is exactly targetBytes and spans the full input
+      var j = 0
+      while (j < targetBytes) {
+        out(j) = bytes((j.toLong * bytes.length / targetBytes).toInt); j += 1
+      }
+      out
+    }
+
+  /** Partition-batched media resize: binary column in, smaller binary
+    * column + size metadata out. Narrow transform — at 100 TB this runs
+    * in the scan stage and the full-size payload never crosses a
+    * shuffle.
+    */
+  def resizeMedia(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init (real scaler/codec handle) would go here
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          (id, resizeStub(b, targetBytes), b.length.toLong)
+        }
+      }
+      .toDF("doc_id", "media_resized", "orig_bytes")
+      .withColumn("new_bytes", octet_length(col("media_resized")).cast("long"))
+  }
+
   /** Frame sampling as a generator: 1 media row → N fixed-size frame
     * rows (the video-frame / audio-window shape), each with its offset
     * and a portable content checksum. Narrow transform — frames pipeline

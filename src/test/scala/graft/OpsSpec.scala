@@ -62,6 +62,24 @@ class OpsSpec extends SparkSpec {
     assert(f(1L) != f(2L))
   }
 
+  test("multimodal: resize bounds payload size, keeps small media intact, deterministic") {
+    val docs = Tables.documents(spark, sf0001).limit(20)
+    val media = Multimodal.withMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeMedia(media, targetBytes = 64)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getLong(2), r.getLong(3)))
+    assert(resized.nonEmpty)
+    resized.foreach { case (_, out, orig, now) =>
+      assert(now <= 64, s"resized payload $now > target")
+      assert(now == math.min(orig, 64L), "small media must pass through untouched")
+      assert(out.length.toLong == now)
+    }
+    // pure function of the input bytes: recompute driver-side and compare
+    val byId = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.foreach { case (id, out, _, _) =>
+      assert(out.sameElements(Multimodal.resizeStub(byId(id), 64)))
+    }
+  }
+
   test("multimodal: partition-batched feature extraction, deterministic stub") {
     val docs = Tables.documents(spark, sf0001).limit(10)
     val feats = Multimodal.extractFeatures(
