@@ -149,6 +149,10 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // sh feeds both the signature and verify subtrees; measured at
+    // sf0.1: ReuseExchange already shares the shuffled shingle scan, and
+    // an explicit persist() only slowed the query (5.3 s -> 7.7 s) by
+    // forcing materialization where pipelining sufficed.
     val sh = shingleRows(docs, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
     val cands = lshCandidates(lshBands(minHashSignatures(sh, numHashes), numHashes, rowsPerBand))
     verifyJaccard(cands, sh)
