@@ -106,6 +106,34 @@ class PropertySpec extends SparkSpec {
     assert(again.filter(col("n_docs") > 1).count() == 0)
   }
 
+  test("property: k-means partitions every point into exactly one of ≤ k cells") {
+    val vecs = samples(vecGen.map(_.padTo(8, 1.0f)), 60)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val k = 5
+    val cents = SimilaritySearch.kmeansCentroids(df, "vec_id", "v", dim = 8, k = k, iters = 2)
+    val nCells = cents.count()
+    assert(nCells <= k && nCells >= 1)
+    assert(cents.select("cid").distinct().count() == nCells, "cell ids unique")
+    // full-corpus search (nprobe = k) must return each query's exact result set
+    val topSelf = SimilaritySearch.ivfTrainedTopK(
+      df.limit(5), df.withColumnRenamed("vec_id", "point_id"), "vec_id", "point_id", "v",
+      dim = 8, kCentroids = k, iters = 2, nprobe = k, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // with points == queries, every query's nearest neighbor at nprobe=k is itself
+    topSelf.foreach { case (q, p) => assert(q == p, s"query $q missed itself (got $p)") }
+  }
+
+  test("property: resize never grows media, bounded by target, deterministic") {
+    val byteGen = Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    samples(byteGen, 60).foreach { b =>
+      val out = Multimodal.resizeStub(b, 48)
+      assert(out.length == math.min(b.length, 48))
+      assert(out.sameElements(Multimodal.resizeStub(b, 48)))
+      if (b.length <= 48) assert(out.sameElements(b))
+    }
+  }
+
   test("S3: chunk-dump text sink writes the golden format to disk") {
     val tmp = java.nio.file.Files.createTempDirectory("dump").toString + "/out"
     val docs = Seq((1, "first paragraph here\n\nsecond paragraph text")).toDF("page", "text")
