@@ -104,6 +104,20 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("vec_id"), col("embedding"),
+          VectorOps.quantizeInt8(col("embedding")).as("codes"),
+          VectorOps.quantScale(col("embedding")).as("scale"))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          array_max(col("codes")).cast("long").as("max_code"),
+          array_min(col("codes")).cast("long").as("min_code"),
+          round(VectorOps.cosine(col("embedding"),
+            VectorOps.dequantizeInt8(col("codes"), col("scale"))), 6).as("cos_recon"))
+        .orderBy(col("vec_id"))
+    }),
     "sim_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.ivfTrainedTopK(
@@ -277,6 +291,26 @@ object SparkEntryExt {
          |  QUALIFY rank <= 3)
          |SELECT query_id, rank, point_id, round(score, 6) AS score
          |FROM s ORDER BY query_id, rank""".stripMargin,
+    "v_quantize" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+         |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b)),
+         |q AS (
+         |  SELECT vec_id, v, scale,
+         |    list_transform(v, x -> CAST(round(x / scale) AS INT)) AS codes
+         |  FROM sc),
+         |d AS (
+         |  SELECT vec_id, v, scale, codes,
+         |    list_transform(codes, c -> c::DOUBLE * scale) AS dq
+         |  FROM q)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  CAST(list_max(codes) AS BIGINT) AS max_code,
+         |  CAST(list_min(codes) AS BIGINT) AS min_code,
+         |  round(${sqlCos("v", "dq")}, 6) AS cos_recon
+         |FROM d ORDER BY vec_id""".stripMargin,
     "sim_ivf_trained" -> {
       // Unrolled deterministic k-means (2 Lloyd iterations, centroids
       // rounded to 6 dp each update) + multi-probe IVF search —

@@ -83,6 +83,30 @@ object VectorOps {
     when(denom === 0.0d, lit(0.0d)).otherwise(dotHof(a, b) / denom)
   }
 
+  /** Symmetric int8 scalar quantization: q[i] = round(x[i] / s) with
+    * s = max|x| / 127 (zero vector → all-zero codes). 4× storage saving
+    * for embedding tables — at 100 TB the vector column dominates the
+    * corpus footprint, and int8 is the standard storage/serving format
+    * (a coarse-search pass over int8 + exact re-rank over float is the
+    * production shape). Pure expressions: the scale is a per-row
+    * aggregate, codes are a transform — no UDF, oracle-expressible.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val amax = array_max(transform(toDoubleArray(v), x => abs(x)))
+    val scale = when(amax === 0.0d, lit(1.0d)).otherwise(amax / 127.0d)
+    transform(toDoubleArray(v), x => round(x / scale).cast("int"))
+  }
+
+  /** Per-row quantization scale (needed to dequantize). */
+  def quantScale(v: Column): Column = {
+    val amax = array_max(transform(toDoubleArray(v), x => abs(x)))
+    when(amax === 0.0d, lit(1.0d)).otherwise(amax / 127.0d)
+  }
+
+  /** Dequantize int8 codes back to doubles given the stored scale. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Deterministic hash featurizer — the engine's stand-in for the
     * SentenceTransformer encode boundary (`Qdrant/main.py:95,104`; model
     * inference is out-of-engine per SURVEY §2.3 V2). Bag-of-words hashed

@@ -123,6 +123,25 @@ class PropertySpec extends SparkSpec {
     topSelf.foreach { case (q, p) => assert(q == p, s"query $q missed itself (got $p)") }
   }
 
+  test("property: int8 quantization codes bounded ±127, round-trip cosine ≈ 1") {
+    val vecs = samples(vecGen.map(_.padTo(8, 0.5f)), 40) :+ Array.fill(8)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val rows = df.select(
+        col("vec_id"),
+        VectorOps.quantizeInt8(col("v")).as("codes"),
+        VectorOps.cosine(col("v"),
+          VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("v")),
+            VectorOps.quantScale(col("v")))).as("recon"),
+        VectorOps.l2Norm(col("v")).as("norm"))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of range: $codes")
+      if (r.getDouble(3) == 0.0) assert(r.getDouble(2) == 0.0) // zero vec: guard, all-zero codes
+      else assert(r.getDouble(2) > 0.999, s"reconstruction cosine ${r.getDouble(2)}")
+    }
+  }
+
   test("property: resize never grows media, bounded by target, deterministic") {
     val byteGen = Gen.chooseNum(0, 300).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
