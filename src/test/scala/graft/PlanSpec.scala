@@ -74,6 +74,27 @@ class PlanSpec extends SparkSpec {
       s"IVF degenerated to a cartesian scoring pass:\n$plan")
   }
 
+  test("partitioned layout: a partition-key filter prunes directories, not rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Tables.documents(spark, sf0001)
+      .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    val all = spark.read.parquet(tmp)
+    val one = all.filter(col("lang") === "en").select(col("doc_id"), col("text"))
+    val plan = formatted(one)
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not become a partition filter:\n$plan")
+    def partitionsScanned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    val pruned = partitionsScanned(one)
+    val total = partitionsScanned(all.select(col("doc_id"), col("text"), col("lang")))
+    assert(pruned > 0 && pruned < total,
+      s"partition pruning should skip non-matching directories ($pruned of $total scanned)")
+    assert(one.count() == all.filter(col("lang") === "en").count())
+  }
+
   test("star-schema join keeps small dimensions broadcast") {
     val plan = formatted(Relational.revenueCube(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"),
