@@ -119,6 +119,20 @@ class OpsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == ev.count())
   }
 
+  test("json-lines and orc sources round-trip the document schema") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+      .select("doc_id", "text", "lang", "source")
+    val expect = docs.collect().map(_.toSeq).toSet
+    val jdir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/out"
+    docs.write.json(jdir)
+    val backJson = spark.read.json(jdir).select("doc_id", "text", "lang", "source")
+    assert(backJson.collect().map(_.toSeq).toSet == expect)
+    val odir = java.nio.file.Files.createTempDirectory("orc").toString + "/out"
+    docs.write.orc(odir)
+    val backOrc = spark.read.orc(odir).select("doc_id", "text", "lang", "source")
+    assert(backOrc.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("binaryFile source: raw bytes + metadata, extraction as a column op (S1)") {
     val dir = java.nio.file.Files.createTempDirectory("binsrc")
     val contents = Seq("doc one: สัญญา", "doc two: มาตรา 113")
