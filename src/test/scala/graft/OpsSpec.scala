@@ -119,6 +119,12 @@ class OpsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == ev.count())
   }
 
+  test("catalog list surfaces registered collections (S8)") {
+    Tables.documents(spark, sf0001).createOrReplaceTempView("s8_documents")
+    val names = spark.catalog.listTables().collect().map(_.name)
+    assert(names.contains("s8_documents"))
+  }
+
   test("json-lines and orc sources round-trip the document schema") {
     val docs = Tables.documents(spark, sf0001).limit(30)
       .select("doc_id", "text", "lang", "source")
