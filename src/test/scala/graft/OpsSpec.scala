@@ -119,6 +119,22 @@ class OpsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == ev.count())
   }
 
+  test("compact: many small appended files collapse to few sorted ones, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // simulate micro-batch appends: 10 batches → many small files
+    (0 until 10).foreach { i =>
+      Store.append(docs.filter(col("doc_id") % 10 === i).repartition(4), dir)
+    }
+    def nFiles = spark.read.parquet(dir).inputFiles.length
+    val before = nFiles
+    val expect = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    Store.compact(spark, dir, "doc_id", rowsPerFile = 50)
+    assert(nFiles < before, s"compaction did not reduce file count ($before -> $nFiles)")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == expect,
+      "compaction must not change table contents")
+  }
+
   test("catalog list surfaces registered collections (S8)") {
     Tables.documents(spark, sf0001).createOrReplaceTempView("s8_documents")
     val names = spark.catalog.listTables().collect().map(_.name)
