@@ -186,7 +186,8 @@ object SparkEntryExt {
           .as("geo_mean_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
-    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -602,8 +603,22 @@ object SparkEntryExt {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
     // q_approx_distinct intentionally has no oracle: HLL sketch values
-    // are engine-specific (driver records the weaker rows-only check)
+    // are engine-specific (driver records the weaker rows-only check).
+    // q_kmv_distinct is the deterministic sketch that IS checkable:
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${h32Sql("user_id::VARCHAR")} AS h
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, list_sort(list(h)) AS hs, count(*) AS nd
+         |  FROM h GROUP BY event_type)
+         |SELECT event_type, nd AS exact_distinct_hashes,
+         |  round(CASE WHEN nd < 64 THEN nd::DOUBLE
+         |    ELSE 63.0 * 4294967296.0 / hs[64] END, 4) AS kmv_estimate
+         |FROM g
+         |ORDER BY event_type""".stripMargin
   )
 }

@@ -308,6 +308,33 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — unlike HLL
+    * (engine-specific registers, rows-only checkable), KMV over the
+    * portable md5-based hash is DETERMINISTIC and reproducible across
+    * engines, so the sketch VALUES hash-match the DuckDB oracle.
+    * Estimator: with fewer than k distinct hashes the set is exact;
+    * otherwise n̂ = (k−1)·2³² / h₍ₖ₎ where h₍ₖ₎ is the k-th smallest
+    * hash. Mergeable the same way HLL is (union of min-sets → re-take k
+    * smallest), and the group-by collects at most k values per group —
+    * bounded state at any cardinality.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), Dedup.h32(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(
+        slice(sort_array(collect_set(col("h"))), 1, k).as("mins"),
+        countDistinct(col("h")).as("nd"))
+      .select(
+        col("event_type"),
+        col("nd").as("exact_distinct_hashes"),
+        round(
+          when(col("nd") < k, col("nd").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("mins"), k).cast("double")), 4).as("kmv_estimate"))
+      .orderBy(col("event_type"))
+
   /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
     * per order-priority — the "wide agg" shape.
     */
