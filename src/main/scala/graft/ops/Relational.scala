@@ -315,8 +315,13 @@ object Relational {
     * Estimator: with fewer than k distinct hashes the set is exact;
     * otherwise n̂ = (k−1)·2³² / h₍ₖ₎ where h₍ₖ₎ is the k-th smallest
     * hash. Mergeable the same way HLL is (union of min-sets → re-take k
-    * smallest), and the group-by collects at most k values per group —
-    * bounded state at any cardinality.
+    * smallest). The k-min set comes from [[graft.functions.KmvMinsAgg]],
+    * a TypedImperativeAggregate whose buffer holds AT MOST k longs per
+    * group regardless of cardinality (the declarative
+    * `slice(sort_array(collect_set), 1, k)` is value-identical but its
+    * state is O(cardinality) — it collects everything before slicing).
+    * The exact countDistinct column is kept for comparison; it is the
+    * thing the sketch replaces at scale.
     */
   def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
     Tables.events(spark, sfDir)
@@ -324,7 +329,7 @@ object Relational {
       .distinct()
       .groupBy(col("event_type"))
       .agg(
-        slice(sort_array(collect_set(col("h"))), 1, k).as("mins"),
+        graft.functions.KmvMinsAgg.kmvMins(col("h"), k).as("mins"),
         countDistinct(col("h")).as("nd"))
       .select(
         col("event_type"),

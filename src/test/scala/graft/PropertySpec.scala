@@ -123,6 +123,21 @@ class PropertySpec extends SparkSpec {
     topSelf.foreach { case (q, p) => assert(q == p, s"query $q missed itself (got $p)") }
   }
 
+  test("property: bounded KMV aggregate equals the unbounded declarative k-min set") {
+    val vals = samples(Gen.chooseNum(0L, 1L << 32), 500)
+    val df = vals.zipWithIndex.map { case (h, i) => (i % 3, h) }.toDF("g", "h")
+    val k = 16
+    val custom = df.groupBy(col("g"))
+      .agg(graft.functions.KmvMinsAgg.kmvMins(col("h"), k).as("mins"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val declarative = df.groupBy(col("g"))
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("mins"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(custom == declarative,
+      "O(k)-state TypedImperativeAggregate must be value-identical to collect_set+slice")
+    custom.values.foreach(m => assert(m.length <= k && m == m.sorted))
+  }
+
   test("property: int8 quantization codes bounded ±127, round-trip cosine ≈ 1") {
     val vecs = samples(vecGen.map(_.padTo(8, 0.5f)), 40) :+ Array.fill(8)(0.0f)
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
