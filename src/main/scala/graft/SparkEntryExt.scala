@@ -187,7 +187,13 @@ object SparkEntryExt {
         .orderBy(col("o_orderpriority"))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
-    "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d))
+    "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d)),
+    "q_sample_mix" -> ((s, d) =>
+      TextAnalysis.hashSampleMix(Tables.documents(s, d), "doc_id", "lang",
+          rates = Map("en" -> 80, "zh" -> 30), defaultRate = 50)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"), col("split")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -619,6 +625,18 @@ object SparkEntryExt {
          |  round(CASE WHEN nd < 64 THEN nd::DOUBLE
          |    ELSE 63.0 * 4294967296.0 / hs[64] END, 4) AS kmv_estimate
          |FROM g
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+    "q_sample_mix" ->
+      s"""WITH s AS (
+         |  SELECT lang, n_chars,
+         |    ${h32Sql("doc_id::VARCHAR")} % 100 AS h,
+         |    CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 30 ELSE 50 END AS rate
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN h % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+         |FROM s WHERE h < rate
+         |GROUP BY 1, 2
+         |ORDER BY lang, split""".stripMargin
   )
 }

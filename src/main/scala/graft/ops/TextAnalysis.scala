@@ -121,4 +121,29 @@ object TextAnalysis {
         tokens(col(textCol)),
         lit(0L),
         (acc, t) => pmod(acc * 31 + h32(t), lit(1000000007L))).as("fingerprint"))
+
+  /** Deterministic hash sampling + dataset mixing + split assignment —
+    * the reproducible way to subsample/mix a training corpus. Membership
+    * depends ONLY on the row id (h = portable-hash(id) mod 100), never
+    * on `rand()`, partitioning, or execution order: reruns, retries, and
+    * scale-ups select the SAME rows, different strata get different
+    * per-stratum percentage `rates` (data mixing), and the train/val
+    * split is carved from the same hash (h mod 10 < 8 → train) so a row
+    * can never migrate between splits across runs. Narrow (filter +
+    * projection) — at 100 TB this is a scan-stage predicate with zero
+    * shuffle, and adding a new stratum rate re-selects supersets/subsets
+    * of the previous sample rather than reshuffling membership.
+    */
+  def hashSampleMix(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val h = pmod(h32(col(idCol).cast("string")), lit(100L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("__h", h)
+      .filter(col("__h") < rate)
+      .withColumn("split",
+        when(pmod(col("__h"), lit(10L)) < 8, lit("train")).otherwise(lit("val")))
+  }
 }

@@ -135,6 +135,22 @@ class OpsSpec extends SparkSpec {
       "compaction must not change table contents")
   }
 
+  test("hash sampling: identical selection across partitionings; rates honored; splits disjoint") {
+    val docs = Tables.documents(spark, sf0001)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hashSampleMix(df, "doc_id", "lang", Map("en" -> 80), 50)
+        .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = ids(docs)
+    assert(a == ids(docs.repartition(13)), "membership must not depend on partitioning")
+    assert(a.nonEmpty && a.size < docs.count())
+    // a row appears in exactly one split
+    assert(a.groupBy(_._1).forall(_._2.size == 1))
+    // raising a rate only ADDS rows (stable supersets — the ablation property)
+    val wider = TextAnalysis.hashSampleMix(docs, "doc_id", "lang", Map("en" -> 90), 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1).subsetOf(wider))
+  }
+
   test("catalog list surfaces registered collections (S8)") {
     Tables.documents(spark, sf0001).createOrReplaceTempView("s8_documents")
     val names = spark.catalog.listTables().collect().map(_.name)
