@@ -110,6 +110,52 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Continuous vector-index maintenance: the reference's ingestion
+    * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
+    * new documents arriving in `inputDir` are chunked, hash-embedded,
+    * and upserted by chunk key into the parquet point store. The
+    * transform chain is the SAME lazy plan the batch path uses
+    * (Chunker.chunk → VectorOps.embedTextDistributed); `foreachBatch`
+    * applies [[graft.ops.Store.upsert]] per micro-batch, so re-ingested
+    * doc versions REPLACE their old chunks (insert-or-replace by id —
+    * Qdrant upsert semantics, `Database.py:16-20`) rather than append.
+    * At 100 TB/day this is the index-build path: each micro-batch
+    * shuffles only its own chunk keys against the store.
+    */
+  def indexStream(spark: SparkSession, inputDir: String, storeDir: String,
+      dim: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.readStream.schema(docSchema).parquet(inputDir)
+    // chunk+embed run as BATCH logic per micro-batch inside foreachBatch
+    // (literally the batch pipeline's code path): the featurizer's
+    // group-bys would otherwise be chained stateful streaming
+    // aggregations — unbounded state and a watermark-correctness trap
+    // for a computation that is per-document pure anyway.
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val chunks = graft.ops.Chunker
+          .chunk(batch, Seq("doc_id"), separator = " the ", minLen = 20)
+          .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
+        val points = graft.ops.VectorOps.embedTextDistributed(
+          chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
+        val merged =
+          if (new java.io.File(storeDir).exists()) {
+            val base = spark.read.parquet(storeDir)
+            graft.ops.Store.upsert(base, points, "chunk_id")
+          } else points
+        // write via temp + swap: overwriting the store in place would
+        // delete the upsert's own input mid-read
+        val tmp = storeDir.stripSuffix("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+  }
+
   /** Drive the streaming plan over a parquet directory with a memory
     * sink, synchronously (for tests / local smoke): returns the final
     * materialized result table.

@@ -106,6 +106,29 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming index build: chunks embedded + upserted; re-ingest replaces, not appends") {
+    val in = java.nio.file.Files.createTempDirectory("ixin").toString
+    val store = java.nio.file.Files.createTempDirectory("ixstore").toString + "/points"
+    val docs = Tables.documents(spark, sf0001).limit(20)
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("append").parquet(in)
+    val q = EventStream.indexStream(spark, in, store, dim = 8)
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.read.parquet(store)
+      val expected = graft.ops.VectorOps.embedTextDistributed(
+        Chunker.chunk(docs, Seq("doc_id"), separator = " the ", minLen = 20)
+          .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index")),
+        Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", 8)
+      assert(afterFirst.count() == expected.count(), "stream must match the batch pipeline")
+      // re-ingest the same docs: upsert semantics → same cardinality
+      docs.write.mode("append").parquet(in)
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() == expected.count(),
+        "re-ingesting a doc must replace its chunks, not append duplicates")
+    } finally q.stop()
+  }
+
   test("streaming: watermarked dedup collapses at-least-once redelivery to the distinct set") {
     val tmp = java.nio.file.Files.createTempDirectory("evdedup").toString
     val ev = Tables.events(spark, sf0001)
