@@ -35,5 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |A∩B| of two sorted BIGINT arrays"),
       (args: Seq[Expression]) => VectorExpressions.SortedIntersectSizeExpr(args(0), args(1))))
+    // Aggregates register through the same hook — the analyzer wraps a
+    // returned AggregateFunction in its AggregateExpression. k must be
+    // a literal (it sizes the buffer at plan time).
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_mins"),
+      info("graft_kmv_mins",
+        "graft_kmv_mins(h, k) - k smallest distinct BIGINTs, O(k)-state sketch aggregate"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_mins k must be an INT literal, got $other")
+        }
+        KmvMinsAgg(args.head, k)
+      }))
   }
 }

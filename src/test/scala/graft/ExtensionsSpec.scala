@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c")
         .first().getDouble(0) == 0.0)
+      // the custom AGGREGATE registers through the same hook
+      val mins = s.sql(
+        """SELECT graft_kmv_mins(h, 3) AS mins FROM
+          |  (SELECT explode(array(9L, 4L, 7L, 1L, 8L, 4L)) AS h)""".stripMargin)
+        .first().getSeq[Long](0)
+      assert(mins == Seq(1L, 4L, 7L), s"got $mins")
+      val grouped = s.sql(
+        """SELECT g, graft_kmv_mins(h, 2) AS mins FROM
+          |  (SELECT pmod(id, 2) AS g, id * 10 AS h FROM range(10))
+          |GROUP BY g ORDER BY g""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(grouped(0L) == Seq(0L, 20L) && grouped(1L) == Seq(10L, 30L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
