@@ -174,6 +174,12 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_._1).subsetOf(wider))
   }
 
+  test("missing input path raises AnalysisException (S2 missing-file guard)") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.documents(spark, "/nonexistent-graft-path").count()
+    }
+  }
+
   test("catalog list surfaces registered collections (S8)") {
     Tables.documents(spark, sf0001).createOrReplaceTempView("s8_documents")
     val names = spark.catalog.listTables().collect().map(_.name)
