@@ -44,9 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmv_mins(h, k) - k smallest distinct BIGINTs, O(k)-state sketch aggregate"),
       (args: Seq[Expression]) => {
         val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
           case other => throw new IllegalArgumentException(
-            s"graft_kmv_mins k must be an INT literal, got $other")
+            s"graft_kmv_mins k must be a positive INT literal, got $other")
         }
         KmvMinsAgg(args.head, k)
       }))

@@ -43,10 +43,21 @@ case class KmvMinsAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
 
+  require(k >= 1, s"graft_kmv_mins k must be >= 1, got $k")
+
   override def prettyName: String = "graft_kmv_mins"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time type contract: without it a non-BIGINT input would
+  // pass analysis and ClassCastException inside executors
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a BIGINT input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 

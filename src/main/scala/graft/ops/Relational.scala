@@ -324,9 +324,12 @@ object Relational {
     * thing the sketch replaces at scale.
     */
   def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
+    // no pre-aggregation .distinct(): both consumers dedup already
+    // (countDistinct by contract, the KMV TreeSet by construction), and
+    // a distinct here would be an extra O(cardinality)-state shuffle —
+    // exactly what the sketch exists to avoid
     Tables.events(spark, sfDir)
       .select(col("event_type"), Dedup.h32(col("user_id").cast("string")).as("h"))
-      .distinct()
       .groupBy(col("event_type"))
       .agg(
         graft.functions.KmvMinsAgg.kmvMins(col("h"), k).as("mins"),

@@ -44,12 +44,26 @@ object Store {
     df.repartitionByRange(files, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(tmp)
-    // two-step swap: parquet overwrite of the SOURCE path would delete
-    // the input out from under its own scan
-    val back = spark.read.parquet(tmp)
-    back.write.mode("overwrite").parquet(path)
+    // swap via RENAME, not a second write: re-writing tmp would re-scan
+    // it with size-ordered bin-packing and destroy the range-partitioned
+    // sorted layout (overlapping min/max footers, arbitrary file count)
+    // that this function exists to produce — and write the data twice.
+    swapDirs(spark, tmp, path)
+  }
+
+  /** Replace `destPath` with `srcPath` by delete+rename (both on the
+    * same FileSystem). Not atomic across the two calls — callers that
+    * need crash-safety should version directories instead — but it
+    * never rewrites data and never leaves the staging dir behind.
+    */
+  def swapDirs(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    fs.delete(dest, true)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"rename $srcPath -> $destPath failed")
   }
 }

@@ -91,11 +91,22 @@ object VectorOps {
     * production shape). Pure expressions: the scale is a per-row
     * aggregate, codes are a transform — no UDF, oracle-expressible.
     */
-  def quantizeInt8(v: Column): Column = {
-    val amax = array_max(transform(toDoubleArray(v), x => abs(x)))
-    val scale = when(amax === 0.0d, lit(1.0d)).otherwise(amax / 127.0d)
-    transform(toDoubleArray(v), x => round(x / scale).cast("int"))
-  }
+  def quantizeInt8(v: Column): Column =
+    // let-binding via single-element struct (same pattern as
+    // l2Normalize): an inlined `x / scale` lambda would re-evaluate the
+    // O(dim) array_max once per ELEMENT — O(dim²) per row
+    flatten(transform(
+      array(struct(toDoubleArray(v).as("d"))),
+      s =>
+        flatten(transform(
+          array(struct(
+            s.getField("d").as("d"),
+            array_max(transform(s.getField("d"), x => abs(x))).as("amax"))),
+          t => {
+            val amax = t.getField("amax")
+            val scale = when(amax === 0.0d, lit(1.0d)).otherwise(amax / 127.0d)
+            transform(t.getField("d"), x => round(x / scale).cast("int"))
+          }))))
 
   /** Per-row quantization scale (needed to dequantize). */
   def quantScale(v: Column): Column = {

@@ -142,16 +142,25 @@ object EventStream {
           .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
         val points = graft.ops.VectorOps.embedTextDistributed(
           chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(storeDir).exists()) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(storeDir))) {
+            // replace by DOC, not by chunk key: a re-ingested doc that
+            // now chunks into FEWER pieces must drop its old tail
+            // chunks too, or deleted text keeps matching kNN queries
             val base = spark.read.parquet(storeDir)
-            graft.ops.Store.upsert(base, points, "chunk_id")
+            base.join(points.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              .unionByName(points)
           } else points
-        // write via temp + swap: overwriting the store in place would
-        // delete the upsert's own input mid-read
+        // stage + rename (no second data write; staging never leaks).
+        // delete+rename is not atomic — a production deployment
+        // versions store directories or uses a table format with
+        // atomic commit; this is the single-writer micro-batch path.
         val tmp = storeDir.stripSuffix("/") + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
+        graft.ops.Store.swapDirs(spark, tmp, storeDir)
       }
       .start()
   }

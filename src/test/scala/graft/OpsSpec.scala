@@ -126,6 +126,15 @@ class OpsSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(store).count() == expected.count(),
         "re-ingesting a doc must replace its chunks, not append duplicates")
+      // re-ingest SHRUNK versions: docs now chunk into exactly one piece
+      // each — their old tail chunks must disappear from the store
+      docs.select(col("doc_id"), lit("replacement text, single chunk").as("text"))
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val perDoc = spark.read.parquet(store)
+        .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.values.forall(_ == 1L),
+        s"shrunk docs must drop their stale tail chunks, got $perDoc")
     } finally q.stop()
   }
 
@@ -152,8 +161,12 @@ class OpsSpec extends SparkSpec {
     def nFiles = spark.read.parquet(dir).inputFiles.length
     val before = nFiles
     val expect = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val nRows = expect.size
     Store.compact(spark, dir, "doc_id", rowsPerFile = 50)
-    assert(nFiles < before, s"compaction did not reduce file count ($before -> $nFiles)")
+    val want = math.max(1, math.ceil(nRows / 50.0).toInt)
+    assert(nFiles == want,
+      s"rename-swap must preserve the range-partitioned layout exactly " +
+        s"($before files -> $nFiles, wanted $want)")
     assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == expect,
       "compaction must not change table contents")
   }
