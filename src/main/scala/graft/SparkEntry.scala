@@ -92,7 +92,27 @@ object SparkEntry {
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
     "rag_flagship" -> ((s, d) => Rag.flagship(s, d)),
     "eval_per_row" -> ((s, d) => Eval.evalPerRow(s, d)),
-    "eval_macro" -> ((s, d) => Eval.evalMacro(s, d))
+    "eval_macro" -> ((s, d) => Eval.evalMacro(s, d)),
+    // §3.2 + §3.3 chained end-to-end IN ONE CHECKED QUERY: retrieval
+    // (kNN) → rank-ordered prediction text (retrieval-only L2 ceiling)
+    // → Recall@5 / MRR@5 against a stand-in gold (the query document's
+    // own digit-runs — the `answers`-column role).
+    "rag_eval" -> ((s, d) => {
+      val hits = Rag.hits(s, d, nQueries = 5, k = 5)
+      val predText = hits.groupBy(col("query_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rank"), trim(coalesce(col("text"), lit(""))).as("t")))),
+            x => x.getField("t")),
+          " ").as("predicted"))
+      val gold = Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("answers"))
+      Eval.withMetrics(gold.join(predText, "query_id"), "answers", "predicted", 5)
+        .select(col("query_id"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("mrr_at_k"), 6).as("mrr_at_k"))
+        .orderBy(col("query_id"))
+    })
   ) ++ SparkEntryExt.queries
 
   // Shared oracle CTE for the RAG hit set (mirrors Rag.hits exactly).
@@ -308,6 +328,25 @@ object SparkEntry {
         |  FROM m)
         |SELECT round(coalesce(avg(recall_at_k), 0.0), 6) AS avg_recall_at_k,
         |  round(coalesce(avg(mrr_at_k), 0.0), 6) AS avg_mrr_at_k
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "rag_eval" ->
+      s"""$ragHitsCte,
+         |predtext AS (
+         |  SELECT query_id, string_agg(t, ' ' ORDER BY rank) AS predicted
+         |  FROM hits GROUP BY query_id),
+         |gold AS (
+         |  SELECT doc_id AS query_id, text AS answers FROM documents WHERE doc_id < 5),
+         |m AS (
+         |  SELECT g.query_id,
+         |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
+         |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+         |  FROM gold g JOIN predtext p ON g.query_id = p.query_id)
+         |SELECT query_id,
+         |  round(CASE WHEN len(gold) = 0 THEN 0.0
+         |    ELSE len(list_intersect(gold, predk))::DOUBLE / len(gold) END, 6) AS recall_at_k,
+         |  round(coalesce(1.0 / list_position(
+         |    list_transform(predk, x -> list_contains(gold, x)), true), 0.0), 6) AS mrr_at_k
+         |FROM m
+         |ORDER BY query_id""".stripMargin
   ) ++ SparkEntryExt.oracleSql
 }
