@@ -26,12 +26,20 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Consume via the noop sink, not count(): under count() Catalyst
+      // prunes unreferenced projections and drops final sorts, so a
+      // projection-heavy query (vector scoring, string galleries) would
+      // be timed as little more than its scan. noop evaluates every
+      // output column of every row and writes nothing.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Iterative ops persist intermediates; drop them so no query is
       // timed against another query's lingering cache blocks.
       spark.catalog.clearCache()
-      name -> dt
+      // a failed query reports -1, never a success-shaped fast time
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

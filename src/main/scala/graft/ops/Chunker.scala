@@ -34,7 +34,11 @@ object Chunker {
       joinParagraphs: Boolean = true): DataFrame = {
     val paras: Column =
       if (joinParagraphs)
-        filter(transform(split(col(textCol), separator), trim(_)), p => length(p) > 0)
+        // quote the separator: split() takes a REGEX, but the operator's
+        // contract (and the reference's str.split) is a literal string —
+        // an unquoted "." or "(" separator would mis-split or throw
+        filter(transform(split(col(textCol), java.util.regex.Pattern.quote(separator)),
+          trim(_)), p => length(p) > 0)
       else
         filter(array(trim(col(textCol))), p => length(p) > 0)
     docs

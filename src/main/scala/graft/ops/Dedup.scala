@@ -90,6 +90,9 @@ object Dedup {
     * band's `rowsPerBand` signature values.
     */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into bands of $rowsPerBand — " +
+        "trailing signature values would be silently ignored")
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val key = concat_ws(",",
@@ -233,9 +236,20 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
-      labels = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      val next = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
+      // materialize eagerly so the superseded round's cache can be
+      // RELEASED now — without this, every round's table stays pinned
+      // for the session's lifetime (the leak grows per invocation)
+      next.count()
+      labels.unpersist() // no-op on round 1's unpersisted init projection
+      labels = next
     }
+    // all rounds are materialized — the edge cache has served its purpose
+    edges.unpersist()
+    // the final label table stays cached for the caller's action(s);
+    // it is the operator's (small, one-per-call) result, not a leak of
+    // intermediate lineage
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -107,17 +107,21 @@ object Rag {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("r"), col("tok").as("t")))), s => s.getField("t")),
         " ").as("predicted"))
-    // L1 prompt projection with the reference's empty-context fallback
+    // L1 prompt projection with the reference's empty-context fallback.
+    // The QUERY side drives the join (left to ctx/predicted): a query
+    // with no retrievable context must still appear, carrying the
+    // '(ไม่พบบริบท)' fallback prompt — an inner join on ctx would
+    // silently drop it and the fallback branch could never fire.
     val q = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("text").as("question"))
-    ctx.join(predicted, Seq("query_id"), "left")
-      .join(q, "query_id")
+    q.join(ctx, Seq("query_id"), "left")
+      .join(predicted, Seq("query_id"), "left")
       .select(
         col("query_id"),
-        col("context"),
-        col("context_text_chars"),
+        coalesce(col("context"), lit("")).as("context"),
+        coalesce(col("context_text_chars"), lit(0L)).as("context_text_chars"),
         coalesce(col("predicted"), lit("")).as("predicted"),
-        ContextAssembly.prompt(col("context"), col("question"),
+        ContextAssembly.prompt(coalesce(col("context"), lit("")), col("question"),
           "คุณเป็นผู้ช่วยกฎหมาย จงตอบโดยอ้างอิงมาตราที่เกี่ยวข้อง").as("prompt"))
       .orderBy(col("query_id"))
   }

@@ -109,9 +109,12 @@ object Relational {
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // microsecond precision, matching the oracle's epoch_us comparison:
+    // cast-to-long truncates to SECONDS, so a true gap of 1800.4 s
+    // compares as 1800 and silently joins two sessions the oracle splits
     val newSession = when(
-      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long") > 1800, lit(1L))
-      .otherwise(lit(0L))
+      unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L,
+      lit(1L)).otherwise(lit(0L))
     Tables.events(spark, sfDir)
       .withColumn("session_id", sum(newSession).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -257,7 +260,7 @@ object Relational {
     * the plain group-by (that is the oracle), plan survives a hot key.
     */
   def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Skew.saltedSumCount(Tables.events(spark, sfDir), "user_id", "value", 8)
+    Skew.saltedSumCount(Tables.events(spark, sfDir), "user_id", "value", "event_id", 8)
       .orderBy(col("user_id"))
 
   /** CUBE over (region, priority): all 4 grouping combinations in one

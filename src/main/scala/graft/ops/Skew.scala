@@ -24,8 +24,13 @@ object Skew {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
+      saltSourceCol: String,
       saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(col(valueCol)), lit(saltBuckets)))
+    // salt from a ROW-UNIQUE column, never from the aggregated value: a
+    // hot key whose rows share one value (constant error pings) would
+    // hash every row into the same salt bucket and recreate the
+    // straggler the salt exists to break up
+    val salted = df.withColumn("__salt", pmod(hash(col(saltSourceCol)), lit(saltBuckets)))
     salted
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

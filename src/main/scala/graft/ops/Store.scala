@@ -58,10 +58,12 @@ object Store {
     */
   def swapDirs(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, destPath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val dest = new org.apache.hadoop.fs.Path(destPath)
+    // resolve the FS from the PATH, not the default FS: with the store
+    // on s3a:// or hdfs:// and fs.defaultFS elsewhere, FileSystem.get
+    // would operate on the wrong filesystem or throw "Wrong FS"
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dest, true)
     if (!fs.rename(src, dest))
       throw new java.io.IOException(s"rename $srcPath -> $destPath failed")

@@ -175,8 +175,13 @@ object VectorOps {
       portableHash: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val ids = idCols.map(col)
+    // single-space split + drop-empties, matching the DuckDB oracle's
+    // string_split(trim(...), ' ') + non-empty filter exactly: the old
+    // \s+ regex produced a [''] token for whitespace-only text (spurious
+    // embedding row) and split on tabs/newlines the oracle keeps intact
     val toks = df.select(
-      ids :+ explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"): _*)
+      ids :+ explode(filter(split(trim(lower(col(textCol))), " "), t => t =!= ""))
+        .as("__tok"): _*)
     val bucket =
       if (portableHash) pmod(Dedup.h32(col("__tok")), lit(dim.toLong)).cast("int")
       else pmod(hash(col("__tok")), lit(dim))

@@ -142,10 +142,11 @@ object EventStream {
           .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
         val points = graft.ops.VectorOps.embedTextDistributed(
           chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        // FS from the path, not the default FS (object-store stores)
+        val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storeDir))) {
+          if (fs.exists(storePath)) {
             // replace by DOC, not by chunk key: a re-ingested doc that
             // now chunks into FEWER pieces must drop its old tail
             // chunks too, or deleted text keeps matching kNN queries
