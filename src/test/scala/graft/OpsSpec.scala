@@ -187,6 +187,33 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_._1).subsetOf(wider))
   }
 
+  test("chunker: separator with regex metacharacters splits literally") {
+    val docs = Seq((1L, "alpha beta gamma. delta epsilon zeta. eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // '.' as separator: an unquoted regex would split on EVERY character
+    val chunks = Chunker.chunk(docs, Seq("doc_id"), separator = ". ", minLen = 5)
+      .select("chunk_text").collect().map(_.getString(0))
+    assert(chunks.toSeq == Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota kappa"))
+  }
+
+  test("sessionize: fractional-second gap just over 30 min splits the session") {
+    val dir = java.nio.file.Files.createTempDirectory("sessfrac").toString
+    // gap = 1800.4 s: second-truncated arithmetic sees 1800 (same
+    // session, wrong); microsecond arithmetic sees 1800400000 (split)
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.5"), 7L, "view", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.9"), 7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      // store ts as LONG nanoseconds, the harness events.parquet shape
+      // (Tables.events converts it back to TIMESTAMP via ns div 1000)
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val got = Relational.sessionize(spark, dir)
+      .select("user_id", "session_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).distinct.length == 2,
+      s"1800.4 s gap must start a new session, got $got")
+  }
+
   test("missing input path raises AnalysisException (S2 missing-file guard)") {
     intercept[org.apache.spark.sql.AnalysisException] {
       Tables.documents(spark, "/nonexistent-graft-path").count()
