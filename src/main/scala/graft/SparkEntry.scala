@@ -295,8 +295,8 @@ object SparkEntry {
         |  FROM events GROUP BY user_id),
         |m AS (
         |  SELECT g.user_id,
-        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
-        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '\p{Nd}+')) AS gold,
+        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '\p{Nd}+'), 1, 5) AS predk
         |  FROM g JOIN p ON g.user_id = p.user_id)
         |SELECT user_id,
         |  round(CASE WHEN len(gold) = 0 THEN 0.0
@@ -316,8 +316,8 @@ object SparkEntry {
         |  FROM events GROUP BY user_id),
         |m AS (
         |  SELECT g.user_id,
-        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
-        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+        |    list_distinct(regexp_extract_all(coalesce(answers, ''), '\p{Nd}+')) AS gold,
+        |    list_slice(regexp_extract_all(coalesce(predicted, ''), '\p{Nd}+'), 1, 5) AS predk
         |  FROM g JOIN p ON g.user_id = p.user_id),
         |r AS (
         |  SELECT
@@ -338,8 +338,8 @@ object SparkEntry {
          |  SELECT doc_id AS query_id, text AS answers FROM documents WHERE doc_id < 5),
          |m AS (
          |  SELECT g.query_id,
-         |    list_distinct(regexp_extract_all(coalesce(answers, ''), '[0-9]+')) AS gold,
-         |    list_slice(regexp_extract_all(coalesce(predicted, ''), '[0-9]+'), 1, 5) AS predk
+         |    list_distinct(regexp_extract_all(coalesce(answers, ''), '\\p{Nd}+')) AS gold,
+         |    list_slice(regexp_extract_all(coalesce(predicted, ''), '\\p{Nd}+'), 1, 5) AS predk
          |  FROM gold g JOIN predtext p ON g.query_id = p.query_id)
          |SELECT query_id,
          |  round(CASE WHEN len(gold) = 0 THEN 0.0

@@ -188,6 +188,7 @@ object SparkEntryExt {
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d)),
+    "q_kmv_sketch" -> ((s, d) => Relational.kmvDistinctSketchOnly(s, d)),
     "q_sample_mix" -> ((s, d) =>
       TextAnalysis.hashSampleMix(Tables.documents(s, d), "doc_id", "lang",
           rates = Map("en" -> 80, "zh" -> 30), defaultRate = 50)
@@ -337,7 +338,7 @@ object SparkEntryExt {
          |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
          |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 10),
          |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cid, v AS c
+         |  SELECT pid AS cid, v AS c
          |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 16)),
          |a1 AS (${assignCte("pts", "c0")}),
          |c1 AS (${updateCte("a1")}),
@@ -624,6 +625,21 @@ object SparkEntryExt {
          |SELECT event_type, nd AS exact_distinct_hashes,
          |  round(CASE WHEN nd < 64 THEN nd::DOUBLE
          |    ELSE 63.0 * 4294967296.0 / hs[64] END, 4) AS kmv_estimate
+         |FROM g
+         |ORDER BY event_type""".stripMargin,
+    // the production-shaped sketch-only variant (no exact companion):
+    "q_kmv_sketch" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${h32Sql("user_id::VARCHAR")} AS h
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type,
+         |    list_sort(list(h))[1:64] AS mins
+         |  FROM h GROUP BY event_type)
+         |SELECT event_type, CAST(len(mins) AS BIGINT) AS sketch_size,
+         |  round(CASE WHEN len(mins) < 64 THEN len(mins)::DOUBLE
+         |    ELSE 63.0 * 4294967296.0 / mins[64] END, 4) AS kmv_estimate
          |FROM g
          |ORDER BY event_type""".stripMargin,
     "q_sample_mix" ->

@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** E1: ordered digit-runs of a string, null-safe. */
+  /** E1: ordered digit-runs of a string, null-safe. `\p{Nd}+`, not
+    * `[0-9]+`: Python's `re.findall(r'\d+', …)` (`Qdrant/llm.py:139-140`)
+    * matches ANY unicode decimal digit — on Thai legal text that includes
+    * Thai numerals ๐-๙, which `[0-9]` would silently drop. Java and
+    * DuckDB's RE2 both support the `\p{Nd}` general category, so the
+    * oracle stays in lockstep.
+    */
   def extractNumbers(c: Column): Column =
-    regexp_extract_all(coalesce(c, lit("")), lit("[0-9]+"), lit(0))
+    regexp_extract_all(coalesce(c, lit("")), lit("\\p{Nd}+"), lit(0))
 
   /** E4: 1-based rank of the first prediction present in gold, else NULL.
     * (`array_position` returns 0 for "not found" — normalized to NULL so

@@ -346,6 +346,29 @@ object Relational {
               element_at(col("mins"), k).cast("double")), 4).as("kmv_estimate"))
       .orderBy(col("event_type"))
 
+  /** Production-shaped KMV: sketch ONLY — no exact `countDistinct`
+    * companion. [[kmvDistinct]] keeps the exact column so the demo can
+    * show estimate-vs-truth, but that companion reintroduces the
+    * O(cardinality) aggregation state the sketch exists to avoid; THIS
+    * is the shape a 100 TB job runs. "Fewer than k hashes seen" is read
+    * off the sketch itself (`size(mins) < k` — the buffer holds every
+    * distinct hash until it saturates), so the estimator needs no
+    * second aggregate at all.
+    */
+  def kmvDistinctSketchOnly(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), Dedup.h32(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvMinsAgg.kmvMins(col("h"), k).as("mins"))
+      .select(
+        col("event_type"),
+        size(col("mins")).cast("long").as("sketch_size"),
+        round(
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("mins"), k).cast("double")), 4).as("kmv_estimate"))
+      .orderBy(col("event_type"))
+
   /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
     * per order-priority — the "wide agg" shape.
     */

@@ -69,10 +69,15 @@ object SimilaritySearch {
   def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int): DataFrame = {
     val pts = normalized(points, idCol, vecCol)
-    val wInit = Window.orderBy(col("__id"))
+    // Centroid id = the seed vector's own id (requires a numeric id
+    // column). Distinct, deterministic, and ORDER-PRESERVING vs a
+    // row_number()-1 labeling (ids ascend either way), so the
+    // lowest-cid assignment/probe tie-breaks pick the same cells — and
+    // it needs no global window over the seed frame (a `Window` with a
+    // foldable partition key gets constant-folded to an unpartitioned
+    // WindowExec: single-partition warning + a pointless exchange).
     var cents = pts.orderBy(col("__id")).limit(k)
-      .select((row_number().over(wInit) - 1).cast("long").as("cid"),
-        col("__v").as("centroid"))
+      .select(col("__id").cast("long").as("cid"), col("__v").as("centroid"))
     for (_ <- 1 to iters) {
       // Update = `dim` per-component avg aggregates in ONE group-by
       // (map-side combinable, one shuffle of k×dim partials per mapper)

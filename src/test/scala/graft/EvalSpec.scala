@@ -42,6 +42,14 @@ class EvalSpec extends SparkSpec {
     assert(metrics("มาตรา 112 และ 33", "คำตอบ: มาตรา 33") == (0.5, 1.0))
   }
 
+  test("E1: thai numerals ๐-๙ are digit runs, like python's unicode \\d+") {
+    // `re.findall(r'\d+')` matches Thai digits (`Qdrant/llm.py:139-140`);
+    // gold {๒๐, 112}; pred [๒๐] → recall 1/2, first hit at rank 1
+    assert(metrics("มาตรา ๒๐ และ 112", "คำตอบ: มาตรา ๒๐") == (0.5, 1.0))
+    // mixed-script runs stay separate tokens: "๒๐" ≠ "20"
+    assert(metrics("มาตรา ๒๐", "มาตรา 20") == (0.0, 0.0))
+  }
+
   test("E8: empty frame → macro averages 0.0") {
     val empty = Seq.empty[(String, String)].toDF("answers", "predicted")
     val r = Eval.macroAverages(Eval.withMetrics(empty, "answers", "predicted", 5)).first()
