@@ -28,6 +28,28 @@ object SparkEntry {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
   private def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+  private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** CTE chain mirroring `VectorOps.embedTextPortable` (hashed BoW,
+    * L2-normalized, md5-prefix bucket hash): `src` must select
+    * `(id, __txt)`; emits `<name>_emb(id, v LIST<DOUBLE>)`.
+    */
+  private def embedCtes(name: String, src: String, dim: Int): String =
+    s"""${name}_tok AS (
+       |  SELECT id, unnest(list_filter(string_split(trim(lower(__txt)), ' '), x -> x <> '')) AS tok
+       |  FROM $src),
+       |${name}_cnt AS (
+       |  SELECT id, CAST(${h32Sql("tok")} % $dim AS INT) AS b, count(*)::DOUBLE AS c
+       |  FROM ${name}_tok GROUP BY 1, 2),
+       |${name}_nrm AS (SELECT id, sqrt(sum(c * c)) AS n FROM ${name}_cnt GROUP BY id),
+       |${name}_emb AS (
+       |  SELECT d.id,
+       |    list(coalesce(c.c, 0.0) / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END) ORDER BY d.j) AS v
+       |  FROM (SELECT id, unnest(generate_series(0, ${dim - 1})) AS j
+       |        FROM (SELECT DISTINCT id FROM ${name}_tok)) d
+       |  LEFT JOIN ${name}_cnt c ON d.id = c.id AND d.j = c.b
+       |  JOIN ${name}_nrm n ON d.id = n.id
+       |  GROUP BY d.id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -90,7 +112,10 @@ object SparkEntry {
     // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
     "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
-    "rag_flagship" -> ((s, d) => Rag.flagship(s, d)),
+    // the CHECKED flagship: portable bucket hash → the whole reference
+    // pipeline (§3.2: chunk → embed → kNN → context → predict → prompt)
+    // hash-matches the DuckDB oracle end-to-end
+    "rag_flagship" -> ((s, d) => Rag.flagship(s, d, portableHash = true)),
     "eval_per_row" -> ((s, d) => Eval.evalPerRow(s, d)),
     "eval_macro" -> ((s, d) => Eval.evalMacro(s, d)),
     // §3.2 + §3.3 chained end-to-end IN ONE CHECKED QUERY: retrieval
@@ -329,6 +354,73 @@ object SparkEntry {
         |SELECT round(coalesce(avg(recall_at_k), 0.0), 6) AS avg_recall_at_k,
         |  round(coalesce(avg(mrr_at_k), 0.0), 6) AS avg_mrr_at_k
         |FROM r""".stripMargin,
+    // Full flagship pipeline, step-for-step: chunker (gap-preserving
+    // indexes, minLen=20, literal ' the ' separator) → portable hashed-BoW
+    // embedding (dim 64) for chunks and queries → dot-metric kNN (both
+    // sides L2-normalized) with (score DESC, chunk_id) total order →
+    // char-budgeted context (500) → top-5-term extractive prediction →
+    // prompt projection with the Thai empty-context fallback.
+    "rag_flagship" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_index, paras[i] AS chunk_text,
+         |    doc_id * 1000 + (i - 1) AS chunk_id
+         |  FROM (SELECT doc_id,
+         |          list_filter(list_transform(string_split(text, ' the '), s -> trim(s)),
+         |            s -> length(s) > 0) AS paras
+         |        FROM documents) p,
+         |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
+         |  WHERE length(paras[i]) >= 20),
+         |${embedCtes("ce", "(SELECT chunk_id AS id, chunk_text AS __txt FROM ch)", 64)},
+         |${embedCtes("qe", "(SELECT doc_id AS id, text AS __txt FROM documents WHERE doc_id < 5)", 64)},
+         |hits AS (
+         |  SELECT q.id AS query_id, c.id AS chunk_id,
+         |    CAST(row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${sqlDot("q.v", "c.v")} DESC, c.id) AS BIGINT) AS rank
+         |  FROM qe_emb q, ce_emb c
+         |  QUALIFY rank <= 5),
+         |hx AS (
+         |  SELECT h.query_id, h.rank, ch.doc_id AS page, ch.chunk_index,
+         |    trim(coalesce(ch.chunk_text, '')) AS t, ch.chunk_text
+         |  FROM hits h JOIN ch ON h.chunk_id = ch.chunk_id),
+         |budget AS (
+         |  SELECT query_id, page, chunk_index, rank, t,
+         |    coalesce(sum(length(t)) OVER (PARTITION BY query_id ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM hx WHERE length(t) > 0),
+         |parts AS (
+         |  SELECT query_id, rank,
+         |    '[Page ' || page || ' | Chunk ' || chunk_index || ']' || chr(10) ||
+         |      substr(t, 1, CAST(greatest(least(500 - prev, length(t)), 0) AS INT)) AS part,
+         |    least(length(t), 500 - prev) AS used
+         |  FROM budget WHERE prev < 500),
+         |ctx AS (
+         |  SELECT query_id,
+         |    string_agg(part, chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY rank)
+         |      AS context,
+         |    CAST(sum(used) AS BIGINT) AS context_text_chars
+         |  FROM parts GROUP BY query_id),
+         |ptok AS (SELECT query_id, unnest(string_split(trim(chunk_text), ' ')) AS tok FROM hx),
+         |pcnt AS (SELECT query_id, tok, count(*) AS c FROM ptok WHERE tok <> '' GROUP BY 1, 2),
+         |ptop AS (
+         |  SELECT query_id, tok,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, tok) AS BIGINT) AS r
+         |  FROM pcnt QUALIFY r <= 5),
+         |pred AS (
+         |  SELECT query_id, string_agg(tok, ' ' ORDER BY r) AS predicted FROM ptop GROUP BY query_id),
+         |qq AS (SELECT doc_id AS query_id, text AS question FROM documents WHERE doc_id < 5)
+         |SELECT qq.query_id,
+         |  coalesce(ctx.context, '') AS context,
+         |  coalesce(ctx.context_text_chars, 0) AS context_text_chars,
+         |  coalesce(pred.predicted, '') AS predicted,
+         |  'คุณเป็นผู้ช่วยกฎหมาย จงตอบโดยอ้างอิงมาตราที่เกี่ยวข้อง' || chr(10) || chr(10) ||
+         |    'บริบท:' || chr(10) ||
+         |    (CASE WHEN length(coalesce(ctx.context, '')) = 0 THEN '(ไม่พบบริบท)'
+         |      ELSE ctx.context END) || chr(10) || chr(10) ||
+         |    'คำถาม: ' || qq.question AS prompt
+         |FROM qq
+         |LEFT JOIN ctx ON qq.query_id = ctx.query_id
+         |LEFT JOIN pred ON qq.query_id = pred.query_id
+         |ORDER BY qq.query_id""".stripMargin,
     "rag_eval" ->
       s"""$ragHitsCte,
          |predtext AS (

@@ -66,22 +66,35 @@ object Rag {
 
   /** End-to-end flagship on raw documents (chunk → hash-embed → normalize
     * → kNN → context → predict) — the full reference pipeline shape with
-    * the in-engine featurizer (SURVEY §3.2). Not oracle-expressible (the
-    * featurizer uses Spark's murmur3 hash); driver smoke-checks rows>0.
+    * the in-engine featurizer (SURVEY §3.2).
+    *
+    * `portableHash = true` swaps the murmur3 bucket hash for the
+    * md5-based portable one, making the WHOLE pipeline reproducible in
+    * DuckDB — this is the variant the correctness gate hash-matches
+    * (`rag_flagship`). Murmur3 stays the default for speed (`entry`).
     */
   def flagship(spark: SparkSession, sfDir: String, dim: Int = 64, nQueries: Int = 5,
-      k: Int = 5, maxCtxChars: Int = 500): DataFrame = {
+      k: Int = 5, maxCtxChars: Int = 500, portableHash: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // Word-soup corpus has no "\n\n": chunk on a frequent token to get
     // multi-chunk docs, preserving the reference's gap-index semantics.
     val chunks = Chunker.chunk(docs, Seq("doc_id"), separator = " the ", minLen = 20)
       .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
-    // carry chunk metadata + text through the featurizer's group-bys as
-    // grouping keys: one plan, no join-back, chunker scanned once
-    val points = VectorOps.embedTextDistributed(
-      chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
-    val queries = VectorOps
-      .embedTextDistributed(docs.filter(col("doc_id") < nQueries), Seq("doc_id"), "text", dim)
+    val embed =
+      if (portableHash) VectorOps.embedTextPortable _
+      else VectorOps.embedTextDistributed _
+    // Featurize on the COMPACT key only: the featurizer's two
+    // aggregations shuffle (chunk_id, bucket, count) rows — the chunk
+    // text never enters a shuffle as a grouping key. Text + metadata
+    // join back on chunk_id afterwards, and the featurizer's closing
+    // repartition(chunk_id) already matches the join partitioning, so
+    // the text transits at most ONE co-location shuffle. (Round 1
+    // carried chunk_text THROUGH both group-bys to save this join; at
+    // 100 TB corpus-text-in-shuffle dominates everything — re-reading
+    // the zero-shuffle chunker subtree is the cheap side of the trade.)
+    val chunkVecs = embed(chunks, Seq("chunk_id"), "chunk_text", dim)
+    val points = chunkVecs.join(chunks, "chunk_id")
+    val queries = embed(docs.filter(col("doc_id") < nQueries), Seq("doc_id"), "text", dim)
       .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
     // both sides L2-normalized by construction → dot metric (1 array pass)
     // hitRows feeds BOTH the context and prediction subtrees; measured:
