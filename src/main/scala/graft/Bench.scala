@@ -29,7 +29,9 @@ object Bench {
     // plans. Three consecutive runs + median makes one transient spike
     // (page-cache eviction, competing process, GC pause) unable to move
     // the recorded number; a *real* regression shows up in all three.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // clamp: non-numeric/zero/negative values must not crash the bench
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -50,7 +52,15 @@ object Bench {
       }
       // any failed rep poisons the query to -1 (failure must not hide
       // behind two fast successes)
-      val v = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+      val v =
+        if (times.contains(-1.0)) -1.0
+        else {
+          // true median: for even rep counts average the two middle
+          // elements (upper-middle alone biases recorded times upward)
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       name -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

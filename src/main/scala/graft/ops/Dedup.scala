@@ -103,19 +103,59 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Default hot-bucket cap: a bucket of this size yields ~12.5M
+    * candidate pairs — past the point where exact verification of one
+    * degenerate bucket dominates the whole job.
+    */
+  val DefaultMaxBucketSize = 5000
+
   /** Candidate pairs: docs sharing at least one band bucket (a < b).
     * This equi-join on (band, key) is THE scale move: at 100 TB the
     * band table shuffles once and only same-bucket pairs materialize.
+    *
+    * Hot-bucket guard: candidate count grows QUADRATICALLY in bucket
+    * size, so one viral boilerplate string shared by 10⁶ docs puts them
+    * all under one (band, key) and the self-join goes to 5·10¹¹ pairs —
+    * the #1 production dedup failure mode. Buckets larger than
+    * `maxBucketSize` are excluded from the join (their members still
+    * pair through their OTHER, non-degenerate bands; a doc hot in
+    * every band is boilerplate, not a near-duplicate worth verifying).
+    * The bucket-size window partitions by the same (band, key) the join
+    * shuffles on, so the guard reuses that exchange instead of adding
+    * one. Use [[hotBuckets]] to surface what a run would skip.
     */
-  def lshCandidates(bandTable: DataFrame): DataFrame = {
-    val a = bandTable.as("a")
-    val b = bandTable.as("b")
+  def lshCandidates(bandTable: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2 — no bucket could pair")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
+    val guarded = bandTable
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("doc_id"), col("band"), col("key"))
+    val a = guarded.as("a")
+    val b = guarded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Diagnostic companion to the [[lshCandidates]] guard: the (band,
+    * key, n_docs) buckets the candidate join would skip at
+    * `maxBucketSize`, largest first. Run it on the band table of a new
+    * corpus BEFORE the dedup job: a non-empty result names the
+    * boilerplate keys being excluded (and is itself one cheap
+    * aggregation, not a join).
+    */
+  def hotBuckets(bandTable: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandTable
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
+      .orderBy(desc("n_docs"), col("band"), col("key"))
 
   /** Exact Jaccard verification of candidate pairs against the shingle
     * sets: |A∩B| via a (pair ⋈ shingle ⋈ shingle) equi-join + count, and
@@ -151,13 +191,15 @@ object Dedup {
     * join → exact verify. Returns (doc_a, doc_b, jaccard).
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // sh feeds both the signature and verify subtrees; measured at
     // sf0.1: ReuseExchange already shares the shuffled shingle scan, and
     // an explicit persist() only slowed the query (5.3 s -> 7.7 s) by
     // forcing materialization where pipelining sufficed.
     val sh = shingleRows(docs, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
-    val cands = lshCandidates(lshBands(minHashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    val cands = lshCandidates(
+      lshBands(minHashSignatures(sh, numHashes), numHashes, rowsPerBand), maxBucketSize)
     verifyJaccard(cands, sh)
   }
 
@@ -253,6 +295,58 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Iterate-until-stable variant of [[clusterLabels]]: min-label
+    * propagation runs until NO label changes (then every component,
+    * however long its chain, carries one label), capped at
+    * `maxIterations` with a warning — a >cap-diameter graph means the
+    * "near-dup graphs are cliques" assumption broke and the caller
+    * should look at the data, not trust the labels silently.
+    *
+    * The per-round changed-label count is one aggregate over the
+    * already-materialized `next` joined to the (cached) previous round —
+    * both tiny label tables, no upstream re-execution. The fixed-unroll
+    * [[clusterLabels]] remains the oracle-checked form (a convergence
+    * loop is run-dependent, so it cannot be transliterated to static
+    * SQL); this is the production entry point.
+    */
+  def clusterLabelsConverged(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations ($maxIterations) must be >= 1")
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label")).persist()
+    labels.count()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIterations) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      // one count over the join of two cached label tables — min-label
+      // propagation only ever DECREASES a label, so inequality == change
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      System.err.println(
+        s"[graft] clusterLabelsConverged: NOT converged after $maxIterations rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap; " +
+          "labels are a fixed-point-in-progress, not final components")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** The composed production dedup pipeline: exact-collapse FIRST
     * (sha256 group-by picks one representative per identical content),
     * MinHash-LSH + clustering on representatives only, then map every
@@ -282,15 +376,33 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
-  /** Brute-force n-gram Jaccard over a bounded candidate set (exact
-    * baseline; the LSH pipeline is the scale path for all-pairs).
+  /** Brute-force n-gram Jaccard over a BOUNDED candidate set — the
+    * exact baseline an LSH run is judged against, never the scale path:
+    * the cross join is O(N²). [[minHashLsh]] is the operator to point
+    * at a real corpus.
+    *
+    * Input-size guard: the plan embeds a 1-row broadcast count that
+    * RAISES at execution if the input exceeds `maxDocs` (lazily — no
+    * eager count at construction, and the guard costs one broadcast of
+    * one row). A misapplied call fails loudly instead of running a
+    * quadratic job to completion.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDocs: Int = 10000): DataFrame = {
     val sets = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), array_distinct(shingles(col("__toks"), n)).as("s"))
-    val a = sets.as("a")
+    val guard = broadcast(docs.agg(count(lit(1)).as("__n")).select(
+      when(col("__n") > maxDocs,
+        raise_error(concat(
+          lit("jaccardPairs: input has "), col("__n").cast("string"),
+          lit(s" docs > maxDocs=$maxDocs; the all-pairs cross join is quadratic — " +
+            "use minHashLsh for corpora at scale, or raise maxDocs explicitly"))))
+        .otherwise(lit(1)).as("__guard")))
+    // the filter KEEPS __guard referenced — an unreferenced column would
+    // be pruned by Catalyst and the raise_error silently optimized away
+    val a = sets.crossJoin(guard).filter(col("__guard") === 1)
+      .select(col("doc_id"), col("s")).as("a")
     val b = sets.as("b")
     a.crossJoin(b)
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -68,6 +68,13 @@ object SimilaritySearch {
     */
   def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int): DataFrame = {
+    // centroid ids are cast("long") of the seed ids below; a string id
+    // would silently NULL-cast and corrupt every downstream tie-break
+    require(points.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"kmeansCentroids: id column '$idCol' must be numeric " +
+        s"(got ${points.schema(idCol).dataType.simpleString}) — centroid ids are " +
+        "the seed vectors' own ids cast to long; map string ids to a surrogate first")
     val pts = normalized(points, idCol, vecCol)
     // Centroid id = the seed vector's own id (requires a numeric id
     // column). Distinct, deterministic, and ORDER-PRESERVING vs a

@@ -96,14 +96,20 @@ object TextAnalysis {
     * small df table — at 100 TB the df table is still ~vocab-sized.
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String, perDoc: Int): DataFrame = {
-    val nDocs = docs.count().toDouble // tiny scalar; computed once
+    // N as a 1-row broadcast aggregate INSIDE the plan, not an eager
+    // docs.count() at construction: the operator stays lazy (no corpus
+    // scan before the job runs) and the count rides the same job. The
+    // cross join is a BroadcastNestedLoopJoin against one row — free.
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("__n_docs")))
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf_raw"), col("term").asc)
     tf.join(broadcast(df), "term")
-      .withColumn("tfidf_raw", col("tf").cast("double") * log(lit(nDocs) / col("df").cast("double")))
+      .crossJoin(nDocs)
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") * log(col("__n_docs") / col("df").cast("double")))
       .withColumn("r", row_number().over(w).cast("long"))
       .filter(col("r") <= perDoc)
       .select(col("doc_id"), col("r"), col("term"), col("tf"), col("df"),

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Scale-guardrail behavior: the LSH hot-bucket cap, convergence-aware
+  * clustering, the jaccardPairs input guard, tfIdf laziness, the
+  * kmeans numeric-id precondition, and the approx-distinct error bound.
+  */
+class GuardrailSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lsh hot-bucket guard: degenerate corpus stays bounded, guard is observable") {
+    // 1000 copies of one viral boilerplate string + 4 normal docs (two
+    // of them near-dups of each other). Unguarded, the boilerplate
+    // bucket alone would emit 1000*999/2 = 499500 candidate pairs.
+    val viral = (1 to 20).map(i => s"viral$i").mkString(" ")
+    val base = (1 to 20).map(i => s"norm$i").mkString(" ")
+    val docs = (
+      (1L to 1000L).map(i => (i, viral)) ++ Seq(
+        (2001L, base), (2002L, base + " tail"),
+        (2003L, "p q r s t u v w x y z zz"), (2004L, "f g h i j k l m n o pp qq"))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).withColumn("h", Dedup.h32(col("sh")))
+    val bands = Dedup.lshBands(Dedup.minHashSignatures(sh, 16), 16, 8)
+    // diagnostic surfaces the boilerplate buckets that would be skipped
+    val hot = Dedup.hotBuckets(bands, maxBucketSize = 50).collect()
+    assert(hot.nonEmpty, "hotBuckets must surface the degenerate bucket")
+    assert(hot.forall(_.getLong(2) == 1000L), "each hot bucket holds exactly the 1000 copies")
+    // guarded candidate join: boilerplate bucket skipped, normal docs unaffected
+    val cands = Dedup.lshCandidates(bands, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.size < 50, s"candidate count must stay bounded, got ${cands.size}")
+    assert(!cands.exists { case (a, b) => a <= 1000 && b <= 1000 },
+      "no candidate pair from inside the capped bucket")
+    // end-to-end: the guarded pipeline still finds the genuine near-dup pair
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 8, maxBucketSize = 50)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2001L, 2002L)), "normal near-dup pair survives the guard")
+  }
+
+  test("lsh guard default: harness-scale buckets pass through untouched") {
+    // same pipeline ± guard on a normal corpus — identical pairs, so the
+    // oracle-checked dedup_minhash query is unaffected by the default cap
+    val docs = Tables.documents(spark, sf0001)
+    val guarded = Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 8)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unguarded = Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 8,
+        maxBucketSize = Int.MaxValue)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded == unguarded)
+  }
+
+  test("clusterLabelsConverged: 5-hop chain collapses to ONE cluster") {
+    // A≈B≈C≈D≈E — diameter 4, so the fixed 3-round unroll CANNOT finish
+    // (doc 5 only sees 3 hops), while the converged mode must.
+    val docs = (1L to 5L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val fixed = Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(5L) != 1L, "3-round unroll must NOT reach the chain end (motivates the loop)")
+    val conv = Dedup.clusterLabelsConverged(docs, "doc_id", pairs, maxIterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.values.toSet == Set(1L), s"all five docs in cluster 1, got $conv")
+  }
+
+  test("clusterLabelsConverged: capped run still returns labels (warn path)") {
+    val docs = (1L to 5L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterLabelsConverged(docs, "doc_id", pairs, maxIterations = 1)
+    assert(got.count() == 5)
+  }
+
+  test("clusterLabelsConverged matches fixed unroll on a clique corpus") {
+    // near-dup graphs are mostly cliques — both forms must agree there
+    val docs = (1L to 6L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val a = Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.clusterLabelsConverged(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("jaccardPairs: guard raises at EXECUTION when input exceeds maxDocs") {
+    val docs = (1L to 12L).map(i => (i, s"tok$i a b c")).toDF("doc_id", "text")
+    // construction stays lazy — no job, no throw
+    val df = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.0, maxDocs = 5)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("use minHashLsh")),
+      s"guard message must point at the scale path, got: ${messages(e)}")
+  }
+
+  test("jaccardPairs: under the cap, results are unchanged by the guard") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("tfIdf: construction is lazy — no corpus scan before the action") {
+    // a doc source that RAISES if evaluated: with the old eager
+    // docs.count() this line itself would throw; lazy construction must not
+    val poison = spark.range(3).select(
+      col("id").as("doc_id"),
+      raise_error(lit("tfIdf scanned the corpus at plan-build")).cast("string").as("text"))
+    val df = TextAnalysis.tfIdf(poison, "doc_id", "text", perDoc = 3)
+    intercept[Exception](df.collect()) // and the action still evaluates the source
+  }
+
+  test("tfIdf: in-plan N matches the hand formula") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text", perDoc = 2)
+      .collect().map(r => ((r.getLong(0), r.getString(2)), r.getDouble(5))).toMap
+    // N=2: idf(a)=ln(2/2)=0; idf(b)=idf(c)=ln(2/1)
+    assert(got((1L, "b")) == math.BigDecimal(math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got((1L, "a")) == 0.0)
+  }
+
+  test("kmeansCentroids: non-numeric id column is rejected loudly") {
+    val pts = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("sid", "embedding")
+    val e = intercept[IllegalArgumentException](
+      SimilaritySearch.kmeansCentroids(pts, "sid", "embedding", dim = 2, k = 2, iters = 1))
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
+  test("approx_count_distinct: |approx - exact| within 3x the configured rsd") {
+    // quantitative gate for the one no-oracle query (HLL internals are
+    // engine-specific, but the error bound is a published contract)
+    val rows = Relational.approxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 3 * 0.02,
+        s"${r.getString(0)}: relative error $relErr exceeds 3x rsd (exact=$exact approx=$approx)")
+    }
+  }
+}
