@@ -1,0 +1,49 @@
+package graft
+
+/** Shared DuckDB SQL fragments for the oracle entries — ONE definition
+  * of the portable hash / vector-math / tokenizer transliterations, so
+  * the Spark operators and every oracle stay in lockstep (previously
+  * `h32Sql` lived in both SparkEntry and SparkEntryExt — a silent
+  * parity-drift risk if one copy was edited).
+  */
+object OracleSql {
+
+  /** DuckDB mirror of [[graft.ops.Dedup.h32]]: first 8 hex chars of md5
+    * as BIGINT — identical bytes on both engines.
+    */
+  def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Whitespace tokens of `text`, empty-safe (mirror of Dedup.tokens). */
+  val toksSql = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+
+  // Vector math with exact fold-order parity to VectorOps (double cast,
+  // sequential left-fold — bit-identical scores pre-rounding).
+  def sqlSumSq(a: String): String =
+    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, x) -> acc + x)"
+  def sqlNorm(a: String): String = s"sqrt(${sqlSumSq(a)})"
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+  def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  /** CTE chain mirroring `VectorOps.embedTextPortable` (hashed BoW,
+    * L2-normalized, md5-prefix bucket hash): `src` must select
+    * `(id, __txt)`; emits `<name>_emb(id, v LIST<DOUBLE>)`.
+    */
+  def embedCtes(name: String, src: String, dim: Int): String =
+    s"""${name}_tok AS (
+       |  SELECT id, unnest(list_filter(string_split(trim(lower(__txt)), ' '), x -> x <> '')) AS tok
+       |  FROM $src),
+       |${name}_cnt AS (
+       |  SELECT id, CAST(${h32Sql("tok")} % $dim AS INT) AS b, count(*)::DOUBLE AS c
+       |  FROM ${name}_tok GROUP BY 1, 2),
+       |${name}_nrm AS (SELECT id, sqrt(sum(c * c)) AS n FROM ${name}_cnt GROUP BY id),
+       |${name}_emb AS (
+       |  SELECT d.id,
+       |    list(coalesce(c.c, 0.0) / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END) ORDER BY d.j) AS v
+       |  FROM (SELECT id, unnest(generate_series(0, ${dim - 1})) AS j
+       |        FROM (SELECT DISTINCT id FROM ${name}_tok)) d
+       |  LEFT JOIN ${name}_cnt c ON d.id = c.id AND d.j = c.b
+       |  JOIN ${name}_nrm n ON d.id = n.id
+       |  GROUP BY d.id)""".stripMargin
+}

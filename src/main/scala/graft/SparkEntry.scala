@@ -19,37 +19,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Rag.flagship(spark, "/root/testdata/sf0.001")
 
-  // ---- DuckDB SQL fragments for vector math (exact parity with
-  // VectorOps: double cast, left-fold sum — bit-identical scores). ----
-  private def sqlSumSq(a: String): String =
-    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, x) -> acc + x)"
-  private def sqlNorm(a: String): String = s"sqrt(${sqlSumSq(a)})"
-  private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
-  private def sqlCos(a: String, b: String): String =
-    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
-  private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
-
-  /** CTE chain mirroring `VectorOps.embedTextPortable` (hashed BoW,
-    * L2-normalized, md5-prefix bucket hash): `src` must select
-    * `(id, __txt)`; emits `<name>_emb(id, v LIST<DOUBLE>)`.
-    */
-  private def embedCtes(name: String, src: String, dim: Int): String =
-    s"""${name}_tok AS (
-       |  SELECT id, unnest(list_filter(string_split(trim(lower(__txt)), ' '), x -> x <> '')) AS tok
-       |  FROM $src),
-       |${name}_cnt AS (
-       |  SELECT id, CAST(${h32Sql("tok")} % $dim AS INT) AS b, count(*)::DOUBLE AS c
-       |  FROM ${name}_tok GROUP BY 1, 2),
-       |${name}_nrm AS (SELECT id, sqrt(sum(c * c)) AS n FROM ${name}_cnt GROUP BY id),
-       |${name}_emb AS (
-       |  SELECT d.id,
-       |    list(coalesce(c.c, 0.0) / (CASE WHEN n.n = 0 THEN 1.0 ELSE n.n END) ORDER BY d.j) AS v
-       |  FROM (SELECT id, unnest(generate_series(0, ${dim - 1})) AS j
-       |        FROM (SELECT DISTINCT id FROM ${name}_tok)) d
-       |  LEFT JOIN ${name}_cnt c ON d.id = c.id AND d.j = c.b
-       |  JOIN ${name}_nrm n ON d.id = n.id
-       |  GROUP BY d.id)""".stripMargin
+  // DuckDB SQL fragments (vector math, portable hash, embed CTEs) are
+  // shared with SparkEntryExt via the single-source [[OracleSql]].
+  import OracleSql.{embedCtes, sqlCos, sqlDot, sqlNorm}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -138,7 +110,7 @@ object SparkEntry {
           round(col("mrr_at_k"), 6).as("mrr_at_k"))
         .orderBy(col("query_id"))
     })
-  ) ++ SparkEntryExt.queries
+  ) ++ SparkEntryExt.queries ++ SparkEntryStream.queries
 
   // Shared oracle CTE for the RAG hit set (mirrors Rag.hits exactly).
   private val ragHitsCte: String =
@@ -440,5 +412,5 @@ object SparkEntry {
          |    list_transform(predk, x -> list_contains(gold, x)), true), 0.0), 6) AS mrr_at_k
          |FROM m
          |ORDER BY query_id""".stripMargin
-  ) ++ SparkEntryExt.oracleSql
+  ) ++ SparkEntryExt.oracleSql ++ SparkEntryStream.oracleSql
 }

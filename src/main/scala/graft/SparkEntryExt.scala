@@ -10,16 +10,15 @@ import graft.ops._
   */
 object SparkEntryExt {
 
-  // DuckDB fragments reused across oracle entries.
-  private val toksSql = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
-  private def h32Sql(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
-  private def sqlSumSq(a: String): String =
-    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, x) -> acc + x)"
-  private def sqlNorm(a: String): String = s"sqrt(${sqlSumSq(a)})"
-  private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
-  private def sqlCos(a: String, b: String): String =
-    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+  // DuckDB fragments shared with SparkEntry via the single-source
+  // [[OracleSql]] (one definition — no parity-drift between copies).
+  import OracleSql.{h32Sql, sqlCos, toksSql}
+
+  /** The k both KMV queries register AND their oracles interpolate —
+    * one constant, so the Scala parameter and the oracle SQL cannot
+    * drift apart.
+    */
+  private val KmvK = 64
   /** Shared DuckDB CTE: MinHash-LSH candidate pairs verified at j ≥ 0.5
     * (mirrors Dedup.minHashLsh with 3-gram shingles, 16 hashes,
     * 2 bands × 8 rows). Trigram shingles are the standard MinHash
@@ -187,8 +186,8 @@ object SparkEntryExt {
         .orderBy(col("o_orderpriority"))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
-    "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d)),
-    "q_kmv_sketch" -> ((s, d) => Relational.kmvDistinctSketchOnly(s, d)),
+    "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d, KmvK)),
+    "q_kmv_sketch" -> ((s, d) => Relational.kmvDistinctSketchOnly(s, d, KmvK)),
     "q_sample_mix" -> ((s, d) =>
       TextAnalysis.hashSampleMix(Tables.documents(s, d), "doc_id", "lang",
           rates = Map("en" -> 80, "zh" -> 30), defaultRate = 50)
@@ -614,6 +613,7 @@ object SparkEntryExt {
     // q_approx_distinct intentionally has no oracle: HLL sketch values
     // are engine-specific (driver records the weaker rows-only check).
     // q_kmv_distinct is the deterministic sketch that IS checkable:
+    // both oracles interpolate the SAME KmvK the Scala queries register
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
@@ -623,8 +623,8 @@ object SparkEntryExt {
          |  SELECT event_type, list_sort(list(h)) AS hs, count(*) AS nd
          |  FROM h GROUP BY event_type)
          |SELECT event_type, nd AS exact_distinct_hashes,
-         |  round(CASE WHEN nd < 64 THEN nd::DOUBLE
-         |    ELSE 63.0 * 4294967296.0 / hs[64] END, 4) AS kmv_estimate
+         |  round(CASE WHEN nd < $KmvK THEN nd::DOUBLE
+         |    ELSE ${KmvK - 1}.0 * 4294967296.0 / hs[$KmvK] END, 4) AS kmv_estimate
          |FROM g
          |ORDER BY event_type""".stripMargin,
     // the production-shaped sketch-only variant (no exact companion):
@@ -635,11 +635,11 @@ object SparkEntryExt {
          |  FROM events),
          |g AS (
          |  SELECT event_type,
-         |    list_sort(list(h))[1:64] AS mins
+         |    list_sort(list(h))[1:$KmvK] AS mins
          |  FROM h GROUP BY event_type)
          |SELECT event_type, CAST(len(mins) AS BIGINT) AS sketch_size,
-         |  round(CASE WHEN len(mins) < 64 THEN len(mins)::DOUBLE
-         |    ELSE 63.0 * 4294967296.0 / mins[64] END, 4) AS kmv_estimate
+         |  round(CASE WHEN len(mins) < $KmvK THEN len(mins)::DOUBLE
+         |    ELSE ${KmvK - 1}.0 * 4294967296.0 / mins[$KmvK] END, 4) AS kmv_estimate
          |FROM g
          |ORDER BY event_type""".stripMargin,
     "q_sample_mix" ->

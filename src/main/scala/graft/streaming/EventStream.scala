@@ -38,25 +38,33 @@ object EventStream {
   /** Stateful streaming sessionization: per-user custom state via
     * `mapGroupsWithState` — the KeyValueGroupedDataset state API the
     * batch `Relational.sessionize` (lag + running sum) is the set
-    * equivalent of. Same 30-min gap rule. Rows are sorted within the
-    * group by event time before folding (single-batch demo; a production
-    * stream pairs this with a watermark so late rows are bounded).
+    * equivalent of. Same 30-min gap rule at the same MICROSECOND
+    * precision (`Timestamp.getTime` alone is ms — truncation there
+    * could merge two sessions the batch/oracle µs comparison splits,
+    * breaking the stream≡batch guarantee on boundary gaps). Rows are
+    * sorted within the group by event time before folding
+    * (single-batch demo; a production stream pairs this with a
+    * watermark so late rows are bounded).
     */
   def statefulSessionCounts(
       events: org.apache.spark.sql.Dataset[EvRow]): org.apache.spark.sql.Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    // epoch µs from a java.sql.Timestamp: getTime's ms already include
+    // the integral-ms part of nanos; only the sub-ms µs remainder is added
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
         (uid, rows, state) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var (n, last, cnt) = state.getOption
             .map(s => (s.nSessions, s.lastMicros, 0L))
             .getOrElse((0L, Long.MinValue, 0L))
           sorted.foreach { e =>
-            val t = e.ts.getTime // ms precision is enough for the gap rule
-            if (last == Long.MinValue || t - last > 1800L * 1000) n += 1
+            val t = micros(e.ts)
+            if (last == Long.MinValue || t - last > 1800000000L) n += 1
             last = t
             cnt += 1
           }
