@@ -327,11 +327,14 @@ object SparkEntryExt {
            |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
            |  FROM (SELECT p.pid, p.v, c.cid, ${sqlCos("p.v", "c.c")} AS s
            |        FROM $src p CROSS JOIN $cents c)) WHERE rn = 1""".stripMargin
-      def updateCte(assigned: String): String =
-        s"""SELECT cid, list(m ORDER BY j) AS c FROM (
-           |  SELECT cid, j, round(avg(v[j]), 6) AS m
-           |  FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
-           |  GROUP BY cid, j) GROUP BY cid""".stripMargin
+      // stale-cell rule (mirrors kmeansCentroids): a cid absent from the
+      // assignment keeps its previous centroid instead of vanishing
+      def updateCte(assigned: String, prev: String): String =
+        s"""SELECT p.cid, coalesce(u.c, p.c) AS c FROM $prev p LEFT JOIN (
+           |  SELECT cid, list(m ORDER BY j) AS c FROM (
+           |    SELECT cid, j, round(avg(v[j]), 6) AS m
+           |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+           |    GROUP BY cid, j) GROUP BY cid) u ON p.cid = u.cid""".stripMargin
       s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |  FROM embeddings),
          |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
@@ -340,9 +343,9 @@ object SparkEntryExt {
          |  SELECT pid AS cid, v AS c
          |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 16)),
          |a1 AS (${assignCte("pts", "c0")}),
-         |c1 AS (${updateCte("a1")}),
+         |c1 AS (${updateCte("a1", "c0")}),
          |a2 AS (${assignCte("pts", "c1")}),
-         |c2 AS (${updateCte("a2")}),
+         |c2 AS (${updateCte("a2", "c1")}),
          |ap AS (${assignCte("pts", "c2")}),
          |qp AS (
          |  SELECT pid AS qid, v AS qv, cid FROM (

@@ -359,9 +359,17 @@ object Dedup {
     * after exact-collapse (100×). Output: (doc_id, cluster_id) where
     * cluster_id is the minimum doc_id of the combined exact+near
     * duplicate group.
+    *
+    * Clustering runs CONVERGED ([[clusterLabelsConverged]]), not the
+    * fixed 3-round unroll: a production corpus owes no diameter bound,
+    * and a >3-hop near-dup chain must still collapse to one cluster
+    * (the unroll stays only as the statically-SQL-expressible form the
+    * `dedup_cluster` oracle query checks).
     */
   def nearDupPipeline(docs: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.5, shingleN: Int = 1): DataFrame = {
+      jaccardThreshold: Double = 0.5, shingleN: Int = 1,
+      numHashes: Int = 16, rowsPerBand: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
       sha2(col(textCol), 256).as("__ch"))
     val reps = withHash.groupBy(col("__ch")).agg(min(col("doc_id")).as("rep_id"))
@@ -369,8 +377,9 @@ object Dedup {
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("__text").as("text"))
     val pairs = minHashLsh(repDocs, "doc_id", "text", shingleN = shingleN,
-      numHashes = 16, rowsPerBand = 8).filter(col("jaccard") >= jaccardThreshold)
-    val repClusters = clusterLabels(repDocs, "doc_id", pairs, iterations = 3)
+      numHashes = numHashes, rowsPerBand = rowsPerBand, maxBucketSize = maxBucketSize)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val repClusters = clusterLabelsConverged(repDocs, "doc_id", pairs)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     withHash.join(reps, "__ch").join(repClusters, "rep_id")
       .select(col("doc_id"), col("cluster_id"))

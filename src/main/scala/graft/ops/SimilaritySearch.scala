@@ -93,11 +93,19 @@ object SimilaritySearch {
       // blowup at 100 TB for no information gain.
       val avgs = (0 until dim).map(j =>
         round(avg(element_at(col("__v"), j + 1)), 6).as(s"__m$j"))
-      cents = assignToCentroid(pts, cents)
+      val updated = assignToCentroid(pts, cents)
         .groupBy(col("cid"))
         .agg(avgs.head, avgs.tail: _*)
         .select(col("cid"),
-          array((0 until dim).map(j => col(s"__m$j")): _*).as("centroid"))
+          array((0 until dim).map(j => col(s"__m$j")): _*).as("__upd"))
+      // A cell that attracted no vectors this round vanishes from the
+      // group-by; without this join k would silently SHRINK for the rest
+      // of the run (and the IVF built on the result would lose cells).
+      // Keep the previous centroid instead — the standard "stale cell"
+      // rule, and a k-row join on both engines (oracle mirrors it).
+      cents = cents
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__upd"), col("centroid")).as("centroid"))
     }
     cents
   }

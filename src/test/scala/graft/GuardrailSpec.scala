@@ -74,6 +74,28 @@ class GuardrailSpec extends SparkSpec {
     assert(got.count() == 5)
   }
 
+  test("nearDupPipeline: >3-hop near-dup chain collapses to ONE cluster") {
+    // 12 docs sliding a 16-token window by 2: jaccard is 14/18 at offset
+    // 1 and 12/20 at offset 2 (both ≥ 0.5 → edges), 10/22 at offset 3
+    // (< 0.5 → no edge) — a width-2 chain of diameter 6. The production
+    // pipeline must converge it to one cluster; the fixed 3-round unroll
+    // provably cannot (asserted below so a regression to it is caught).
+    val docs = (1 to 12).map { i =>
+      (i.toLong, (0 until 16).map(j => s"w${2 * (i - 1) + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.nearDupPipeline(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 12)
+    assert(got.values.toSet == Set(1L), s"one converged cluster expected, got $got")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 1, 16, 2)
+      .filter(col("jaccard") >= 0.5)
+    val unrolled = Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(unrolled.size > 1,
+      "fixture diameter must exceed the 3-round unroll for this test to bite")
+  }
+
   test("clusterLabelsConverged matches fixed unroll on a clique corpus") {
     // near-dup graphs are mostly cliques — both forms must agree there
     val docs = (1L to 6L).map(i => Tuple1(i)).toDF("doc_id")
@@ -129,6 +151,19 @@ class GuardrailSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       SimilaritySearch.kmeansCentroids(pts, "sid", "embedding", dim = 2, k = 2, iters = 1))
     assert(e.getMessage.contains("must be numeric"))
+  }
+
+  test("kmeansCentroids: an emptied cell keeps its centroid — k never shrinks") {
+    // 3 identical vectors: every assignment ties to the lowest cid, so
+    // the second seed's cell empties on iteration 1. The bare group-by
+    // would drop it and silently shrink k; the stale-cell join keeps it.
+    val pts = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vid", "embedding")
+    val cents = SimilaritySearch
+      .kmeansCentroids(pts, "vid", "embedding", dim = 2, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(1L, 2L), s"both cells must survive, got ${cents.keySet}")
+    assert(cents(2L) == Seq(1.0, 0.0), "emptied cell keeps its previous centroid")
   }
 
   test("approx_count_distinct: |approx - exact| within 3x the configured rsd") {
