@@ -32,7 +32,16 @@ object Bench {
     // clamp: non-numeric/zero/negative values must not crash the bench
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
-    val results = selected.map { case (name, fn) =>
+    // Deterministic order, streaming LAST: Map iteration order is
+    // hash-arbitrary, so batch queries could otherwise run interleaved
+    // with the stream_* queries' state-store churn in the same JVM —
+    // the suspected cause of round 4's 3-4x regression cluster on
+    // unchanged batch plans. Alphabetical within each group keeps
+    // per-query numbers comparable across rounds.
+    val ordered = selected.toSeq.sortBy { case (name, _) =>
+      (name.startsWith("stream_"), name)
+    }
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Consume via the noop sink, not count(): under count() Catalyst
@@ -65,7 +74,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,6 +26,22 @@ object OracleSql {
   def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
 
+  /** CTE body mirroring `Chunker.chunk` + the `doc_id*1000+chunk_index`
+    * chunk keying (reference `Qdrant/main.py:36-41` semantics: trim and
+    * drop empties BEFORE index assignment, min-len filter AFTER — index
+    * gaps preserved). `src` must provide `(doc_id, text)`; emits rows
+    * `(doc_id, chunk_index, chunk_text, chunk_id)`.
+    */
+  def chunkCte(src: String, sep: String = " the ", minLen: Int = 20): String =
+    s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_index, paras[i] AS chunk_text,
+       |    doc_id * 1000 + (i - 1) AS chunk_id
+       |  FROM (SELECT doc_id,
+       |          list_filter(list_transform(string_split(text, '$sep'), s -> trim(s)),
+       |            s -> length(s) > 0) AS paras
+       |        FROM $src) p,
+       |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
+       |  WHERE length(paras[i]) >= $minLen""".stripMargin
+
   /** CTE chain mirroring `VectorOps.embedTextPortable` (hashed BoW,
     * L2-normalized, md5-prefix bucket hash): `src` must select
     * `(id, __txt)`; emits `<name>_emb(id, v LIST<DOUBLE>)`.

@@ -21,7 +21,7 @@ object SparkEntry {
 
   // DuckDB SQL fragments (vector math, portable hash, embed CTEs) are
   // shared with SparkEntryExt via the single-source [[OracleSql]].
-  import OracleSql.{embedCtes, sqlCos, sqlDot, sqlNorm}
+  import OracleSql.{chunkCte, embedCtes, sqlCos, sqlDot, sqlNorm}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -333,15 +333,7 @@ object SparkEntry {
     // char-budgeted context (500) → top-5-term extractive prediction →
     // prompt projection with the Thai empty-context fallback.
     "rag_flagship" ->
-      s"""WITH ch AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_index, paras[i] AS chunk_text,
-         |    doc_id * 1000 + (i - 1) AS chunk_id
-         |  FROM (SELECT doc_id,
-         |          list_filter(list_transform(string_split(text, ' the '), s -> trim(s)),
-         |            s -> length(s) > 0) AS paras
-         |        FROM documents) p,
-         |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
-         |  WHERE length(paras[i]) >= 20),
+      s"""WITH ch AS (${chunkCte("documents")}),
          |${embedCtes("ce", "(SELECT chunk_id AS id, chunk_text AS __txt FROM ch)", 64)},
          |${embedCtes("qe", "(SELECT doc_id AS id, text AS __txt FROM documents WHERE doc_id < 5)", 64)},
          |hits AS (

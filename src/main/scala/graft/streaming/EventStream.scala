@@ -131,7 +131,8 @@ object EventStream {
     * shuffles only its own chunk keys against the store.
     */
   def indexStream(spark: SparkSession, inputDir: String, storeDir: String,
-      dim: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      dim: Int,
+      portableHash: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -148,8 +149,14 @@ object EventStream {
         val chunks = graft.ops.Chunker
           .chunk(batch, Seq("doc_id"), separator = " the ", minLen = 20)
           .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
-        val points = graft.ops.VectorOps.embedTextDistributed(
-          chunks, Seq("chunk_id", "doc_id", "chunk_index", "chunk_text"), "chunk_text", dim)
+        val idCols = Seq("chunk_id", "doc_id", "chunk_index", "chunk_text")
+        // portable (md5) bucket hash only when an oracle needs to mirror
+        // the embedding in SQL; murmur3 stays the production default
+        val points =
+          if (portableHash)
+            graft.ops.VectorOps.embedTextPortable(chunks, idCols, "chunk_text", dim)
+          else
+            graft.ops.VectorOps.embedTextDistributed(chunks, idCols, "chunk_text", dim)
         val storePath = new org.apache.hadoop.fs.Path(storeDir)
         // FS from the path, not the default FS (object-store stores)
         val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
