@@ -1,25 +1,56 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.ops._
 
-/** Dev tool: stage-by-stage timing of the flagship pipeline. */
+/** Dev tool: stage-by-stage timing of one pipeline, picked by name —
+  * `DevProfile <stage> [sfDir]` where stage is one of
+  * `flagship | lsh | sessionize | cluster | interference`.
+  * (Formerly six near-identical one-off mains.)
+  */
 object DevProfile {
+
+  private val stages = Map[String, (SparkSession, String) => Unit](
+    "flagship" -> profileFlagship,
+    "lsh" -> profileLsh,
+    "sessionize" -> profileSessionize,
+    "cluster" -> profileCluster,
+    "interference" -> profileInterference)
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val stage = args.headOption.getOrElse("flagship")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val run = stages.getOrElse(stage,
+      sys.error(s"unknown stage '$stage' — one of ${stages.keys.toSeq.sorted.mkString(", ")}"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
-    }
+    run(spark, sfDir)
+    spark.stop()
+  }
+
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  private def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val g0 = gcMillis
+    val r = f
+    println(f"[profile] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  gc=${gcMillis - g0}%d ms")
+    r
+  }
+
+  /** Flagship RAG pipeline, stage by stage (chunk → embed → kNN → full). */
+  private def profileFlagship(spark: SparkSession, sfDir: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
     val chunks = Chunker.chunk(docs, Seq("doc_id"), separator = " the ", minLen = 20)
       .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
@@ -42,8 +73,73 @@ object DevProfile {
       .select(VectorOps.dot(col("qvec"), col("embedding")).as("s"))
       .agg(sum(col("s")))
     time("dot-only agg")(println("  " + scoredOnly.first()))
-    val full = Rag.flagship(spark, sfDir)
-    time("flagship.count")(println("  n=" + full.count()))
-    spark.stop()
+    time("flagship.count")(println("  n=" + Rag.flagship(spark, sfDir).count()))
+  }
+
+  /** MinHash-LSH near-dup pipeline, stage by stage (trigram shingles). */
+  private def profileLsh(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).withColumn("h", Dedup.h32(col("sh")))
+    time("shingleRows.count")(println("  n=" + sh.count()))
+    val sig = Dedup.minHashSignatures(sh, 16)
+    time("signatures.count")(println("  n=" + sig.count()))
+    val bands = Dedup.lshBands(sig, 16, 8)
+    time("bands.count")(println("  n=" + bands.count()))
+    val cands = Dedup.lshCandidates(bands)
+    time("candidates.count")(println("  n=" + cands.count()))
+    val ver = Dedup.verifyJaccard(cands, sh)
+    time("verifyJaccard.count")(println("  n=" + ver.count()))
+    time("pairs>=0.5.count")(println("  n=" + ver.filter(col("jaccard") >= 0.5).count()))
+  }
+
+  /** Event sessionization: window-lag baseline vs the full operator. */
+  private def profileSessionize(spark: SparkSession, sfDir: String): Unit = {
+    val ev = Tables.events(spark, sfDir)
+    time("events.count")(println("  n=" + ev.count()))
+    time("distinct users")(println("  n=" + ev.select("user_id").distinct().count()))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val w1 = ev.withColumn("lag_ts", lag(col("ts"), 1).over(byUser))
+    time("window lag only")(println("  n=" + w1.count()))
+    time("sessionize")(println("  n=" + Relational.sessionize(spark, sfDir).count()))
+    time("sessionize again")(println("  n=" + Relational.sessionize(spark, sfDir).count()))
+  }
+
+  /** Label-propagation clustering: per-round timing over persisted edges. */
+  private def profileCluster(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 1, 16, 8)
+      .filter(col("jaccard") >= 0.5)
+    time("pairs(count)")(println("  n=" + pairs.count()))
+    def mkEdges() = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    time("edges no-persist count")(println("  n=" + mkEdges().count()))
+    val edges = mkEdges().persist()
+    time("edges materialize (AQE-cache)")(println("  n=" + edges.count()))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (i <- 1 to 3) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      labels = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      time(s"round $i")(println("  n=" + labels.count()))
+    }
+  }
+
+  /** Reproduce/attribute the "dedup_cluster slows the next query" effect. */
+  private def profileInterference(spark: SparkSession, sfDir: String): Unit = {
+    // Warm up like Bench does
+    Seq("q1_pricing", "v_knn_join", "q_events_hourly").foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count()
+    }
+    time("v_embed_text BEFORE")(SparkEntry.queries("v_embed_text")(spark, sfDir).count())
+    time("dedup_cluster")(SparkEntry.queries("dedup_cluster")(spark, sfDir).count())
+    time("clearCache")(spark.catalog.clearCache())
+    time("v_embed_text AFTER")(SparkEntry.queries("v_embed_text")(spark, sfDir).count())
+    time("v_embed_text AFTER2")(SparkEntry.queries("v_embed_text")(spark, sfDir).count())
+    time("rag_flagship AFTER")(SparkEntry.queries("rag_flagship")(spark, sfDir).count())
   }
 }

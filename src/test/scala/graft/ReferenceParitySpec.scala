@@ -34,6 +34,47 @@ class ReferenceParitySpec extends SparkSpec {
     assert(dump.forall(l => l.matches("(?s)\\[Page \\d+ \\| Chunk \\d+\\]\\n.*\\n")))
   }
 
+  test("golden-artifact structural parity: 327-page corpus reproduces output.txt invariants") {
+    // The committed reference artifact (Qdrant/Documents/Output/output.txt,
+    // measured in BASELINE.md) has: 327 chunks, pages 1..327 each exactly
+    // once, every chunk_index 0 (PDF page text carries single-\n line
+    // breaks, never the \n\n separator), chunk lengths 866..2611 chars.
+    // Rebuild a corpus-SHAPED fixture with those data properties and
+    // assert the chunker + dump format reproduce every invariant under
+    // the reference's own params (separator \n\n, min_len=50, join-mode —
+    // Qdrant/main.py:100, writer format main.py:48-52).
+    val base = "มาตรา ๑๔๔๘ การสมรสจะทำได้ต่อเมื่อชายและหญิงมีอายุสิบเจ็ดปีบริบูรณ์แล้ว " +
+      "แต่ในกรณีที่มีเหตุอันสมควร ศาลอาจอนุญาตให้ทำการสมรสก่อนนั้นได้"
+    def pageText(p: Int): String = {
+      val target = 870 + (p * 97) % 1731 // trimmed length stays in [866, 2611]
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < target) {
+        if (i > 0) sb.append(if (i % 3 == 0) " \n" else " ") // PDF-style single-\n lines
+        sb.append(base)
+        i += 1
+      }
+      sb.substring(0, target)
+    }
+    val docs = (1 to 327).map(p => (p, pageText(p))).toDF("page", "text")
+    val chunks = Chunker.chunk(docs, Seq("page"), separator = "\n\n", minLen = 50)
+    val rows = chunks.select("page", "chunk_index", "chunk_text").collect()
+    assert(rows.length == 327, "one chunk per page — 327 total")
+    assert(rows.map(_.getInt(0)).toSet == (1 to 327).toSet, "every page exactly once")
+    assert(rows.forall(_.getLong(1) == 0L), "single-paragraph pages ⇒ chunk_index 0")
+    val lens = rows.map(_.getString(2).length)
+    assert(lens.forall(l => l >= 866 && l <= 2611),
+      s"chunk lengths within the artifact's 866..2611, got ${lens.min}..${lens.max}")
+    val dump = chunks
+      .select(Chunker.dumpLine(col("page"), col("chunk_index"), col("chunk_text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(dump.forall(_.matches("(?s)\\[Page \\d+ \\| Chunk 0\\]\\n.*\\n")),
+      "writer format [Page p | Chunk c]\\n{text}\\n")
+    val hdr = "\\[Page (\\d+) \\| Chunk (\\d+)\\]".r
+    val pages = dump.map(l => hdr.findFirstMatchIn(l).get.group(1).toInt)
+    assert(pages.sorted.toSeq == (1 to 327), "headers parse back to pages 1..327")
+  }
+
   test("full RAG pipeline on reference-shaped fixture: retrieve → context → predict → eval") {
     val docs = lawPages.toDF("page", "text")
     val chunks = Chunker.chunk(docs, Seq("page"), minLen = 50)
