@@ -16,6 +16,16 @@ object OracleSql {
   /** Whitespace tokens of `text`, empty-safe (mirror of Dedup.tokens). */
   val toksSql = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
 
+  /** Word n-gram list over a token array `t` (mirror of
+    * [[graft.ops.Dedup.shingles]]: space-joined windows, empty below n).
+    */
+  def ngramSql(t: String, n: Int): String =
+    if (n == 1) t
+    else {
+      val cat = (0 until n).map(j => s"$t[i + $j]").mkString(" || ' ' || ")
+      s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> $cat)"
+    }
+
   // Vector math with exact fold-order parity to VectorOps (double cast,
   // sequential left-fold — bit-identical scores pre-rounding).
   def sqlSumSq(a: String): String =

@@ -12,7 +12,7 @@ object SparkEntryExt {
 
   // DuckDB fragments shared with SparkEntry via the single-source
   // [[OracleSql]] (one definition — no parity-drift between copies).
-  import OracleSql.{h32Sql, sqlCos, toksSql}
+  import OracleSql.{h32Sql, ngramSql, sqlCos, toksSql}
 
   /** The k both KMV queries register AND their oracles interpolate —
     * one constant, so the Scala parameter and the oracle SQL cannot
@@ -30,9 +30,7 @@ object SparkEntryExt {
   private lazy val minhashPairsCte: String =
     s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+       |  SELECT DISTINCT doc_id, unnest(${ngramSql("t", 3)}) AS sh
        |  FROM tl),
        |shh AS (SELECT doc_id, ${h32Sql("sh")} AS h FROM sh),
        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
@@ -146,6 +144,19 @@ object SparkEntryExt {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // eval-set decontamination: every 5th doc plays the held-out set,
+    // the rest the training corpus; trigram collisions ≥ 3 flag a pair
+    "dedup_contaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", n = 3, minHits = 3)
+        .orderBy(col("test_id"), col("train_id"))
+    }),
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"))),
@@ -417,6 +428,48 @@ object SparkEntryExt {
          |    AS chars_per_token
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |u AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS g FROM tl) GROUP BY 1, 2) GROUP BY doc_id),
+         |b AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${ngramSql("t", 2)}) AS g FROM tl)
+         |  GROUP BY 1, 2) GROUP BY doc_id),
+         |tg AS (SELECT doc_id, count(*) AS nd, CAST(sum(c) AS BIGINT) AS tot FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${ngramSql("t", 3)}) AS g FROM tl)
+         |  GROUP BY 1, 2) GROUP BY doc_id)
+         |SELECT u.doc_id, u.tot AS n_tokens,
+         |  round(u.mx::DOUBLE / u.tot, 6) AS top_unigram_frac,
+         |  round(coalesce(b.mx::DOUBLE / b.tot, 0.0), 6) AS top_bigram_frac,
+         |  round(coalesce((tg.tot - tg.nd)::DOUBLE / tg.tot, 0.0), 6) AS dup_trigram_frac
+         |FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_contaminate" ->
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |trh AS (
+         |  SELECT train_id, ${h32Sql("sh")} AS h FROM (
+         |    SELECT DISTINCT doc_id AS train_id, unnest(${ngramSql("t", 3)}) AS sh
+         |    FROM tl WHERE doc_id % 5 <> 4)),
+         |teh AS (
+         |  SELECT test_id, ${h32Sql("sh")} AS h FROM (
+         |    SELECT DISTINCT doc_id AS test_id, unnest(${ngramSql("t", 3)}) AS sh
+         |    FROM tl WHERE doc_id % 5 = 4)),
+         |trok AS (SELECT train_id, h FROM (
+         |  SELECT train_id, h, count(*) OVER (PARTITION BY h) AS df FROM trh)
+         |  WHERE df <= 10000),
+         |tet AS (SELECT test_id, count(*) AS n_sh FROM teh GROUP BY test_id),
+         |hits AS (
+         |  SELECT test_id, train_id, count(*) AS n_shared
+         |  FROM teh JOIN trok USING (h)
+         |  GROUP BY test_id, train_id
+         |  HAVING count(*) >= 3)
+         |SELECT hits.test_id, hits.train_id, hits.n_shared,
+         |  round(hits.n_shared::DOUBLE / tet.n_sh, 6) AS frac
+         |FROM hits JOIN tet USING (test_id)
+         |ORDER BY test_id, train_id""".stripMargin,
     "text_top_terms" ->
       s"""SELECT term, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -385,6 +385,46 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** Cross-corpus decontamination: which TEST docs share at least
+    * `minHits` distinct word n-gram shingles with which TRAIN docs —
+    * the eval-set contamination check a training pipeline runs before
+    * any benchmark claim (the GPT-3/Dolma n-gram-collision test
+    * re-expressed as one hash equi-join).
+    *
+    * Scale shape: each corpus reduces to DISTINCT (doc, shingle) rows
+    * hashed to 64 bits; the join shuffles on the shingle hash only, and
+    * counts aggregate per (test, train) pair. Boilerplate shingles blow
+    * the join up quadratically (every test × train doc sharing a
+    * license header pairs through it), so shingles present in more than
+    * `maxShingleDf` TRAIN docs are excluded — the hot-bucket discipline
+    * again: a shingle that common is boilerplate, not contamination
+    * evidence. `frac` is n_shared over the test doc's total distinct
+    * shingles (computed before the df guard, so the denominator is
+    * stable as the guard moves).
+    */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int, minHits: Int, maxShingleDf: Int = 10000): DataFrame = {
+    require(minHits >= 1, s"minHits ($minHits) must be >= 1")
+    def hashed(docs: DataFrame, as: String): DataFrame =
+      shingleRows(docs, idCol, textCol, n)
+        .select(col("doc_id").as(as), h32(col("sh")).as("h"))
+    val tr = hashed(train, "train_id")
+    val te = hashed(test, "test_id")
+    val trOk = tr
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("__df") <= maxShingleDf)
+      .select(col("train_id"), col("h"))
+    val teTotals = te.groupBy(col("test_id")).agg(count(lit(1)).as("__n_sh"))
+    trOk.join(te, "h")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minHits)
+      .join(teTotals, "test_id")
+      .select(col("test_id"), col("train_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__n_sh").cast("double"), 6).as("frac"))
+  }
+
   /** Brute-force n-gram Jaccard over a BOUNDED candidate set — the
     * exact baseline an LSH run is judged against, never the scale path:
     * the cross join is O(N²). [[minHashLsh]] is the operator to point

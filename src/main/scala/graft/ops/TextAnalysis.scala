@@ -82,6 +82,40 @@ object TextAnalysis {
         greatest(size(regexTokens(col(textCol))).cast("double"), lit(1.0)), 6)
         .as("chars_per_token"))
 
+  /** Per-doc repetition signals — the Gopher/C4-family quality filters
+    * that catch degenerate generated/boilerplate text: fraction of the
+    * doc taken by its most frequent unigram and bigram, and the
+    * fraction of trigram occurrences that are repeats. High values →
+    * loops, keyword stuffing, templated spam.
+    *
+    * Shape: one token explode per n-gram order feeding a two-level
+    * aggregation (map-side combinable count per (doc, gram), then a
+    * per-doc max/sum) — shuffle rows ≈ distinct grams per doc, the same
+    * discipline as simHash. Docs with no bigrams/trigrams report 0.0.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    def gramCounts(n: Int): DataFrame =
+      base.select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val uni = gramCounts(1).groupBy(col("doc_id"))
+      .agg(max(col("c")).as("__mx1"), sum(col("c")).as("n_tokens"))
+    val bi = gramCounts(2).groupBy(col("doc_id"))
+      .agg(max(col("c")).as("__mx2"), sum(col("c")).as("__tot2"))
+    val tri = gramCounts(3).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__d3"), sum(col("c")).as("__tot3"))
+    uni.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("__mx1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_unigram_frac"),
+        round(coalesce(col("__mx2").cast("double") / col("__tot2").cast("double"), lit(0.0d)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce((col("__tot3") - col("__d3")).cast("double") / col("__tot3").cast("double"),
+          lit(0.0d)), 6).as("dup_trigram_frac"))
+  }
+
   /** Global term frequencies, ranked. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, limit: Int): DataFrame =
     docs

@@ -48,6 +48,48 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) != got(1L), "unrelated doc separate")
   }
 
+  test("contamination: shared trigrams flagged, boilerplate shingle df-capped") {
+    val train = Seq(
+      (1L, "a b c d e f"),        // trigrams: abc bcd cde def
+      (2L, "p q r s t u"),        // unrelated
+      (3L, "m n o boiler plate line"),
+      (4L, "x1 x2 boiler plate line"),
+      (5L, "y1 y2 boiler plate line")
+    ).toDF("doc_id", "text")
+    val test_ = Seq(
+      (100L, "a b c d x y"),          // shares abc, bcd with doc 1
+      (101L, "z1 z2 boiler plate line") // shares ONLY the boilerplate trigram
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test_, "doc_id", "text", n = 3, minHits = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // doc 100: 2 shared of its 4 distinct trigrams
+    assert(got.keySet == Set((100L, 1L)), s"only the genuine overlap, got $got")
+    assert(got((100L, 1L)) == ((2L, 0.5)))
+    // with minHits=1 the boilerplate trigram (df=3 in train) pairs doc 101
+    // with three train docs — until the df cap excludes it
+    val loose = Dedup.contamination(train, test_, "doc_id", "text", n = 3, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((101L, 3L), (101L, 4L), (101L, 5L)).subsetOf(loose))
+    val capped = Dedup.contamination(train, test_, "doc_id", "text", n = 3, minHits = 1,
+        maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._1 == 101L),
+      s"df-capped boilerplate must not create pairs, got $capped")
+  }
+
+  test("repetitionStats: hand-computed unigram/bigram/trigram fractions") {
+    val df = Seq(
+      (1L, "a a a b"),       // top uni 3/4; bigrams aa aa ab → top 2/3; trigrams aaa aab → no dup
+      (2L, "x y x y x y"),   // top uni 3/6; bigrams xy yx xy yx xy → top 3/5; trigrams xyx yxy xyx yxy → dup 2/4
+      (3L, "solo")           // no bigrams/trigrams → 0.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 0.75, 0.666667, 0.0)))
+    assert(got(2L) == ((6L, 0.5, 0.6, 0.5)))
+    assert(got(3L) == ((1L, 1.0, 0.0, 0.0)))
+  }
+
   test("dedup: simhash of permuted doc equals original (bag semantics)") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "q r s t u v")).toDF("doc_id", "text")
     val h = Dedup.simHash(df, "doc_id", "text").collect()
