@@ -74,6 +74,20 @@ class PlanSpec extends SparkSpec {
       s"IVF degenerated to a cartesian scoring pass:\n$plan")
   }
 
+  test("contamination is hash equi-joins on the shingle hash, never all-pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = formatted(Dedup.contamination(
+      docs.filter(col("doc_id") % 5 =!= 4), docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", n = 3, minHits = 3))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"train×test degenerated to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"shingle-hash join is not an equi-join:\n$plan")
+    assert(plan.contains("Window"),
+      s"train-df guard window missing from the plan:\n$plan")
+  }
+
   test("partitioned layout: a partition-key filter prunes directories, not rows") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
     Tables.documents(spark, sf0001)

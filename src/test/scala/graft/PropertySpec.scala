@@ -95,6 +95,39 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: repetition fractions bounded; extremes hit 1.0 and 0-dup") {
+    val tokGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val docs = samples(tokGen, 50).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = (docs :+ (900L, "z z z z z") :+ (901L, "p q r s t")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    rows.values.foreach { case (n, u, b, t) =>
+      assert(n >= 1)
+      assert(u > 0.0 && u <= 1.0, s"top_unigram_frac out of range: $u")
+      assert(b >= 0.0 && b <= 1.0, s"top_bigram_frac out of range: $b")
+      assert(t >= 0.0 && t < 1.0, s"dup_trigram_frac out of range: $t")
+    }
+    assert(rows(900L) == ((5L, 1.0, 1.0, 0.666667)), "degenerate all-one-token doc maxes out")
+    assert(rows(901L) == ((5L, 0.2, 0.25, 0.0)), "all-distinct doc has no repetition")
+  }
+
+  test("property: contamination finds every planted overlap, never invents one") {
+    // train docs are disjoint 6-token blocks; each test doc copies a
+    // 4-token window from one train doc (→ 2 shared trigrams) plus noise
+    val train = (0 until 10).map(i =>
+      (i.toLong, (0 until 6).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val test_ = (0 until 10).map { i =>
+      val src = (0 until 4).map(j => s"w${i}_$j").mkString(" ")
+      (100L + i, s"$src noise$i more$i")
+    }.toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test_, "doc_id", "text", n = 3, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0 until 10).map(i => (100L + i, i.toLong, 2L)).toSet,
+      s"each test doc pairs with exactly its source train doc: $got")
+  }
+
   test("property: dedup idempotence — exact clusters stable under re-dedup") {
     val docs = samples(Gen.oneOf("aaa", "bbb", "ccc", "ddd"), 40).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
