@@ -147,6 +147,11 @@ object SparkEntryExt {
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // exact heavy hitters via the O(k)-state sketch + exact re-count:
+    // deterministic (= all terms above phi*N) despite the sketch pass
+    "text_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d), "doc_id", "text", phi = 0.01)
+        .orderBy(desc("cnt"), col("term"))),
     // eval-set decontamination: every 5th doc plays the held-out set,
     // the rest the training corpus; trigram collisions ≥ 3 flag a pair
     "dedup_contaminate" -> ((s, d) => {
@@ -447,6 +452,14 @@ object SparkEntryExt {
          |  round(coalesce((tg.tot - tg.nd)::DOUBLE / tg.tot, 0.0), 6) AS dup_trigram_frac
          |FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |n AS (SELECT count(*) AS n FROM tok)
+         |SELECT term, count(*) AS cnt
+         |FROM tok, n
+         |GROUP BY term, n.n
+         |HAVING count(*) > 0.01 * n.n
+         |ORDER BY cnt DESC, term""".stripMargin,
     "dedup_contaminate" ->
       s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
          |trh AS (

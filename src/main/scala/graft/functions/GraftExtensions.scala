@@ -50,5 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvMinsAgg(args.head, k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_mg_candidates"),
+      info("graft_mg_candidates",
+        "graft_mg_candidates(term, k) - Misra-Gries frequent-item candidates, O(k)-state sketch aggregate"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_candidates k must be a positive INT literal, got $other")
+        }
+        MisraGriesAgg(args.head, k)
+      }))
   }
 }

@@ -116,6 +116,44 @@ object TextAnalysis {
           lit(0.0d)), 6).as("dup_trigram_frac"))
   }
 
+  /** EXACT heavy hitters — every term with frequency > phi·N — in two
+    * bounded passes, never a full-vocabulary shuffle:
+    *
+    *  1. a Misra-Gries sketch pass ([[graft.functions.MisraGriesAgg]],
+    *     O(k) state per partial buffer) yields ≤ k candidate terms,
+    *     guaranteed to include every term above N/(k+1);
+    *  2. an exact count of the candidates ONLY (broadcast semi-join,
+    *     group-by over ≤ k keys) filtered at phi·N.
+    *
+    * With k ≥ 1/phi the candidate guarantee covers the threshold, so
+    * the result is EXACTLY the terms above phi·N — deterministic and
+    * oracle-checkable even though the sketch itself is order-dependent.
+    * This is the shape for unbounded vocabularies (URLs, n-grams) where
+    * [[topTerms]]' full group-by would shuffle the whole vocab: here
+    * the shuffle carries k counters per mapper in pass 1 and ≤ k keys
+    * in pass 2. N rides the plan as a 1-row broadcast (lazy, same
+    * discipline as tfIdf).
+    */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      phi: Double, sketchK: Int = 0): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi ($phi) must be in (0, 1)")
+    val k = if (sketchK > 0) sketchK else math.ceil(2.0 / phi).toInt
+    require(k >= math.ceil(1.0 / phi).toInt,
+      s"sketchK ($k) must be >= 1/phi (${math.ceil(1.0 / phi).toInt}) or the " +
+        "Misra-Gries guarantee no longer covers the phi threshold and true " +
+        "heavy hitters could be missed")
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val cands = broadcast(
+      toks.agg(graft.functions.MisraGriesAgg.mgCandidates(col("term"), k).as("__c"))
+        .select(explode(col("__c")).as("__cand")))
+    val n = broadcast(toks.agg(count(lit(1)).as("__n")))
+    toks.join(cands, col("term") === col("__cand"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(n)
+      .filter(col("cnt").cast("double") > lit(phi) * col("__n").cast("double"))
+      .select(col("term"), col("cnt"))
+  }
+
   /** Global term frequencies, ranked. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, limit: Int): DataFrame =
     docs

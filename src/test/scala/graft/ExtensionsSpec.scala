@@ -43,6 +43,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |GROUP BY g ORDER BY g""".stripMargin)
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       assert(grouped(0L) == Seq(0L, 20L) && grouped(1L) == Seq(10L, 30L))
+      // Misra-Gries candidates from SQL: the frequent term must survive
+      // a k far below the vocabulary size
+      val cands = s.sql(
+        """SELECT graft_mg_candidates(t, 2) AS c FROM
+          |  (SELECT explode(split('hot hot hot hot hot hot a b c d e f', ' ')) AS t)""".stripMargin)
+        .first().getSeq[String](0)
+      assert(cands.contains("hot"), s"frequent term evicted: $cands")
+      assert(cands.length <= 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

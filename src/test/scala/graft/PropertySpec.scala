@@ -156,6 +156,36 @@ class PropertySpec extends SparkSpec {
     topSelf.foreach { case (q, p) => assert(q == p, s"query $q missed itself (got $p)") }
   }
 
+  test("property: Misra-Gries keeps every term above N/(k+1) across partition merges") {
+    // skewed stream, deterministically interleaved, split over 13
+    // partitions so partial buffers MUST merge; N=750, k=6 → bound 107
+    val rows = ((1 to 400).map(i => s"rare$i") ++ Seq.fill(200)("hot") ++ Seq.fill(150)("warm"))
+      .zipWithIndex.sortBy { case (_, i) => (i * 7919) % 750 }.map(_._1)
+    val df = rows.toDF("t").repartition(13)
+    val cands = df.agg(graft.functions.MisraGriesAgg.mgCandidates(col("t"), 6).as("c"))
+      .first().getSeq[String](0)
+    assert(cands.length <= 6, s"state exceeded k: $cands")
+    assert(cands.contains("hot") && cands.contains("warm"),
+      s"terms above N/(k+1) must survive any merge order: $cands")
+  }
+
+  test("property: heavyHitters is EXACTLY the terms above phi*N, sketch at minimum k") {
+    val toks = Seq.fill(60)("alpha") ++ Seq.fill(30)("beta") ++ (1 to 100).map(i => s"tail$i")
+    val docs = toks.zipWithIndex.sortBy { case (_, i) => (i * 131) % 190 }.map(_._1)
+      .grouped(10).zipWithIndex.map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    // N=190: phi=0.2 → threshold 38 (alpha only); phi=0.1 → 19 (alpha+beta)
+    for ((phi, want) <- Seq(0.2 -> Set("alpha"), 0.1 -> Set("alpha", "beta"))) {
+      val k = math.ceil(1.0 / phi).toInt // tightest k the guarantee allows
+      val got = TextAnalysis.heavyHitters(docs, "doc_id", "text", phi, sketchK = k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == want, s"phi=$phi: $got")
+      assert(got("alpha") == 60L, "second pass counts are exact, not sketch estimates")
+    }
+    intercept[IllegalArgumentException](
+      TextAnalysis.heavyHitters(docs, "doc_id", "text", 0.1, sketchK = 5))
+  }
+
   test("property: bounded KMV aggregate equals the unbounded declarative k-min set") {
     val vals = samples(Gen.chooseNum(0L, 1L << 32), 500)
     val df = vals.zipWithIndex.map { case (h, i) => (i % 3, h) }.toDF("g", "h")
