@@ -88,6 +88,17 @@ class PlanSpec extends SparkSpec {
       s"train-df guard window missing from the plan:\n$plan")
   }
 
+  test("heavy hitters: sketch aggregates map-side, candidates broadcast into a semi-join") {
+    val plan = formatted(
+      TextAnalysis.heavyHitters(Tables.documents(spark, sf0001), "doc_id", "text", phi = 0.01))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"Misra-Gries pass lost its partial (map-side) aggregation:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact pass must count candidates only (semi-join missing):\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"candidate set (≤ k rows) must broadcast, not shuffle:\n$plan")
+  }
+
   test("partitioned layout: a partition-key filter prunes directories, not rows") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
     Tables.documents(spark, sf0001)
