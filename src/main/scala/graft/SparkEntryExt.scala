@@ -152,6 +152,12 @@ object SparkEntryExt {
     "text_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitters(Tables.documents(s, d), "doc_id", "text", phi = 0.01)
         .orderBy(desc("cnt"), col("term"))),
+    // LLM-pretraining sequence packing: two-phase sharded prefix sum
+    // must equal the oracle's single global cumsum
+    "q_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+          seqLen = 512, docsPerShard = 100)
+        .orderBy(col("doc_id"))),
     // eval-set decontamination: every 5th doc plays the held-out set,
     // the rest the training corpus; trigram collisions ≥ 3 flag a pair
     "dedup_contaminate" -> ((s, d) => {
@@ -451,6 +457,21 @@ object SparkEntryExt {
          |  round(coalesce(b.mx::DOUBLE / b.tot, 0.0), 6) AS top_bigram_frac,
          |  round(coalesce((tg.tot - tg.nd)::DOUBLE / tg.tot, 0.0), 6) AS dup_trigram_frac
          |FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |  prev // 512 AS seq_start,
+         |  (prev + n_tokens - 1) // 512 AS seq_end,
+         |  prev % 512 AS offset
+         |FROM c
          |ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),

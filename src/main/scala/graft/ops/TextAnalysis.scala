@@ -200,6 +200,49 @@ object TextAnalysis {
         lit(0L),
         (acc, t) => pmod(acc * 31 + h32(t), lit(1000000007L))).as("fingerprint"))
 
+  /** Sequence packing — the LLM-pretraining step that virtually
+    * concatenates the corpus token stream (docs in `idCol` order) and
+    * cuts it into fixed `seqLen`-token training sequences. Per doc:
+    * which sequence its tokens start and end in, and the offset within
+    * the starting sequence — everything a downstream writer needs to
+    * place tokens. Zero-token docs are dropped (they occupy no space).
+    *
+    * Scale shape: a global running sum is inherently sequential, so it
+    * is built in TWO phases instead of one all-rows single-partition
+    * window: (1) per-shard token totals (one shuffle, map-side
+    * combined) prefix-summed over the SHARD table — a single-partition
+    * window, but over #shards rows, bounded by |docs|/docsPerShard;
+    * (2) a per-shard cumulative window (partitioned, parallel) plus the
+    * broadcast shard offset. Result is identical to the global cumsum
+    * for ANY docsPerShard (property-tested), fully lazy, no collect.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, seqLen: Int,
+      docsPerShard: Int = 10000): DataFrame = {
+    require(seqLen >= 1, s"seqLen ($seqLen) must be >= 1")
+    require(docsPerShard >= 1, s"docsPerShard ($docsPerShard) must be >= 1")
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__shard", floor(col("doc_id") / docsPerShard).cast("long"))
+    val shardOffs = t.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__shard_off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__shard"), col("__shard_off"))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(shardOffs), "__shard")
+      .withColumn("__prev", col("__shard_off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not floor(double /): token offsets must stay exact
+      // past 2^53 (a 100 TB corpus is ~2.5e13 tokens — close enough to
+      // care about the representable-double cliff)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__prev DIV $seqLen").as("seq_start"),
+        expr(s"(__prev + n_tokens - 1) DIV $seqLen").as("seq_end"),
+        pmod(col("__prev"), lit(seqLen.toLong)).as("offset"))
+  }
+
   /** Deterministic hash sampling + dataset mixing + split assignment —
     * the reproducible way to subsample/mix a training corpus. Membership
     * depends ONLY on the row id (h = portable-hash(id) mod 100), never

@@ -156,6 +156,36 @@ class PropertySpec extends SparkSpec {
     topSelf.foreach { case (q, p) => assert(q == p, s"query $q missed itself (got $p)") }
   }
 
+  test("property: packSequences — sharded prefix sum equals global cumsum at any shard size") {
+    val docs = samples(Gen.choose(1, 25), 60).zipWithIndex
+      .map { case (n, i) => (i.toLong * 3 + 1, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    def run(shard: Int) =
+      TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 16, docsPerShard = shard)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val ref = run(1000000) // one shard == the plain global cumsum
+    for (shard <- Seq(1, 7, 50)) assert(run(shard) == ref, s"docsPerShard=$shard diverged")
+  }
+
+  test("packSequences: hand-computed placement, spanning docs included") {
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 16).map(i => s"b$i").mkString(" ")), // spans sequences 0..2
+      (3L, "c1 c2 c3"),
+      (4L, "   ")                                     // zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 8, docsPerShard = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((5L, 0L, 0L, 0L)),
+      2L -> ((16L, 0L, 2L, 5L)),
+      3L -> ((3L, 2L, 2L, 5L))))
+  }
+
   test("property: Misra-Gries keeps every term above N/(k+1) across partition merges") {
     // skewed stream, deterministically interleaved, split over 13
     // partitions so partial buffers MUST merge; N=750, k=6 → bound 107
