@@ -27,6 +27,55 @@ object SparkEntryExt {
     * candidate pairs from 5k docs at sf0.1); trigrams isolate the ~244
     * genuinely near-duplicate pairs at ~10,000× less verify work.
     */
+  /** Unrolled deterministic k-means (2 Lloyd iterations, centroids
+    * rounded to 6 dp each update, stale-cell rule) + multi-probe IVF
+    * search — mirrors SimilaritySearch.ivfTrainedTopK step for step. A
+    * standalone SELECT so `sim_recall_eval` can embed it as a derived
+    * table as well as `sim_ivf_trained` using it directly.
+    */
+  private lazy val ivfTrainedSelect: String = {
+    def assignCte(src: String, cents: String): String =
+      s"""SELECT pid, v, cid FROM (
+         |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
+         |  FROM (SELECT p.pid, p.v, c.cid, ${sqlCos("p.v", "c.c")} AS s
+         |        FROM $src p CROSS JOIN $cents c)) WHERE rn = 1""".stripMargin
+    // stale-cell rule (mirrors kmeansCentroids): a cid absent from the
+    // assignment keeps its previous centroid instead of vanishing
+    def updateCte(assigned: String, prev: String): String =
+      s"""SELECT p.cid, coalesce(u.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |  SELECT cid, list(m ORDER BY j) AS c FROM (
+         |    SELECT cid, j, round(avg(v[j]), 6) AS m
+         |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+         |    GROUP BY cid, j) GROUP BY cid) u ON p.cid = u.cid""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
+       |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 10),
+       |c0 AS (
+       |  SELECT pid AS cid, v AS c
+       |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 16)),
+       |a1 AS (${assignCte("pts", "c0")}),
+       |c1 AS (${updateCte("a1", "c0")}),
+       |a2 AS (${assignCte("pts", "c1")}),
+       |c2 AS (${updateCte("a2", "c1")}),
+       |ap AS (${assignCte("pts", "c2")}),
+       |qp AS (
+       |  SELECT pid AS qid, v AS qv, cid FROM (
+       |    SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
+       |    FROM (SELECT q.pid, q.v, c.cid, ${sqlCos("q.v", "c.c")} AS s
+       |          FROM qs q CROSS JOIN c2 c)) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT qp.qid AS query_id, ap.pid AS point_id, ${sqlCos("qp.qv", "ap.v")} AS score
+       |  FROM qp JOIN ap ON qp.cid = ap.cid),
+       |ranked AS (
+       |  SELECT query_id, point_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id) AS BIGINT)
+       |      AS rank
+       |  FROM scored QUALIFY rank <= 3)
+       |SELECT query_id, rank, point_id, round(score, 6) AS score
+       |FROM ranked ORDER BY query_id, rank""".stripMargin
+  }
+
   private lazy val minhashPairsCte: String =
     s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
@@ -124,6 +173,18 @@ object SparkEntryExt {
           dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // index-quality eval: recall@3 of the trained IVF (nprobe=4) vs the
+    // exact kNN ground truth — the nprobe/kCentroids tuning loop
+    "sim_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val points = emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id")
+      val exact = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 3)
+      val approx = SimilaritySearch.ivfTrainedTopK(queries, points, "vec_id", "point_id",
+        "embedding", dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
+      SimilaritySearch.recallAtK(exact, approx, "query_id", "point_id", 3)
+        .orderBy(col("query_id"))
     }),
     "sim_neardup" -> ((s, d) =>
       SimilaritySearch.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -340,51 +401,27 @@ object SparkEntryExt {
          |  CAST(list_min(codes) AS BIGINT) AS min_code,
          |  round(${sqlCos("v", "dq")}, 6) AS cos_recon
          |FROM d ORDER BY vec_id""".stripMargin,
-    "sim_ivf_trained" -> {
-      // Unrolled deterministic k-means (2 Lloyd iterations, centroids
-      // rounded to 6 dp each update) + multi-probe IVF search —
-      // mirrors SimilaritySearch.ivfTrainedTopK step for step.
-      def assignCte(src: String, cents: String): String =
-        s"""SELECT pid, v, cid FROM (
-           |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
-           |  FROM (SELECT p.pid, p.v, c.cid, ${sqlCos("p.v", "c.c")} AS s
-           |        FROM $src p CROSS JOIN $cents c)) WHERE rn = 1""".stripMargin
-      // stale-cell rule (mirrors kmeansCentroids): a cid absent from the
-      // assignment keeps its previous centroid instead of vanishing
-      def updateCte(assigned: String, prev: String): String =
-        s"""SELECT p.cid, coalesce(u.c, p.c) AS c FROM $prev p LEFT JOIN (
-           |  SELECT cid, list(m ORDER BY j) AS c FROM (
-           |    SELECT cid, j, round(avg(v[j]), 6) AS m
-           |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
-           |    GROUP BY cid, j) GROUP BY cid) u ON p.cid = u.cid""".stripMargin
-      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
-         |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 10),
-         |c0 AS (
-         |  SELECT pid AS cid, v AS c
-         |  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT 16)),
-         |a1 AS (${assignCte("pts", "c0")}),
-         |c1 AS (${updateCte("a1", "c0")}),
-         |a2 AS (${assignCte("pts", "c1")}),
-         |c2 AS (${updateCte("a2", "c1")}),
-         |ap AS (${assignCte("pts", "c2")}),
-         |qp AS (
-         |  SELECT pid AS qid, v AS qv, cid FROM (
-         |    SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
-         |    FROM (SELECT q.pid, q.v, c.cid, ${sqlCos("q.v", "c.c")} AS s
-         |          FROM qs q CROSS JOIN c2 c)) WHERE rn <= 4),
-         |scored AS (
-         |  SELECT qp.qid AS query_id, ap.pid AS point_id, ${sqlCos("qp.qv", "ap.v")} AS score
-         |  FROM qp JOIN ap ON qp.cid = ap.cid),
-         |ranked AS (
-         |  SELECT query_id, point_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id) AS BIGINT)
-         |      AS rank
-         |  FROM scored QUALIFY rank <= 3)
-         |SELECT query_id, rank, point_id, round(score, 6) AS score
-         |FROM ranked ORDER BY query_id, rank""".stripMargin
-    },
+    "sim_ivf_trained" -> ivfTrainedSelect,
+    "sim_recall_eval" ->
+      s"""WITH exact AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank
+         |    FROM embeddings q, embeddings p
+         |    WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |    QUALIFY rank <= 3)),
+         |approx AS (SELECT query_id, point_id FROM ($ivfTrainedSelect)),
+         |hits AS (
+         |  SELECT e.query_id, count(*) AS n_hits
+         |  FROM exact e JOIN approx a USING (query_id, point_id)
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / 3, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     "sim_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

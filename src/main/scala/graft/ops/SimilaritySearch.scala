@@ -178,6 +178,30 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("point_id"), col("score"))
   }
 
+  /** Index-quality evaluation: per-query recall@k of an approximate hit
+    * table against the exact ground truth (both as (queryCol, pointCol)
+    * rows, e.g. [[ivfTrainedTopK]] vs [[graft.ops.Knn.knnJoin]]). This
+    * is the operator an ANN deployment tunes `nprobe`/`kCentroids`
+    * with: run it on a sampled query set, move the knobs, re-measure.
+    * Queries whose approximate hits miss entirely report 0.0 (a left
+    * join — silently dropping them would overstate recall). One
+    * semi-join + one aggregation, both on query_id; at scale the
+    * sampled query set is small by construction.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+      pointCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val e = exact.select(col(queryCol).as("query_id"), col(pointCol).as("point_id"))
+    val a = approx.select(col(queryCol).as("query_id"), col(pointCol).as("point_id"))
+    val hits = e.join(a, Seq("query_id", "point_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k, 6).as("recall_at_k"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * pruned by the same sign-bucket (candidates must share the bucket —
     * documented recall trade-off; brute-force variant sets bits=0).

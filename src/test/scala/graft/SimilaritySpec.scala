@@ -66,6 +66,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rWide >= rEqual, "widening the probe set must not reduce recall")
   }
 
+  test("recallAtK: self-recall 1.0, total miss 0.0, partial exact fraction") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "point_id")
+    // q1: all 3 found; q2: 1 of 3; q3: none (must still appear as 0.0)
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 98L), (2L, 99L),
+      (3L, 97L), (3L, 96L), (3L, 95L)).toDF("query_id", "point_id")
+    val got = SimilaritySearch.recallAtK(exact, approx, "query_id", "point_id", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((3L, 1.0)), 2L -> ((1L, 0.333333)), 3L -> ((0L, 0.0))))
+  }
+
   test("cosineNearDup(bits=0) is the exact form: matches threshold filter on all pairs") {
     val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 60)
     val exact = SimilaritySearch.cosineNearDup(emb, "vec_id", "embedding", 0.3, bits = 0).count()
