@@ -303,11 +303,27 @@ object Dedup {
     * should look at the data, not trust the labels silently.
     *
     * The per-round changed-label count is one aggregate over the
-    * already-materialized `next` joined to the (cached) previous round —
-    * both tiny label tables, no upstream re-execution. The fixed-unroll
+    * already-materialized `next` joined to the previous round — both
+    * tiny label tables, no upstream re-execution. The fixed-unroll
     * [[clusterLabels]] remains the oracle-checked form (a convergence
     * loop is run-dependent, so it cannot be transliterated to static
     * SQL); this is the production entry point.
+    *
+    * Lineage discipline — `localCheckpoint`, NOT `persist`: each round
+    * references the previous label table twice (self ∪ neighbor-join),
+    * so the LOGICAL plan doubles per round even when execution hits the
+    * cache. A persist-only loop over a real pair pipeline grew the plan
+    * to 2^rounds copies of the whole upstream LSH subtree and the
+    * DRIVER — analyzer, optimizer, plan-string generation — spun for
+    * tens of minutes on a 12-doc corpus while executors sat idle.
+    * `localCheckpoint(eager = true)` materializes the round AND
+    * truncates the plan to a leaf, so per-round planning cost is flat.
+    * (On a cluster, executor loss invalidates a local checkpoint and
+    * fails the job — the retry-from-scratch trade every iterative
+    * framework makes for driver-side sanity; use reliable checkpointing
+    * if that trade is wrong for the deployment.) Superseded rounds'
+    * blocks are released asynchronously by the ContextCleaner once the
+    * old `labels` reference drops.
     */
   def clusterLabelsConverged(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 20): DataFrame = {
@@ -318,8 +334,8 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label")).persist()
-    labels.count()
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
+      .localCheckpoint(true)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIterations) {
@@ -327,14 +343,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
       val next = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .persist()
-      // one count over the join of two cached label tables — min-label
-      // propagation only ever DECREASES a label, so inequality == change
+        .localCheckpoint(true)
+      // one count over the join of two checkpointed label tables —
+      // min-label propagation only ever DECREASES a label, so
+      // inequality == change
       changed = next.as("n")
         .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
         .filter(col("n.label") =!= col("p.label"))
         .count()
-      labels.unpersist()
       labels = next
       it += 1
     }
@@ -383,6 +399,62 @@ object Dedup {
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     withHash.join(reps, "__ch").join(repClusters, "rep_id")
       .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** Incremental dedup — the production shape for a GROWING corpus:
+    * match a NEW batch of docs against the EXISTING corpus without ever
+    * comparing corpus×corpus (that work was already paid when each
+    * earlier batch arrived). Two tiers, one result:
+    *
+    *  - `exact`: content-hash equi-join (jaccard = 1.0 by definition);
+    *  - `near`:  batch band table ⋈ corpus band table on (band, key) —
+    *    an ASYMMETRIC LSH join whose cost is |batch| driven — then the
+    *    usual exact-Jaccard verification of candidates, minus the pairs
+    *    the exact tier already claimed.
+    *
+    * At 100 TB: the corpus band table is the big side (shuffled or
+    * pre-bucketed once and reused across daily batches); the batch side
+    * is broadcastable. The corpus side carries the hot-bucket cap — the
+    * boilerplate risk lives in the accumulated corpus, and a batch doc
+    * hot in EVERY corpus band is boilerplate, not a near-dup.
+    * Output: (new_id, corpus_id, jaccard, kind).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bHash = batch.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("__ch"))
+    val cHash = corpus.select(col(idCol).as("corpus_id"), sha2(col(textCol), 256).as("__ch"))
+    val exact = bHash.join(cHash, "__ch")
+      .select(col("new_id"), col("corpus_id"),
+        lit(1.0).as("jaccard"), lit("exact").as("kind"))
+    val shB = shingleRows(batch, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
+    val shC = shingleRows(corpus, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
+    val bandsB = lshBands(minHashSignatures(shB, numHashes), numHashes, rowsPerBand)
+    val bandsC = lshBands(minHashSignatures(shC, numHashes), numHashes, rowsPerBand)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
+    val cGuard = bandsC
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
+    val cands = bandsB.select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(cGuard, Seq("band", "key"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val setsB = shB.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("sa"), count(lit(1)).as("sza"))
+      .withColumnRenamed("doc_id", "new_id")
+    val setsC = shC.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("sb"), count(lit(1)).as("szb"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val inter = graft.functions.VectorExpressions.sortedIntersectSize(col("sa"), col("sb"))
+    val near = cands.join(setsB, "new_id").join(setsC, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (inter.cast("double") /
+          (col("sza") + col("szb") - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(exact.select(col("new_id"), col("corpus_id")), Seq("new_id", "corpus_id"), "left_anti")
+      .withColumn("kind", lit("near"))
+    exact.unionByName(near)
   }
 
   /** Cross-corpus decontamination: which TEST docs share at least
