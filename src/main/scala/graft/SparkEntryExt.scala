@@ -76,8 +76,14 @@ object SparkEntryExt {
        |FROM ranked ORDER BY query_id, rank""".stripMargin
   }
 
-  private lazy val minhashPairsCte: String =
-    s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** Shared prefix: tokenize → trigram shingles → portable hash →
+    * 16-seed MinHash signatures → 2×8 band table. Doc signatures are
+    * independent of every other doc, so the SAME band table serves the
+    * symmetric self-join (`minhashPairsCte`) and the asymmetric
+    * batch-vs-corpus join (`dedup_incremental`).
+    */
+  private lazy val minhashBandsCte: String =
+    s"""tl AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, unnest(${ngramSql("t", 3)}) AS sh
        |  FROM tl),
@@ -89,7 +95,10 @@ object SparkEntryExt {
        |  FROM shh, seeds GROUP BY doc_id, seed),
        |bands AS (
        |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
-       |  FROM mh GROUP BY doc_id, band),
+       |  FROM mh GROUP BY doc_id, band)""".stripMargin
+
+  private lazy val minhashPairsCte: String =
+    s"""WITH $minhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -104,6 +113,12 @@ object SparkEntryExt {
        |  JOIN sets sb ON cand.doc_b = sb.doc_id
        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
        |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
+
+  /** DuckDB mirror of [[Layout.zValue]]: unrolled Morton interleave. */
+  private def zSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   private def bucketSql(col: String): String =
     s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
@@ -208,6 +223,34 @@ object SparkEntryExt {
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // C4-style boilerplate removal: segments (split on ' the ') shared
+    // by >= 3 docs are dropped; docs re-assembled in original order
+    "text_clean" -> ((s, d) =>
+      Clean.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          sep = " the ", minDocs = 3)
+        .orderBy(col("doc_id"))),
+    // PII redaction over deterministically PII-seeded text (the corpus
+    // itself is synthetic word soup; the seeding makes every redaction
+    // branch — URL, email, IP, phone — fire and stay oracle-checkable)
+    "text_pii" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com via "),
+            lit("http://ex.org/u/"), col("doc_id").cast("string"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 tel +1-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("pii_text"))
+      Clean.redactPii(withPii, "pii_text", "redacted")
+        .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ip"), col("n_phone"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style composite quality filter: first-failing-rule cascade
+    // over the joined quality + repetition signals
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // exact heavy hitters via the O(k)-state sketch + exact re-count:
     // deterministic (= all terms above phi*N) despite the sketch pass
     "text_heavy_hitters" -> ((s, d) =>
@@ -228,6 +271,18 @@ object SparkEntryExt {
           docs.filter(col("doc_id") % 5 === 4),
           "doc_id", "text", n = 3, minHits = 3)
         .orderBy(col("test_id"), col("train_id"))
+    }),
+    // incremental dedup: docs with doc_id % 10 == 3 play the NEW batch,
+    // the rest the accumulated corpus — batch×corpus only, two tiers
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 =!= 3),
+          docs.filter(col("doc_id") % 10 === 3),
+          "doc_id", "text", shingleN = 3, numHashes = 16, rowsPerBand = 8, threshold = 0.5)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"), col("kind"))
+        .orderBy(col("new_id"), col("corpus_id"), col("kind"))
     }),
     "mm_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d), "doc_id", "text", frameSize = 64)
@@ -268,9 +323,32 @@ object SparkEntryExt {
           .as("geo_mean_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsSql(s, d)),
+    // bloom-prefiltered EXACT semi-join (runtime-filter shape, made
+    // explicit): result is row-identical to the plain semi-join — the
+    // bloom only decides how much of the big side survives to the
+    // confirm join's shuffle
+    "q_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      BloomJoin.bloomSemiJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey",
+          numBits = BloomJoin.bitsFor(100000))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d, KmvK)),
     "q_kmv_sketch" -> ((s, d) => Relational.kmvDistinctSketchOnly(s, d, KmvK)),
+    // Z-order layout audit: Morton-key buckets carry tight min/max
+    // envelopes on BOTH dimensions — the write-side layout that makes
+    // scan pruning work on either column
+    "q_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vb", floor(col("value")).cast("long"))
+      Layout.zBucketStats(ev, "user_id", "vb", bits = 12, bucketShift = 14)
+        .orderBy(col("z_bucket"))
+    }),
     "q_sample_mix" -> ((s, d) =>
       TextAnalysis.hashSampleMix(Tables.documents(s, d), "doc_id", "lang",
           rates = Map("en" -> 80, "zh" -> 30), defaultRate = 50)
@@ -495,6 +573,94 @@ object SparkEntryExt {
          |  round(coalesce((tg.tot - tg.nd)::DOUBLE / tg.tot, 0.0), 6) AS dup_trigram_frac
          |FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_clean" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, paras[i] AS seg
+         |  FROM (SELECT doc_id,
+         |          list_filter(list_transform(string_split(text, ' the '), s -> trim(s)),
+         |            s -> length(s) > 0) AS paras
+         |        FROM documents) p,
+         |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g),
+         |dfq AS (
+         |  SELECT lower(seg) AS key, count(DISTINCT doc_id) AS nd
+         |  FROM segs GROUP BY 1),
+         |fl AS (
+         |  SELECT s.doc_id, s.idx, s.seg, d.nd >= 3 AS b
+         |  FROM segs s JOIN dfq d ON lower(s.seg) = d.key),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_segs,
+         |    count(*) FILTER (NOT b) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN NOT b THEN seg END, ' the ' ORDER BY idx), '')
+         |      AS clean_text
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_segs, 0) AS n_segs,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || doc_id || '@example.com via '
+         |      || 'http://ex.org/u/' || doc_id || ' from 10.0.' || (doc_id % 256)
+         |      || '.7 tel +1-555-' || lpad(doc_id::VARCHAR, 4, '0') AS pii_text
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(pii_text, '\\+?[0-9][0-9\\-]{6,}[0-9]')) AS BIGINT)
+         |    AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |    '\\+?[0-9][0-9\\-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH tl AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+         |      (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
+         |    round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
+         |      / len(t), 6) AS stopword_ratio,
+         |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio
+         |  FROM tl),
+         |u AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS g FROM tl) GROUP BY 1, 2) GROUP BY doc_id),
+         |tg AS (SELECT doc_id,
+         |    round(coalesce((sum(c) - count(*))::DOUBLE / sum(c), 0.0), 6) AS dup_trigram_frac
+         |  FROM (
+         |    SELECT doc_id, g, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(${ngramSql("t", 3)}) AS g FROM tl)
+         |    GROUP BY 1, 2) GROUP BY doc_id),
+         |j AS (
+         |  SELECT st.doc_id, st.n_tokens, st.avg_token_len, st.stopword_ratio,
+         |    st.type_token_ratio, u.top_unigram_frac, coalesce(tg.dup_trigram_frac, 0.0)
+         |      AS dup_trigram_frac
+         |  FROM st JOIN u USING (doc_id) LEFT JOIN tg USING (doc_id)),
+         |r AS (
+         |  SELECT *,
+         |    CASE WHEN n_tokens < 12 THEN 'too_short'
+         |         WHEN n_tokens > 100000 THEN 'too_long'
+         |         WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_len'
+         |         WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+         |         WHEN top_unigram_frac > 0.125 THEN 'repetitive_unigram'
+         |         WHEN dup_trigram_frac > 0.5 THEN 'repetitive_trigram'
+         |         WHEN type_token_ratio < 0.3 THEN 'low_diversity'
+         |         ELSE 'ok' END AS reason
+         |  FROM j)
+         |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, type_token_ratio,
+         |  top_unigram_frac, dup_trigram_frac, reason, reason = 'ok' AS keep
+         |FROM r
+         |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
@@ -541,6 +707,33 @@ object SparkEntryExt {
          |  round(hits.n_shared::DOUBLE / tet.n_sh, 6) AS frac
          |FROM hits JOIN tet USING (test_id)
          |ORDER BY test_id, train_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3),
+         |sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM shh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM documents b JOIN documents c ON sha256(b.text) = sha256(c.text)
+         |  WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3),
+         |near AS (
+         |  SELECT new_id, corpus_id,
+         |    len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |      len(list_distinct(list_concat(sa.s, sb.s))) AS j
+         |  FROM cand
+         |  JOIN sets sa ON cand.new_id = sa.doc_id
+         |  JOIN sets sb ON cand.corpus_id = sb.doc_id
+         |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)
+         |SELECT new_id, corpus_id, CAST(1.0 AS DOUBLE) AS jaccard, 'exact' AS kind FROM ex
+         |UNION ALL
+         |SELECT n.new_id, n.corpus_id, round(n.j, 6) AS jaccard, 'near' AS kind
+         |FROM near n
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ex WHERE ex.new_id = n.new_id AND ex.corpus_id = n.corpus_id)
+         |ORDER BY new_id, corpus_id, kind""".stripMargin,
     "text_top_terms" ->
       s"""SELECT term, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
@@ -737,6 +930,15 @@ object SparkEntryExt {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    // the bloom prefilter is exact-by-construction (no false negatives
+    // + confirm join), so the oracle is the PLAIN semi-join:
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // q_approx_distinct intentionally has no oracle: HLL sketch values
     // are engine-specific (driver records the weaker rows-only check).
     // q_kmv_distinct is the deterministic sketch that IS checkable:
@@ -769,6 +971,15 @@ object SparkEntryExt {
          |    ELSE ${KmvK - 1}.0 * 4294967296.0 / mins[$KmvK] END, 4) AS kmv_estimate
          |FROM g
          |ORDER BY event_type""".stripMargin,
+    "q_zorder" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(value) AS BIGINT) AS vb FROM events),
+         |z AS (SELECT user_id, vb, ${zSql("user_id", "vb", 12)} AS zv FROM e)
+         |SELECT zv >> 14 AS z_bucket, count(*) AS n,
+         |  min(user_id) AS min_a, max(user_id) AS max_a,
+         |  min(vb) AS min_b, max(vb) AS max_b
+         |FROM z GROUP BY 1
+         |ORDER BY z_bucket""".stripMargin,
     "q_sample_mix" ->
       s"""WITH s AS (
          |  SELECT lang, n_chars,

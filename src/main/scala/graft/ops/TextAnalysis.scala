@@ -116,6 +116,44 @@ object TextAnalysis {
           lit(0.0d)), 6).as("dup_trigram_frac"))
   }
 
+  /** Gopher-style composite quality filter: join the per-doc quality
+    * signals ([[qualityStats]] + [[repetitionStats]]) and apply a fixed
+    * rule cascade; each doc gets `keep` plus the FIRST failing rule as
+    * `reason` ("ok" when kept). Thresholds compare the ROUNDED (6 dp)
+    * signal columns, so the decision is reproducible across engines and
+    * runs — a float-boundary doc cannot flip sides.
+    *
+    * Plan shape: the two signal operators' aggregations plus one
+    * doc_id equi-join; the cascade itself is a narrow projection. At
+    * 100 TB the join is co-partitioned (both sides aggregate on
+    * doc_id), so the filter adds no exchange beyond its inputs.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = qualityStats(docs, idCol, textCol)
+    val rep = repetitionStats(docs, idCol, textCol)
+      .select(col("doc_id"), col("top_unigram_frac"), col("dup_trigram_frac"))
+    val joined = stats.join(rep, Seq("doc_id"))
+    val reason =
+      when(col("n_tokens") < 12, lit("too_short"))
+        .when(col("n_tokens") > 100000, lit("too_long"))
+        .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0, lit("token_len"))
+        .when(col("stopword_ratio") < 0.01, lit("no_stopwords"))
+        .when(col("top_unigram_frac") > 0.125, lit("repetitive_unigram"))
+        .when(col("dup_trigram_frac") > 0.5, lit("repetitive_trigram"))
+        .when(col("type_token_ratio") < 0.3, lit("low_diversity"))
+        .otherwise(lit("ok"))
+    joined.select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("avg_token_len"),
+      col("stopword_ratio"),
+      col("type_token_ratio"),
+      col("top_unigram_frac"),
+      col("dup_trigram_frac"),
+      reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
+
   /** EXACT heavy hitters — every term with frequency > phi·N — in two
     * bounded passes, never a full-vocabulary shuffle:
     *
