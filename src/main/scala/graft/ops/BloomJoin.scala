@@ -12,9 +12,9 @@ import graft.functions.BloomAgg
   *
   * Why it matters at 100 TB: a plain semi-join shuffles BOTH sides on
   * the key — including the 100 TB probe side. Here the build side
-  * collapses to ONE filter row (numBits/8 bytes) broadcast to every
-  * scan task; rows failing the membership probe die AT THE SCAN, before
-  * any exchange. Only the surviving sliver (true matches + the bloom's
+  * collapses to ONE filter value (numBits/8 bytes) embedded in the
+  * probe predicate; rows failing the membership probe die AT THE SCAN,
+  * before any exchange. Only the surviving sliver (true matches + the bloom's
   * false-positive rate) reaches the exact confirmation join, so the
   * shuffle is proportional to the MATCH size, not the input size.
   *
@@ -49,6 +49,20 @@ object BloomJoin {
   /** The prefilter stage alone (candidates = true matches + false
     * positives) — exposed so tests can measure the fp rate and plans
     * can be audited; production callers want [[bloomSemiJoin]].
+    *
+    * The filter is built EAGERLY (one small job over the build side —
+    * map-side-combinable aggregate, one-row result) and embedded in the
+    * probe predicate as a BINARY literal, the same two-phase shape
+    * Spark's own `InjectRuntimeFilter` produces (bloom built by a
+    * scalar subquery, probe expression holding the bytes as a
+    * constant). A literal is loaded into the generated class ONCE per
+    * task. The first cut instead carried the filter as a one-row
+    * broadcast through a cross join and read the BINARY column inside
+    * the per-row probe — and `UnsafeRow.getBinary` COPIES the array,
+    * so every probed row paid a numBits/8-byte memcpy: at sf0.1
+    * (1 M bits, 600 k lineitem rows in one input split) that was 75 GB
+    * of copying in a single 12-minute task. The probe side must never
+    * pay per-row costs proportional to the FILTER size.
     */
   def bloomPrefilter(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
       numBits: Int, numHashFns: Int): DataFrame = {
@@ -58,13 +72,9 @@ object BloomJoin {
       s"bloom join key types must match: $bigKey is " +
         s"${big.schema(bigKey).dataType.catalogString}, $smallKey is " +
         s"${small.schema(smallKey).dataType.catalogString}")
-    // one-row broadcast, lazily built in-plan (same discipline as
-    // tfIdf's N): the filter aggregate is map-side combinable, so the
-    // build side costs one scan + one tiny all-to-one exchange
-    val bloom = broadcast(
-      small.agg(BloomAgg.bloomAgg(xxhash64(col(smallKey)), numBits, numHashFns).as("__bloom")))
-    big.crossJoin(bloom)
-      .filter(BloomAgg.mightContain(col("__bloom"), xxhash64(col(bigKey))))
-      .drop("__bloom")
+    val bytes = small
+      .agg(BloomAgg.bloomAgg(xxhash64(col(smallKey)), numBits, numHashFns).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    big.filter(BloomAgg.mightContain(lit(bytes), xxhash64(col(bigKey))))
   }
 }
