@@ -354,7 +354,36 @@ object SparkEntryExt {
           rates = Map("en" -> 80, "zh" -> 30), defaultRate = 50)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
-        .orderBy(col("lang"), col("split")))
+        .orderBy(col("lang"), col("split"))),
+    // exact per-stratum quota sampling: deterministic top-N per lang in
+    // portable-hash order (WindowGroupLimit pre-prunes before the
+    // stratum shuffle — plan-pinned in PlanSpec)
+    "q_quota_sample" -> ((s, d) =>
+      TextAnalysis.quotaSample(Tables.documents(s, d), "doc_id", "lang",
+          quotas = Map("en" -> 40, "zh" -> 15), defaultQuota = 25)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))),
+    // corpus snapshot diff: v1 drops doc_id%11==3, v2 drops %13==4 and
+    // appends ' v2' to every %9==0 text — all four statuses fire
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Store.corpusDiff(
+          docs.filter(col("doc_id") % 11 =!= 3),
+          docs.filter(col("doc_id") % 13 =!= 4)
+            .withColumn("text",
+              when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // SemDeDup-style semantic dedup: cosine near-dup components over the
+    // sign-bucketed embedding space, min-id representative kept. The
+    // 3-round unroll is the oracle-expressible form; production default
+    // is the converged variant (iterations = 0)
+    "sim_semdedup" -> ((s, d) =>
+      SimilaritySearch.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, bits = 4, iterations = 3)
+        .orderBy(col("id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,6 +1020,56 @@ object SparkEntryExt {
          |  count(*) AS n, round(avg(n_chars), 4) AS avg_chars
          |FROM s WHERE h < rate
          |GROUP BY 1, 2
-         |ORDER BY lang, split""".stripMargin
+         |ORDER BY lang, split""".stripMargin,
+    "q_quota_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h32Sql("doc_id::VARCHAR")}, doc_id) AS rk,
+         |    CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 15 ELSE 25 END AS quota
+         |  FROM documents)
+         |SELECT doc_id, lang, rk FROM r
+         |WHERE rk <= quota
+         |ORDER BY lang, rk""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 13 <> 4)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "sim_semdedup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |prs AS (
+         |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b2.embedding")} >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT vec_id AS doc_id, vec_id AS label FROM embeddings),
+         |l1 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l0
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l2 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l1
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l3 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l2
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id)
+         |SELECT doc_id AS id, label AS cluster_id, (label = doc_id) AS keep
+         |FROM l3
+         |ORDER BY id""".stripMargin
   )
 }

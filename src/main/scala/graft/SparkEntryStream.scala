@@ -79,6 +79,14 @@ object SparkEntryStream {
           countDistinct(col("event_id")).as("n_distinct_ids"))
         .orderBy(col("event_type"))
     }),
+    // stream-stream interval join (click attribution): two watermarked
+    // sides, state bounded by delay + interval; on finite input the
+    // inner join must equal the batch range join
+    "stream_join" -> ((s, d) => withStagedEvents(s, d) { dir =>
+      EventStream.runJoinOnce(s, dir, s"graft_stream_join_${runId.incrementAndGet()}")
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
     // continuous index maintenance (the reference's ingestion loop as a
     // stream): final point store ≡ batch chunk+embed over the LATEST doc
     // versions — i.e. the doc-replace upsert branch is what's checked
@@ -144,6 +152,16 @@ object SparkEntryStream {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // batch range join the finite-input stream-stream join converges to;
+    // epoch_us on both sides — the staged stream input is µs-normalized
+    "stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+        |  AND epoch_us(c.ts) < epoch_us(p.ts)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // batch equivalent of the two-micro-batch ingest: chunk + embed the
     // LATEST version of every doc (20..39 truncated to their re-ingested
     // 120-char v2) — doc-replace upsert means no other row may survive

@@ -222,4 +222,32 @@ object SimilaritySearch {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
+    * cluster embeddings, drop all but one member of every near-duplicate
+    * group): [[cosineNearDup]] pairs above the threshold are collapsed to
+    * connected components and the min-id member of each component is the
+    * kept representative. Output: every id with its `cluster_id` and a
+    * `keep` flag (filter on `keep` for the surviving corpus).
+    *
+    * Scale shape: bucket-pruned pair join (never N² scoring) + label
+    * propagation over id-sized tables. `iterations <= 0` (the default)
+    * runs [[Dedup.clusterLabelsConverged]] — the production mode, exact
+    * for any component diameter; a positive value runs the fixed
+    * `iterations`-round unroll, which is what the static-SQL oracle can
+    * express (`sim_semdedup`) but splits components longer than
+    * `iterations` hops.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int, iterations: Int = 0): DataFrame = {
+    val pairs = cosineNearDup(vectors, idCol, vecCol, threshold, bits)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val ids = vectors.select(col(idCol))
+    val labels =
+      if (iterations <= 0) Dedup.clusterLabelsConverged(ids, idCol, pairs)
+      else Dedup.clusterLabels(ids, idCol, pairs, iterations)
+    labels
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+      .select(col("doc_id").as("id"), col("cluster_id"), col("keep"))
+  }
 }

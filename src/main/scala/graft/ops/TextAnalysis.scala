@@ -305,4 +305,36 @@ object TextAnalysis {
       .withColumn("split",
         when(pmod(col("__h"), lit(10L)) < 8, lit("train")).otherwise(lit("val")))
   }
+
+  /** Exact per-stratum quota sampling: the first `quota` rows of each
+    * stratum in portable-hash order — "exactly 40 en docs, 15 zh docs"
+    * where [[hashSampleMix]]'s rate filter gives only an EXPECTED count.
+    * Hash order is a seeded shuffle of the stratum (membership depends
+    * only on the id), so reruns and engine swaps pick the same rows.
+    *
+    * Scale: the rank<=literal filter compiles to WindowGroupLimit
+    * (plan-pinned in PlanSpec) — each map task pre-prunes to its local
+    * top-maxQuota BEFORE the stratum exchange, so the shuffle carries
+    * O(maxQuota x tasks) rows, not the corpus, and the final per-stratum
+    * sort ranks only those survivors. That is what makes an EXACT global
+    * quota affordable at 100 TB; without the group limit the window
+    * would sort every stratum in full.
+    */
+  def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
+      quotas: Map[String, Int], defaultQuota: Int): DataFrame = {
+    require(defaultQuota >= 1 && quotas.values.forall(_ >= 1),
+      s"quotas must be >= 1 (got default=$defaultQuota, $quotas)")
+    val maxQuota = (quotas.values.toSeq :+ defaultQuota).max
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(defaultQuota)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(h32(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("rk", row_number().over(w))
+      // the literal conjunct is what InferWindowGroupLimit keys on (a
+      // per-stratum CASE bound alone would defeat the pre-shuffle
+      // prune); the CASE conjunct then trims to each stratum's quota
+      .filter(col("rk") <= lit(maxQuota) && col("rk") <= quota)
+  }
 }

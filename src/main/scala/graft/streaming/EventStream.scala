@@ -118,6 +118,56 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the `interval` before it — click attribution, the
+    * canonical two-unbounded-inputs join. Both sides carry event-time
+    * watermarks AND the join condition bounds `click_ts` relative to
+    * `purchase_ts` on both ends, which is exactly what Spark needs to
+    * derive a state-eviction horizon for EACH side: a buffered click is
+    * droppable once the purchase watermark passes `click_ts + interval`,
+    * so state holds only ~(watermark delay + interval) of rows per side
+    * regardless of how long the streams run — the property that lets
+    * two 100 TB/day streams join with bounded memory. Without the
+    * interval bounds the same inner join would buffer both streams
+    * forever. Inner join in append mode emits pairs as they match; on a
+    * finite input the result must equal the batch range join (the
+    * `stream_join` oracle).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      delay: String, interval: String): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $interval") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Drive the attribution join over a parquet dir (the two sides are
+    * event-type filters of the SAME staged source), single batch,
+    * append-mode memory sink.
+    */
+  def runJoinOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+    val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val q = attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        delay = "1 hour", interval = "6 hours").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Continuous vector-index maintenance: the reference's ingestion
     * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
     * new documents arriving in `inputDir` are chunked, hash-embedded,

@@ -193,6 +193,55 @@ class OpsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == ev.count())
   }
 
+  test("streaming: interval join equals batch semantics, boundary clicks handled exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("evjoin").toString
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    // purchase for user 1 at noon; clicks straddle every boundary of the
+    // [ts-6h, ts) window, plus a same-time click from another user
+    Seq(
+      (1L, t("2024-01-01 12:00:00"), 1L, "click", 0.0),    // == purchase ts: excluded
+      (2L, t("2024-01-01 11:59:59"), 1L, "click", 0.0),    // inside: included
+      (3L, t("2024-01-01 06:00:00"), 1L, "click", 0.0),    // == ts-6h: included (>=)
+      (4L, t("2024-01-01 05:59:59"), 1L, "click", 0.0),    // before window: excluded
+      (5L, t("2024-01-01 11:59:59"), 2L, "click", 0.0),    // other user: excluded
+      (6L, t("2024-01-01 11:00:00"), 1L, "view", 0.0),     // other type: excluded
+      (100L, t("2024-01-01 12:00:00"), 1L, "purchase", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(tmp)
+    val got = EventStream.runJoinOnce(spark, tmp, "ev_join_test")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 2L), (100L, 3L)),
+      s"interval-join boundary semantics wrong: $got")
+  }
+
+  test("corpus diff: added/removed/changed/unchanged decided on content hash") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
+    val m = Store.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("quota sampling: exact per-stratum counts, partition-invariant, short strata whole") {
+    val docs = Tables.documents(spark, sf0001)
+    val quotas = Map("en" -> 7, "zh" -> 2)
+    val out = TextAnalysis.quotaSample(docs, "doc_id", "lang", quotas, defaultQuota = 4)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (lang, n) =>
+      val q = quotas.getOrElse(lang, 4).toLong
+      assert(counts.getOrElse(lang, 0L) == math.min(q, n),
+        s"stratum $lang: want min($q, $n), got ${counts.getOrElse(lang, 0L)}")
+    }
+    // membership is a function of ids only — physical layout must not move it
+    val b = TextAnalysis.quotaSample(docs.repartition(13), "doc_id", "lang", quotas, 4)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      == b.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("compact: many small appended files collapse to few sorted ones, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")

@@ -38,6 +38,13 @@ class PlanSpec extends SparkSpec {
       s"rank<=k not rewritten to WindowGroupLimit (partial top-k before shuffle):\n$plan")
   }
 
+  test("quota sample compiles to WindowGroupLimit (per-task prune before the stratum shuffle)") {
+    val plan = formatted(TextAnalysis.quotaSample(
+      Tables.documents(spark, sf0001), "doc_id", "lang", Map("en" -> 5), defaultQuota = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=quota did not install a group limit — full per-stratum sort at scale:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)

@@ -78,6 +78,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> ((3L, 1.0)), 2L -> ((1L, 0.333333)), 3L -> ((0L, 0.0))))
   }
 
+  test("semantic dedup: chain converges to one min-id cluster; singleton kept") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // 5-hop chain at 30° steps (consecutive cos = 0.866, two apart = 0.5):
+    // only the converged default can collapse it end-to-end — a 3-round
+    // unroll provably cannot reach 4 hops
+    val vecs = Seq(
+      10L -> v(0), 11L -> v(30), 12L -> v(60), 13L -> v(90), 14L -> v(120),
+      99L -> v(-90)).toDF("vec_id", "embedding")
+    val m = SimilaritySearch
+      .semanticDedup(vecs, "vec_id", "embedding", threshold = 0.85, bits = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert((10L to 14L).forall(i => m(i)._1 == 10L),
+      s"chain must collapse to the min id: $m")
+    assert(m(10L)._2 && (11L to 14L).forall(i => !m(i)._2),
+      s"exactly the min-id member is kept: $m")
+    assert(m(99L) == ((99L, true)), s"singleton keeps itself: $m")
+  }
+
   test("cosineNearDup(bits=0) is the exact form: matches threshold filter on all pairs") {
     val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 60)
     val exact = SimilaritySearch.cosineNearDup(emb, "vec_id", "embedding", 0.3, bits = 0).count()
