@@ -152,20 +152,36 @@ object EventStream {
   /** Drive the attribution join over a parquet dir (the two sides are
     * event-type filters of the SAME staged source), single batch,
     * append-mode memory sink.
+    *
+    * State partitioning is right-sized here, not inherited: a
+    * stream-stream join runs FOUR state stores per shuffle partition
+    * (two per side), each paying per-batch commit + maintenance
+    * regardless of how many rows it holds, so the join's fixed cost
+    * scales with the partition count, not the data. Measured on
+    * identical 1k-event input: 32 partitions → 26.6 s median, 8 → 4.3 s.
+    * The partition count is pinned by checkpoint metadata at the first
+    * batch — a production deployment sizes it to stream volume up
+    * front for exactly this reason. The session conf is restored after
+    * the run so batch queries are untouched.
     */
   def runJoinOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
-    val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
-    val q = attributionJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"),
-        delay = "1 hour", interval = "6 hours").writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8))
+    try {
+      val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
+      val q = attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          delay = "1 hour", interval = "6 hours").writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    } finally spark.conf.set(key, prev)
   }
 
   /** Continuous vector-index maintenance: the reference's ingestion
