@@ -376,6 +376,11 @@ object SparkEntryExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // unigram-LM quality scoring: corpus-as-own-model NLL + OOV rate
+    // (the perplexity-proxy filter signal; ln parity proven by tfidf)
+    "text_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text", minCount = 5)
+        .orderBy(col("doc_id"))),
     // SemDeDup-style semantic dedup: cosine near-dup components over the
     // sign-bucketed embedding space, min-id representative kept. The
     // 3-round unroll is the oracle-expressible form; production default
@@ -1031,6 +1036,19 @@ object SparkEntryExt {
          |SELECT doc_id, lang, rk FROM r
          |WHERE rk <= quota
          |ORDER BY lang, rk""".stripMargin,
+    "text_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM tok)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  round(sum(CASE WHEN cf < 5 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE, 6)
+         |    AS oov_rate,
+         |  round(sum(c::DOUBLE * -ln(greatest(cf, 5)::DOUBLE / tot.total))
+         |    / sum(c)::DOUBLE, 6) AS mean_nll
+         |FROM dt JOIN cf USING (term), tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 11 <> 3),

@@ -226,6 +226,43 @@ object TextAnalysis {
         round(col("tfidf_raw"), 6).as("tfidf"))
   }
 
+  /** Per-doc unigram language-model scoring — the CCNet-style
+    * perplexity-proxy quality signal, with the corpus as its own model:
+    * for each doc, the OOV rate (tokens whose corpus frequency is below
+    * `minCount`) and the mean negative log-likelihood of its tokens
+    * under p(t) = corpus_count(t) / corpus_total, with rare tokens
+    * floored at `minCount` so every doc scores finite. High mean NLL →
+    * improbable token soup (mojibake, wordlists); unusually low →
+    * templated/repetitive text. Both tails are what a pretraining
+    * filter trims.
+    *
+    * Scale shape: one token explode feeding per-(doc, term) counts
+    * (map-side combinable) joined to the corpus unigram table —
+    * vocabulary-bounded, broadcast here and at production scale (a
+    * 10 M-type vocab is ~100 MB) — while the 1-row corpus total rides
+    * the plan as a broadcast aggregate (the [[tfIdf]] lazy-N
+    * discipline: no eager scan at construction). One doc_id shuffle
+    * for the final per-doc aggregation.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int): DataFrame = {
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val docTerm = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val corpus = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = broadcast(tok.agg(count(lit(1)).cast("double").as("__total")))
+    docTerm.join(broadcast(corpus), "term")
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round(sum(when(col("cf") < minCount, col("c")).otherwise(lit(0L))).cast("double")
+          / sum(col("c")).cast("double"), 6).as("oov_rate"),
+        round(sum(col("c").cast("double") *
+            -log(greatest(col("cf"), lit(minCount.toLong)).cast("double") / col("__total")))
+          / sum(col("c")).cast("double"), 6).as("mean_nll"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold acc = (acc*31 + h32(token)) mod 1e9+7 — order-sensitive, so
     * it distinguishes permuted docs where bag-of-words collides.

@@ -215,6 +215,21 @@ class OpsSpec extends SparkSpec {
       s"interval-join boundary semantics wrong: $got")
   }
 
+  test("unigram LM scoring: hand-computed NLL and OOV rate; floor keeps rare tokens finite") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus: a->3, b->1, c->1; total 5; minCount=2 -> b and c are OOV,
+    // scored at the floor p = 2/5
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pA = 3.0 / 5.0
+    val pFloor = 2.0 / 5.0
+    assert(got(1L) == ((3L, r6(1.0 / 3.0),
+      r6((2 * -math.log(pA) + 1 * -math.log(pFloor)) / 3.0))), s"doc1: $got")
+    assert(got(2L) == ((2L, 0.5,
+      r6((-math.log(pA) - math.log(pFloor)) / 2.0))), s"doc2: $got")
+  }
+
   test("corpus diff: added/removed/changed/unchanged decided on content hash") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val nw = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")

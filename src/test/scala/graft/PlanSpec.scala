@@ -45,6 +45,16 @@ class PlanSpec extends SparkSpec {
       s"rank<=quota did not install a group limit — full per-stratum sort at scale:\n$plan")
   }
 
+  test("cosine near-dup (and semanticDedup candidates) join on the sign bucket, not all pairs") {
+    val plan = formatted(SimilaritySearch.cosineNearDup(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", threshold = 0.4, bits = 4))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the bucket equi-join, not an all-pairs join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the bucket key:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
