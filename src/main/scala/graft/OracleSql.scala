@@ -52,6 +52,53 @@ object OracleSql {
        |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
        |  WHERE length(paras[i]) >= $minLen""".stripMargin
 
+  /** CTE chain mirroring `TextAnalysis.qualityFilter` — the per-doc
+    * quality/repetition signals plus the first-failing-rule cascade.
+    * `src` must provide `(doc_id, text)`; emits
+    * `<name>_r(doc_id, n_tokens, avg_token_len, stopword_ratio,
+    * type_token_ratio, top_unigram_frac, dup_trigram_frac, reason)`.
+    * Shared between the batch `text_quality` oracle and the streaming
+    * `stream_quality` convergence oracle (single-source: the cascade
+    * thresholds exist once in SQL).
+    */
+  def qualityCtes(name: String, src: String): String =
+    s"""${name}_tl AS (SELECT doc_id, text, $toksSql AS t FROM $src),
+       |${name}_st AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+       |      (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
+       |    round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
+       |      / len(t), 6) AS stopword_ratio,
+       |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio
+       |  FROM ${name}_tl),
+       |${name}_u AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac FROM (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS g FROM ${name}_tl) GROUP BY 1, 2) GROUP BY doc_id),
+       |${name}_tg AS (SELECT doc_id,
+       |    round(coalesce((sum(c) - count(*))::DOUBLE / sum(c), 0.0), 6) AS dup_trigram_frac
+       |  FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(${ngramSql("t", 3)}) AS g FROM ${name}_tl)
+       |    GROUP BY 1, 2) GROUP BY doc_id),
+       |${name}_j AS (
+       |  SELECT st.doc_id, st.n_tokens, st.avg_token_len, st.stopword_ratio,
+       |    st.type_token_ratio, u.top_unigram_frac, coalesce(tg.dup_trigram_frac, 0.0)
+       |      AS dup_trigram_frac
+       |  FROM ${name}_st st JOIN ${name}_u u USING (doc_id)
+       |  LEFT JOIN ${name}_tg tg USING (doc_id)),
+       |${name}_r AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < 12 THEN 'too_short'
+       |         WHEN n_tokens > 100000 THEN 'too_long'
+       |         WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_len'
+       |         WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+       |         WHEN top_unigram_frac > 0.125 THEN 'repetitive_unigram'
+       |         WHEN dup_trigram_frac > 0.5 THEN 'repetitive_trigram'
+       |         WHEN type_token_ratio < 0.3 THEN 'low_diversity'
+       |         ELSE 'ok' END AS reason
+       |  FROM ${name}_j)""".stripMargin
+
   /** CTE chain mirroring `VectorOps.embedTextPortable` (hashed BoW,
     * L2-normalized, md5-prefix bucket hash): `src` must select
     * `(id, __txt)`; emits `<name>_emb(id, v LIST<DOUBLE>)`.

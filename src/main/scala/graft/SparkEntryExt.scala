@@ -656,44 +656,10 @@ object SparkEntryExt {
          |FROM p
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      s"""WITH tl AS (SELECT doc_id, text, $toksSql AS t FROM documents),
-         |st AS (
-         |  SELECT doc_id,
-         |    CAST(len(t) AS BIGINT) AS n_tokens,
-         |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
-         |      (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
-         |    round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
-         |      / len(t), 6) AS stopword_ratio,
-         |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio
-         |  FROM tl),
-         |u AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac FROM (
-         |  SELECT doc_id, g, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(t) AS g FROM tl) GROUP BY 1, 2) GROUP BY doc_id),
-         |tg AS (SELECT doc_id,
-         |    round(coalesce((sum(c) - count(*))::DOUBLE / sum(c), 0.0), 6) AS dup_trigram_frac
-         |  FROM (
-         |    SELECT doc_id, g, count(*) AS c
-         |    FROM (SELECT doc_id, unnest(${ngramSql("t", 3)}) AS g FROM tl)
-         |    GROUP BY 1, 2) GROUP BY doc_id),
-         |j AS (
-         |  SELECT st.doc_id, st.n_tokens, st.avg_token_len, st.stopword_ratio,
-         |    st.type_token_ratio, u.top_unigram_frac, coalesce(tg.dup_trigram_frac, 0.0)
-         |      AS dup_trigram_frac
-         |  FROM st JOIN u USING (doc_id) LEFT JOIN tg USING (doc_id)),
-         |r AS (
-         |  SELECT *,
-         |    CASE WHEN n_tokens < 12 THEN 'too_short'
-         |         WHEN n_tokens > 100000 THEN 'too_long'
-         |         WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_len'
-         |         WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
-         |         WHEN top_unigram_frac > 0.125 THEN 'repetitive_unigram'
-         |         WHEN dup_trigram_frac > 0.5 THEN 'repetitive_trigram'
-         |         WHEN type_token_ratio < 0.3 THEN 'low_diversity'
-         |         ELSE 'ok' END AS reason
-         |  FROM j)
+      s"""WITH ${OracleSql.qualityCtes("q", "documents")}
          |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, type_token_ratio,
          |  top_unigram_frac, dup_trigram_frac, reason, reason = 'ok' AS keep
-         |FROM r
+         |FROM q_r
          |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (

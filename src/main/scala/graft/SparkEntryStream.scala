@@ -87,10 +87,33 @@ object SparkEntryStream {
         .select(col("user_id"), col("purchase_id"), col("click_id"))
         .orderBy(col("purchase_id"), col("click_id"))
     }),
+    // quality gate at the ingest edge: per-micro-batch application of
+    // the batch cascade; verdicts over two batches ≡ one batch pass
+    "stream_quality" -> ((s, d) => runQualityOnce(s, d)),
     // continuous index maintenance (the reference's ingestion loop as a
     // stream): final point store ≡ batch chunk+embed over the LATEST doc
     // versions — i.e. the doc-replace upsert branch is what's checked
     "stream_index" -> ((s, d) => runIndexOnce(s, d)))
+
+  /** Drive [[EventStream.qualityStream]] over two doc micro-batches
+    * (split at doc_id 250 — batch boundaries must not move any verdict)
+    * and return the accumulated verdict store.
+    */
+  private def runQualityOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-q-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-q-store").toString + "/verdicts"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
+    val q = EventStream.qualityStream(spark, in, store)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(store).orderBy(col("doc_id"))
+  }
 
   /** Drive [[EventStream.indexStream]] over two micro-batches — the
     * second RE-INGESTS docs 20..39 truncated to 120 chars (fewer chunks
@@ -162,6 +185,13 @@ object SparkEntryStream {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // the batch quality cascade the two-micro-batch stream must equal
+    // (per-doc purity ⇒ batch boundaries cannot move verdicts)
+    "stream_quality" ->
+      s"""WITH ${OracleSql.qualityCtes("sq", "documents")}
+         |SELECT doc_id, n_tokens, reason, reason = 'ok' AS keep
+         |FROM sq_r
+         |ORDER BY doc_id""".stripMargin,
     // batch equivalent of the two-micro-batch ingest: chunk + embed the
     // LATEST version of every doc (20..39 truncated to their re-ingested
     // 120-char v2) — doc-replace upsert means no other row may survive

@@ -184,6 +184,38 @@ object EventStream {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Quality gate at the ingest edge: documents arriving in `inputDir`
+    * are scored by the batch quality cascade
+    * ([[graft.ops.TextAnalysis.qualityFilter]]) and the verdicts
+    * appended to `storeDir`. The per-doc signals are
+    * aggregation-shaped (token explode → per-doc group-by), which as a
+    * naked streaming plan would be chained stateful aggregations —
+    * unbounded state for a computation that is per-document PURE. So
+    * `foreachBatch` runs the identical batch operator on each bounded
+    * micro-batch: because every signal depends only on its own row,
+    * stream output ≡ batch output regardless of how the input is cut
+    * into batches (the `stream_quality` oracle). Same discipline as
+    * [[indexStream]]; together with [[dedupStream]] this is the ingest
+    * path of a streaming corpus pipeline: dedup → quality gate →
+    * index build.
+    */
+  def qualityStream(spark: SparkSession, inputDir: String,
+      storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.readStream.schema(docSchema).parquet(inputDir)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TextAnalysis.qualityFilter(batch, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("reason"), col("keep"))
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector-index maintenance: the reference's ingestion
     * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
     * new documents arriving in `inputDir` are chunked, hash-embedded,
