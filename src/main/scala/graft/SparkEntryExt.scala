@@ -376,6 +376,12 @@ object SparkEntryExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // percentile-adaptive quality cutoffs: thresholds from the corpus'
+    // own distribution (exact percentile ≡ DuckDB quantile_cont)
+    "text_quality_adaptive" -> ((s, d) =>
+      TextAnalysis.adaptiveQualityFilter(Tables.documents(s, d), "doc_id", "text",
+          pLow = 0.1, pHigh = 0.9)
+        .orderBy(col("doc_id"))),
     // unigram-LM quality scoring: corpus-as-own-model NLL + OOV rate
     // (the perplexity-proxy filter signal; ln parity proven by tfidf)
     "text_unigram_lm" -> ((s, d) =>
@@ -1002,6 +1008,26 @@ object SparkEntryExt {
          |SELECT doc_id, lang, rk FROM r
          |WHERE rk <= quota
          |ORDER BY lang, rk""".stripMargin,
+    "text_quality_adaptive" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+         |thr AS (SELECT
+         |    round(quantile_cont(n_tokens, 0.1), 6) AS tok_lo,
+         |    round(quantile_cont(n_tokens, 0.9), 6) AS tok_hi,
+         |    round(quantile_cont(type_token_ratio, 0.1), 6) AS ttr_lo
+         |  FROM st)
+         |SELECT doc_id, n_tokens, type_token_ratio, tok_lo, tok_hi, ttr_lo, reason,
+         |  reason = 'ok' AS keep
+         |FROM (
+         |  SELECT st.*, thr.*,
+         |    CASE WHEN n_tokens < tok_lo THEN 'short_tail'
+         |         WHEN n_tokens > tok_hi THEN 'long_tail'
+         |         WHEN type_token_ratio < ttr_lo THEN 'low_diversity'
+         |         ELSE 'ok' END AS reason
+         |  FROM st, thr)
+         |ORDER BY doc_id""".stripMargin,
     "text_unigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),

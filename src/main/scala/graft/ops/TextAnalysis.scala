@@ -226,6 +226,46 @@ object TextAnalysis {
         round(col("tfidf_raw"), 6).as("tfidf"))
   }
 
+  /** Data-driven variant of [[qualityFilter]]: the cutoffs are corpus
+    * PERCENTILES instead of fixed constants — fixed thresholds silently
+    * flip from trimming tails to trimming halves when the domain shifts
+    * (legal text vs chat logs have wildly different length/diversity
+    * distributions); percentile cutoffs track the corpus. Keeps docs
+    * inside the [pLow, pHigh] token-count band with type-token ratio
+    * above its pLow percentile; first-failing reason, like the fixed
+    * cascade. Thresholds are EXACT percentiles (Spark `percentile`,
+    * p·(n−1) linear interpolation — the same definition as DuckDB
+    * `quantile_cont`, which is what makes the oracle a transliteration),
+    * rounded to 6 dp before comparison like every cascade signal, and
+    * ride the plan as a 1-row broadcast aggregate (lazy — no eager
+    * corpus pass at construction; the [[tfIdf]] discipline).
+    *
+    * Scale note: exact-percentile state is O(distinct values) per
+    * partition — bounded for integer-ish signals like token counts. For
+    * a continuous signal over a 100 TB corpus swap in
+    * `approx_percentile`; the plan shape (per-doc stats → 1-row
+    * threshold broadcast → narrow verdict projection) is unchanged.
+    */
+  def adaptiveQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val stats = qualityStats(docs, idCol, textCol)
+    val thr = broadcast(stats.agg(
+      round(expr(s"percentile(n_tokens, $pLow)"), 6).as("tok_lo"),
+      round(expr(s"percentile(n_tokens, $pHigh)"), 6).as("tok_hi"),
+      round(expr(s"percentile(type_token_ratio, $pLow)"), 6).as("ttr_lo")))
+    stats.crossJoin(thr)
+      .withColumn("reason",
+        when(col("n_tokens") < col("tok_lo"), lit("short_tail"))
+          .when(col("n_tokens") > col("tok_hi"), lit("long_tail"))
+          .when(col("type_token_ratio") < col("ttr_lo"), lit("low_diversity"))
+          .otherwise(lit("ok")))
+      .select(col("doc_id"), col("n_tokens"), col("type_token_ratio"),
+        col("tok_lo"), col("tok_hi"), col("ttr_lo"), col("reason"),
+        (col("reason") === "ok").as("keep"))
+  }
+
   /** Per-doc unigram language-model scoring — the CCNet-style
     * perplexity-proxy quality signal, with the corpus as its own model:
     * for each doc, the OOV rate (tokens whose corpus frequency is below

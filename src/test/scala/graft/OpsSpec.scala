@@ -215,6 +215,19 @@ class OpsSpec extends SparkSpec {
       s"interval-join boundary semantics wrong: $got")
   }
 
+  test("adaptive quality thresholds: corpus percentiles trim exactly the tails") {
+    // doc i has i distinct tokens -> n_tokens = 1..10; p10/p90 of that
+    // (p·(n−1) interpolation) are 1.9 and 9.1, so exactly docs 1 and 10
+    // fall outside the band; all-unique tokens keep ttr at 1.0 = ttr_lo
+    val docs = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.adaptiveQualityFilter(docs, "doc_id", "text", pLow = 0.1, pHigh = 0.9)
+      .select("doc_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "short_tail" && out(10L) == "long_tail", s"tails: $out")
+    assert((2L to 9L).forall(out(_) == "ok"), s"band: $out")
+  }
+
   test("unigram LM scoring: hand-computed NLL and OOV rate; floor keeps rare tokens finite") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     // corpus: a->3, b->1, c->1; total 5; minCount=2 -> b and c are OOV,
