@@ -205,17 +205,36 @@ object SimilaritySearch {
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * pruned by the same sign-bucket (candidates must share the bucket —
     * documented recall trade-off; brute-force variant sets bits=0).
+    *
+    * Hot-bucket cap, same discipline as [[Dedup.lshCandidates]]: a
+    * degenerate embedding cluster (a collapsed encoder emitting
+    * near-constant vectors, zero-padded rows) lands k members in ONE
+    * bucket and the join scores k²/2 pairs. Buckets larger than
+    * `maxBucketSize` are excluded from the join; the size window
+    * partitions on the same bucket key the join shuffles on, so the
+    * guard reuses that exchange rather than adding one. `bits = 0` is
+    * the EXPLICIT all-pairs mode (the exact/oracle form) — the guard
+    * deliberately does not apply there.
     */
   def cosineNearDup(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int): DataFrame = {
+      bits: Int,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2 — no bucket could pair")
     val v = vectors.withColumn("__bucket",
       if (bits > 0) signBucket(vecCol, bits) else lit(0L))
-    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
-    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
+    val guarded =
+      if (bits > 0) {
+        val w = Window.partitionBy(col("__bucket"))
+        v.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+      } else v
+    val a = guarded.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
+    val b = guarded.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
     a.join(b, "__bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", VectorOps.cosine(col("va"), col("vb")))

@@ -54,6 +54,26 @@ class GuardrailSpec extends SparkSpec {
     assert(guarded == unguarded)
   }
 
+  test("cosine near-dup hot-bucket guard: collapsed-embedding cluster stays bounded") {
+    // 200 copies of one vector land in a single sign bucket — unguarded,
+    // that bucket alone scores 200*199/2 pairs (the collapsed-encoder
+    // failure mode); a genuine near-dup pair sits in a different bucket
+    val collapsed = (1L to 200L).map(i => i -> Array(1.0f, 1.0f))
+    val pair = Seq(900L -> Array(-1.0f, -0.9f), 901L -> Array(-0.9f, -1.0f))
+    val vecs = (collapsed ++ pair).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.cosineNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.8, bits = 2, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((900L, 901L)),
+      s"capped bucket must be skipped, genuine pair must survive: $got")
+    // default cap is a no-op at harness scale (sim_neardup/sim_semdedup
+    // oracles unaffected)
+    val dflt = SimilaritySearch.cosineNearDup(vecs, "vec_id", "embedding",
+      threshold = 0.8, bits = 2).count()
+    assert(dflt == 200L * 199 / 2 + 1,
+      "default cap must not drop harness-scale buckets")
+  }
+
   test("clusterLabelsConverged: 5-hop chain collapses to ONE cluster") {
     // A≈B≈C≈D≈E — diameter 4, so the fixed 3-round unroll CANNOT finish
     // (doc 5 only sees 3 hops), while the converged mode must.
