@@ -52,6 +52,41 @@ object OracleSql {
        |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
        |  WHERE length(paras[i]) >= $minLen""".stripMargin
 
+  /** CTE chain mirroring `Clean.removeBoilerplate`: segment split on the
+    * literal `sep`, doc-frequency boilerplate detection at `minDocs`,
+    * order-preserving reassembly. `src` must provide `(doc_id, text)`;
+    * emits `<name>_out(doc_id, n_segs, n_kept, clean_text)` — one row
+    * per input doc (all-boilerplate docs keep an empty clean_text).
+    * Shared between the `text_clean` oracle and the composed
+    * `pipeline_curate` oracle.
+    */
+  def cleanCtes(name: String, src: String, sep: String = " the ", minDocs: Int = 3): String =
+    s"""${name}_segs AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, paras[i] AS seg
+       |  FROM (SELECT doc_id,
+       |          list_filter(list_transform(string_split(text, '$sep'), s -> trim(s)),
+       |            s -> length(s) > 0) AS paras
+       |        FROM $src) p,
+       |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g),
+       |${name}_dfq AS (
+       |  SELECT lower(seg) AS key, count(DISTINCT doc_id) AS nd
+       |  FROM ${name}_segs GROUP BY 1),
+       |${name}_fl AS (
+       |  SELECT s.doc_id, s.idx, s.seg, d.nd >= $minDocs AS b
+       |  FROM ${name}_segs s JOIN ${name}_dfq d ON lower(s.seg) = d.key),
+       |${name}_agg AS (
+       |  SELECT doc_id, count(*) AS n_segs,
+       |    count(*) FILTER (NOT b) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN NOT b THEN seg END, '$sep' ORDER BY idx), '')
+       |      AS clean_text
+       |  FROM ${name}_fl GROUP BY doc_id),
+       |${name}_out AS (
+       |  SELECT d.doc_id,
+       |    coalesce(a.n_segs, 0) AS n_segs,
+       |    coalesce(a.n_kept, 0) AS n_kept,
+       |    coalesce(a.clean_text, '') AS clean_text
+       |  FROM $src d LEFT JOIN ${name}_agg a USING (doc_id))""".stripMargin
+
   /** CTE chain mirroring `TextAnalysis.qualityFilter` — the per-doc
     * quality/repetition signals plus the first-failing-rule cascade.
     * `src` must provide `(doc_id, text)`; emits

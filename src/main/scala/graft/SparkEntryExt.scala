@@ -376,6 +376,16 @@ object SparkEntryExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // end-to-end curation chain (clean → quality → dedup → sample) in
+    // one lazy plan; re-keyed copies seed the duplicate tier
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val seeded = docs.unionByName(
+        docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Curation.curate(seeded, "doc_id", "text", sep = " the ", minDocs = 3, samplePct = 80)
+        .orderBy(col("doc_id"))
+    }),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
     "text_quality_adaptive" -> ((s, d) =>
@@ -614,30 +624,34 @@ object SparkEntryExt {
          |FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_clean" ->
-      s"""WITH segs AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, paras[i] AS seg
-         |  FROM (SELECT doc_id,
-         |          list_filter(list_transform(string_split(text, ' the '), s -> trim(s)),
-         |            s -> length(s) > 0) AS paras
-         |        FROM documents) p,
-         |    LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g),
-         |dfq AS (
-         |  SELECT lower(seg) AS key, count(DISTINCT doc_id) AS nd
-         |  FROM segs GROUP BY 1),
-         |fl AS (
-         |  SELECT s.doc_id, s.idx, s.seg, d.nd >= 3 AS b
-         |  FROM segs s JOIN dfq d ON lower(s.seg) = d.key),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_segs,
-         |    count(*) FILTER (NOT b) AS n_kept,
-         |    coalesce(string_agg(CASE WHEN NOT b THEN seg END, ' the ' ORDER BY idx), '')
-         |      AS clean_text
-         |  FROM fl GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_segs, 0) AS n_segs,
-         |  coalesce(a.n_kept, 0) AS n_kept,
-         |  coalesce(a.clean_text, '') AS clean_text
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
+      s"""WITH ${OracleSql.cleanCtes("c", "documents")}
+         |SELECT doc_id, n_segs, n_kept, clean_text
+         |FROM c_out
+         |ORDER BY doc_id""".stripMargin,
+    // composed curation chain; the duplicate tier is exercised by the
+    // seeded re-keyed copies (doc_id % 13 == 0 re-inserted at +10000)
+    "pipeline_curate" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+         |${OracleSql.cleanCtes("cl", "seeded")},
+         |cq_src AS (SELECT doc_id, clean_text AS text FROM cl_out WHERE n_kept > 0),
+         |${OracleSql.qualityCtes("cq", "cq_src")},
+         |ok AS (
+         |  SELECT o.doc_id, sha256(o.clean_text) AS ch
+         |  FROM cl_out o JOIN cq_r r USING (doc_id) WHERE r.reason = 'ok'),
+         |reps AS (SELECT ch, min(doc_id) AS rep FROM ok GROUP BY ch),
+         |wr AS (SELECT o.doc_id, r.rep FROM ok o JOIN reps r USING (ch))
+         |SELECT c.doc_id,
+         |  CASE WHEN c.n_kept = 0 THEN 'empty_after_clean'
+         |       WHEN qr.reason <> 'ok' THEN qr.reason
+         |       WHEN c.doc_id <> w.rep THEN 'duplicate'
+         |       WHEN ${h32Sql("c.doc_id::VARCHAR")} % 100 >= 80 THEN 'sampled_out'
+         |       ELSE 'kept' END AS verdict
+         |FROM cl_out c
+         |LEFT JOIN cq_r qr USING (doc_id)
+         |LEFT JOIN wr w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       s"""WITH p AS (

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation as ONE lazy plan: boilerplate removal →
+  * quality cascade → exact dedup (min-id representative) → deterministic
+  * hash sampling — the preprocessing chain a pretraining corpus runs,
+  * composed from the engine's own operators so Catalyst optimizes
+  * ACROSS stage boundaries (column pruning reaches through the whole
+  * chain; the per-doc stages share the doc_id aggregation key).
+  *
+  * Output: one row per input doc with the verdict naming the FIRST
+  * stage that dropped it, in execution order: `empty_after_clean` (all
+  * segments were boilerplate) → the quality cascade's own first-failing
+  * reason (`too_short` … `low_diversity`) → `duplicate` (exact
+  * clean-text collision with a smaller-id doc among quality survivors)
+  * → `sampled_out` (outside the deterministic hash sample) → `kept`.
+  * Filter on `verdict = 'kept'` for the curated corpus.
+  *
+  * Scale notes: each stage keeps its own operator's shape (segment
+  * doc-frequency aggregate, signal aggregations, a (doc_id, sha256)
+  * shuffle for dedup, a scan predicate for sampling) — no stage
+  * multiplies another's output. The cleaned text feeds three
+  * consumers here; at 100 TB you materialize the cleaned corpus once
+  * (it is the natural checkpoint between ingest and curation) and run
+  * quality/dedup/sample over the materialized table — the verdict
+  * logic is unchanged.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      sep: String, minDocs: Int, samplePct: Int): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct ($samplePct) must be in [1, 100]")
+    val cleaned = Clean.removeBoilerplate(docs, idCol, textCol, sep, minDocs)
+    // quality runs only on docs that survived cleaning: the cascade's
+    // signals are undefined on empty text (and the empty verdict is
+    // decided before quality anyway)
+    val quality = TextAnalysis.qualityFilter(
+        cleaned.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("reason").as("__q_reason"))
+    // exact dedup among quality survivors: representative = min doc_id
+    // per clean-text hash; only (doc_id, 64-hex sha256) shuffles
+    val ok = cleaned.join(quality, Seq("doc_id"))
+      .filter(col("__q_reason") === "ok")
+      .select(col("doc_id"), sha2(col("clean_text"), 256).as("__ch"))
+    val reps = ok.groupBy(col("__ch")).agg(min(col("doc_id")).as("__rep"))
+    val withRep = ok.join(reps, "__ch").select(col("doc_id"), col("__rep"))
+    cleaned
+      .join(quality, Seq("doc_id"), "left")
+      .join(withRep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_kept") === 0, lit("empty_after_clean"))
+          .when(col("__q_reason") =!= "ok", col("__q_reason"))
+          .when(col("doc_id") =!= col("__rep"), lit("duplicate"))
+          .when(pmod(Dedup.h32(col("doc_id").cast("string")), lit(100L)) >= samplePct,
+            lit("sampled_out"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+}

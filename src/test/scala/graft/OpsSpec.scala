@@ -215,6 +215,33 @@ class OpsSpec extends SparkSpec {
       s"interval-join boundary semantics wrong: $got")
   }
 
+  test("curation pipeline: verdict precedence across tiers") {
+    val boiler = "shared boilerplate banner"
+    def words(p: String) = (1 to 6).map(i => s"${p}word$i").mkString(" ")
+    def body(p: String) = s"${words(p + "a")} the ${words(p + "b")} the ${words(p + "c")}"
+    val docs = Seq(
+      1L -> s"$boiler the ${body("x")}",
+      2L -> s"$boiler the ${body("y")}",
+      3L -> s"$boiler the ${body("z")}",
+      4L -> boiler, // every segment is boilerplate (df 4 >= 3)
+      5L -> body("dup"),
+      6L -> body("dup"), // exact clean-text duplicate of 5, larger id
+      7L -> "tiny" // survives cleaning, fails the cascade's too_short
+    ).toDF("doc_id", "text")
+    val v = Curation.curate(docs, "doc_id", "text", " the ", minDocs = 3, samplePct = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(4L) == "empty_after_clean", s"$v")
+    assert(v(7L) == "too_short", s"$v")
+    assert(v(5L) == "kept" && v(6L) == "duplicate", s"$v")
+    assert(Seq(1L, 2L, 3L).forall(v(_) == "kept"), s"$v")
+    // the sample tier redistributes ONLY the kept tier: every earlier
+    // verdict is unchanged by the rate
+    val s1 = Curation.curate(docs, "doc_id", "text", " the ", minDocs = 3, samplePct = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.filter(kv => kv._2 == "kept" || kv._2 == "sampled_out").keySet
+      == v.filter(_._2 == "kept").keySet, s"$s1")
+  }
+
   test("adaptive quality thresholds: corpus percentiles trim exactly the tails") {
     // doc i has i distinct tokens -> n_tokens = 1..10; p10/p90 of that
     // (p·(n−1) interpolation) are 1.9 and 9.1, so exactly docs 1 and 10
