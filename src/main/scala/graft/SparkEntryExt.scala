@@ -376,6 +376,18 @@ object SparkEntryExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // duplication dashboard: cluster-size histogram over seeded copies
+    // (%13 docs twice, %39 docs three times → sizes 1, 2 and 3 all fire)
+    "dedup_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val seeded = docs
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(docs.filter(col("doc_id") % 39 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.duplicationProfile(seeded, "doc_id", "text")
+        .orderBy(col("cluster_size"))
+    }),
     // end-to-end curation chain (clean → quality → dedup → sample) in
     // one lazy plan; re-keyed copies seed the duplicate tier
     "pipeline_curate" -> ((s, d) => {
@@ -628,6 +640,20 @@ object SparkEntryExt {
          |SELECT doc_id, n_segs, n_kept, clean_text
          |FROM c_out
          |ORDER BY doc_id""".stripMargin,
+    "dedup_profile" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 39 = 0),
+        |cl AS (SELECT sha256(text) AS ch, count(*) AS cluster_size
+        |       FROM seeded GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  cluster_size * count(*) AS n_docs
+        |FROM cl
+        |GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
     // composed curation chain; the duplicate tier is exercised by the
     // seeded re-keyed copies (doc_id % 13 == 0 re-inserted at +10000)
     "pipeline_curate" ->

@@ -55,6 +55,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("representative"))
       .orderBy(col("content_hash"))
 
+  /** Corpus duplication profile — the dashboard number a dedup run is
+    * judged by: for each exact-cluster size, how many clusters and how
+    * many docs. Duplicate fraction = 1 − Σn_clusters / Σn_docs falls
+    * straight out; a heavy tail at large sizes names the
+    * boilerplate/mirror problem before any near-dup pass runs. One
+    * sha256 group-by feeding a cluster-size group-by — both map-side
+    * combinable; the second aggregates over at most |corpus| cluster
+    * rows.
+    */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("__ch"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+
   /** Distinct (doc, shingle) pairs. Tokens materialize in their own
     * projection first (multi-use, non-cheap alias — CollapseProject
     * keeps the barrier, so the text is tokenized exactly once per doc).

@@ -49,6 +49,42 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col(pointIdCol).as("point_id"), col("score"))
   }
 
+  /** IVF search against a PRE-BUCKETED point table — the index layout
+    * as a storage property. [[ivfTopK]] broadcasts the query side,
+    * which is right for interactive lookups; a BATCH search (millions
+    * of queries against the same index) cannot broadcast, and the
+    * fallback equi-join shuffles BOTH sides on the bucket key —
+    * including the 100 TB point side, once per search batch. Writing
+    * the points ONCE with `bucketBy(n, bucketCol)` over the
+    * materialized sign bucket gives every later search scan the join's
+    * required distribution: only the query side moves, for any number
+    * of batch searches (plan-pinned in BucketingSpec — exactly one
+    * bucket-key exchange, on the query side). Same semantics as
+    * [[ivfTopK]]; `bucketedPoints` must carry the materialized
+    * `bucketCol` (= `signBucket(vecCol, bits)` at write time).
+    */
+  def ivfTopKStored(
+      queries: DataFrame,
+      bucketedPoints: DataFrame,
+      queryIdCol: String,
+      pointIdCol: String,
+      vecCol: String,
+      bucketCol: String,
+      bits: Int,
+      k: Int): DataFrame = {
+    val q = queries
+      .withColumn(bucketCol, signBucket(vecCol, bits))
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"), col(bucketCol))
+    val scored = bucketedPoints
+      .join(q, bucketCol)
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col(pointIdCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(pointIdCol).as("point_id"), col("score"))
+  }
+
   /** Deterministic spherical k-means (Lloyd's algorithm, loop-unrolled
     * `iters` times) for a TRAINED IVF coarse quantizer — the 100 TB
     * upgrade over [[signBucket]]: centroids adapt to the data

@@ -9,6 +9,30 @@ import graft.ops.Tables
   */
 class BucketingSpec extends SparkSpec {
 
+  test("pre-bucketed ANN index: batch search never re-shuffles the point side") {
+    import graft.ops.SimilaritySearch
+    val emb = Tables.embeddings(spark, sf0001)
+    emb.filter(col("vec_id") >= 20).withColumnRenamed("vec_id", "point_id")
+      .withColumn("b", SimilaritySearch.signBucket("embedding", 3))
+      .write.mode("overwrite").bucketBy(4, "b").saveAsTable("ivf_bucketed")
+    val res = SimilaritySearch.ivfTopKStored(
+      emb.filter(col("vec_id") < 20), spark.table("ivf_bucketed"),
+      "vec_id", "point_id", "embedding", "b", bits = 3, k = 3)
+    // force the non-broadcast path: this is the million-query batch case
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(res.count() > 0)
+      val planStr = res.queryExecution.executedPlan.toString
+      // one bucket-key exchange (the query side); an unbucketed point
+      // side would add a second. The window's query_id exchange is
+      // separate and expected.
+      val bucketExchanges = "Exchange hashpartitioning\\(b#".r.findAllIn(planStr).size
+      assert(bucketExchanges == 1,
+        s"expected only the query side to exchange on the bucket key:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
