@@ -90,10 +90,37 @@ object SparkEntryStream {
     // quality gate at the ingest edge: per-micro-batch application of
     // the batch cascade; verdicts over two batches ≡ one batch pass
     "stream_quality" -> ((s, d) => runQualityOnce(s, d)),
+    // stream-static anti-join novelty filter: streamed docs vs the
+    // static corpus hash set ≡ the batch anti-join
+    "stream_novel" -> ((s, d) => runNovelOnce(s, d)),
     // continuous index maintenance (the reference's ingestion loop as a
     // stream): final point store ≡ batch chunk+embed over the LATEST doc
     // versions — i.e. the doc-replace upsert branch is what's checked
     "stream_index" -> ((s, d) => runIndexOnce(s, d)))
+
+  /** Drive [[EventStream.novelDocsStream]]: stream ALL docs against a
+    * static corpus holding every doc_id % 3 != 0 — exactly the % 3 == 0
+    * docs are novel (texts are unique per doc in the harness corpus).
+    */
+  private def runNovelOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-nv-in").toString
+    scratchDirs.add(in)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.write.mode("append").parquet(in)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(docSchema).parquet(in)
+    val name = s"graft_stream_novel_${runId.incrementAndGet()}"
+    val q = EventStream
+      .novelDocsStream(stream, docs.filter(col("doc_id") % 3 =!= 0), "text", "text")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Drive [[EventStream.qualityStream]] over two doc micro-batches
     * (split at doc_id 250 — batch boundaries must not move any verdict)
@@ -185,6 +212,13 @@ object SparkEntryStream {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
         |  AND epoch_us(c.ts) < epoch_us(p.ts)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // batch anti-join the stream-static novelty filter must equal
+    "stream_novel" ->
+      """SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS n_chars
+        |FROM documents s
+        |WHERE sha256(s.text) NOT IN (
+        |  SELECT sha256(text) FROM documents WHERE doc_id % 3 <> 0)
+        |ORDER BY s.doc_id""".stripMargin,
     // the batch quality cascade the two-micro-batch stream must equal
     // (per-doc purity ⇒ batch boundaries cannot move verdicts)
     "stream_quality" ->

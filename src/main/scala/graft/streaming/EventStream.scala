@@ -184,6 +184,28 @@ object EventStream {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Ingest novelty filter: stream-STATIC anti-join — arriving docs
+    * pass only if their content hash is NOT in the accumulated corpus.
+    * This is the third streaming join class next to the stateful
+    * stream-stream join ([[attributionJoin]]) and the within-stream
+    * dedup ([[dedupStream]]): the static side is planned per
+    * micro-batch like any batch join (broadcast when small, shuffled
+    * when not) and the stream side holds NO state — re-delivered
+    * duplicates WITHIN the stream are upstream's
+    * `dropDuplicatesWithinWatermark` job; this operator answers "is it
+    * already in the corpus". Only (hash) columns of the corpus are
+    * read — at 100 TB the static side is the hash index, not the
+    * corpus itself.
+    */
+  def novelDocsStream(docs: DataFrame, corpus: DataFrame, textCol: String,
+      corpusTextCol: String): DataFrame = {
+    val hashes = corpus.select(sha2(col(corpusTextCol), 256).as("__ch")).distinct()
+    docs
+      .withColumn("__ch", sha2(col(textCol), 256))
+      .join(hashes, Seq("__ch"), "left_anti")
+      .drop("__ch")
+  }
+
   /** Quality gate at the ingest edge: documents arriving in `inputDir`
     * are scored by the batch quality cascade
     * ([[graft.ops.TextAnalysis.qualityFilter]]) and the verdicts
