@@ -252,7 +252,8 @@ object EventStream {
     */
   def indexStream(spark: SparkSession, inputDir: String, storeDir: String,
       dim: Int,
-      portableHash: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      portableHash: Boolean = false,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -262,8 +263,18 @@ object EventStream {
     // group-bys would otherwise be chained stateful streaming
     // aggregations — unbounded state and a watermark-correctness trap
     // for a computation that is per-document pure anyway.
-    docs.writeStream
+    // A real checkpointDir makes the stream RESTARTABLE: the file
+    // source records processed files there, so a new query over the
+    // same checkpoint resumes at the first unprocessed batch instead of
+    // re-ingesting history (proven by the restart spec via
+    // numInputRows). Without one, Spark uses a throwaway temp dir —
+    // fine for single-run tests only. Either way a replayed micro-batch
+    // is harmless: the doc-replace upsert is idempotent, which is the
+    // foreachBatch exactly-once-EFFECT contract.
+    val base = docs.writeStream
       .outputMode("append")
+    val writer = checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val chunks = graft.ops.Chunker

@@ -180,6 +180,35 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index stream restart: checkpoint resumes at the first unprocessed batch") {
+    val in = java.nio.file.Files.createTempDirectory("ixrst-in").toString
+    val store = java.nio.file.Files.createTempDirectory("ixrst-st").toString + "/points"
+    val ckpt = java.nio.file.Files.createTempDirectory("ixrst-ck").toString
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 15).write.mode("append").parquet(in)
+    val q1 = EventStream.indexStream(spark, in, store, dim = 8, checkpointDir = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    val afterB1 = spark.read.parquet(store).count()
+    // the restarted query (same checkpoint) must see ONLY the new files
+    docs.filter(col("doc_id") >= 15).write.mode("append").parquet(in)
+    val q2 = EventStream.indexStream(spark, in, store, dim = 8, checkpointDir = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      // q1 committed batch 0, so the restarted query must plan from
+      // batch 1 — replanning batch 0 would mean the checkpoint was
+      // ignored. (numInputRows is NOT the right probe here: the upsert
+      // branch scans the micro-batch twice, doubling that metric.)
+      val batchIds = q2.recentProgress.map(_.batchId)
+      assert(batchIds.nonEmpty && batchIds.min >= 1,
+        s"restart must resume after q1's committed batch, planned $batchIds")
+    } finally q2.stop()
+    val st = spark.read.parquet(store)
+    assert(st.select("doc_id").distinct().count() == 30, "all docs indexed across the restart")
+    assert(st.select("chunk_id").distinct().count() == st.count(), "no duplicate chunks")
+    assert(st.count() > afterB1)
+  }
+
   test("streaming: watermarked dedup collapses at-least-once redelivery to the distinct set") {
     val tmp = java.nio.file.Files.createTempDirectory("evdedup").toString
     val ev = Tables.events(spark, sf0001)
