@@ -81,6 +81,18 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // radius search: every point at or above the score threshold — the
+    // vector-store sibling of top-k; a pure scan-side filter
+    "v_range_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val points = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"))
+      Knn.rangeSearch(queries, points, "vec_id", "embedding", "point_id", "embedding",
+          threshold = 0.3)
+        .select(col("query_id"), col("point_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("point_id"))
+    }),
     // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
     "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
@@ -246,6 +258,13 @@ object SparkEntry {
          |WHERE q.vec_id < 10 AND p.vec_id >= 10
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "v_range_search" ->
+      s"""SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |  round(${sqlCos("q.embedding", "p.embedding")}, 6) AS score
+         |FROM embeddings q, embeddings p
+         |WHERE q.vec_id < 5 AND p.vec_id >= 10
+         |  AND ${sqlCos("q.embedding", "p.embedding")} >= 0.3
+         |ORDER BY query_id, point_id""".stripMargin,
     "rag_context" ->
       s"""$ragHitsCte,
          |budget AS (

@@ -67,4 +67,32 @@ object Knn {
       .filter(col("rank") <= k)
       .drop("__qvec")
   }
+
+  /** Radius search: every point scoring at least `threshold` for each
+    * query — the vector-store API next to top-k (Qdrant exposes it as
+    * `score_threshold`; "all sufficiently similar", not "the k most
+    * similar"). Same broadcast discipline as [[knnJoin]], but CHEAPER
+    * at scale: a pure threshold needs no per-query ranking state at
+    * all, so the whole operator is one scan-side filter — no window,
+    * no WindowGroupLimit, no exchange; output order is imposed only by
+    * the caller.
+    */
+  def rangeSearch(
+      queries: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      pointIdCol: String,
+      pointVecCol: String,
+      threshold: Double): DataFrame = {
+    val q = broadcast(
+      queries.select(
+        col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qvec")))
+    points
+      .crossJoin(q)
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col(pointVecCol)))
+      .filter(col("score") >= threshold)
+      .select(col("query_id"), col(pointIdCol).as("point_id"), col("score"))
+  }
 }
