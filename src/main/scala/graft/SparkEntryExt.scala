@@ -376,6 +376,16 @@ object SparkEntryExt {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // steady-state incremental curation: quality-gate the %10==3 batch,
+    // then exact/near dedup against the corpus — one verdict per doc
+    "pipeline_curate_inc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curateIncremental(
+          docs.filter(col("doc_id") % 10 =!= 3),
+          docs.filter(col("doc_id") % 10 === 3),
+          "doc_id", "text", shingleN = 3, numHashes = 16, rowsPerBand = 8, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
     // duplication dashboard: cluster-size histogram over seeded copies
     // (%13 docs twice, %39 docs three times → sizes 1, 2 and 3 all fire)
     "dedup_profile" -> ((s, d) => {
@@ -780,6 +790,48 @@ object SparkEntryExt {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM ex WHERE ex.new_id = n.new_id AND ex.corpus_id = n.corpus_id)
          |ORDER BY new_id, corpus_id, kind""".stripMargin,
+    // same fragments as dedup_incremental + the quality gate on the
+    // batch side; near includes exact pairs but max(level) resolves
+    // identically to the Spark side's anti-joined tiers
+    "pipeline_curate_inc" ->
+      s"""WITH $minhashBandsCte,
+         |pb_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3),
+         |${OracleSql.qualityCtes("icq", "pb_src")},
+         |okids AS (SELECT doc_id FROM icq_r WHERE reason = 'ok'),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a
+         |  JOIN okids o ON a.doc_id = o.doc_id
+         |  JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE b.doc_id % 10 <> 3),
+         |sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM shh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM documents b
+         |  JOIN okids o ON b.doc_id = o.doc_id
+         |  JOIN documents c ON sha256(b.text) = sha256(c.text)
+         |  WHERE c.doc_id % 10 <> 3),
+         |near AS (
+         |  SELECT new_id, corpus_id
+         |  FROM cand
+         |  JOIN sets sa ON cand.new_id = sa.doc_id
+         |  JOIN sets sb ON cand.corpus_id = sb.doc_id
+         |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+         |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+         |lvl AS (
+         |  SELECT new_id AS doc_id, max(l) AS lvl FROM (
+         |    SELECT new_id, 2 AS l FROM ex
+         |    UNION ALL SELECT new_id, 1 FROM near)
+         |  GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CASE WHEN r.reason <> 'ok' THEN r.reason
+         |       WHEN l.lvl = 2 THEN 'exact_dup'
+         |       WHEN l.lvl = 1 THEN 'near_dup'
+         |       ELSE 'new' END AS verdict
+         |FROM pb_src b
+         |LEFT JOIN icq_r r USING (doc_id)
+         |LEFT JOIN lvl l USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       s"""SELECT term, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

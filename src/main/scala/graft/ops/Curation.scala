@@ -60,4 +60,39 @@ object Curation {
             lit("sampled_out"))
           .otherwise(lit("kept")).as("verdict"))
   }
+
+  /** The STEADY-STATE loop [[curate]] bootstraps: curate a NEW batch
+    * against the accumulated corpus. Each batch doc gets one verdict —
+    * its quality cascade reason if it fails the gate, else `exact_dup`
+    * / `near_dup` if [[Dedup.incrementalDedup]] ties it to a corpus doc
+    * (exact tier wins when both fire), else `new`. Only quality
+    * survivors pay the dedup tiers (minhash signatures are doc-local,
+    * so filtering before the band join changes cost, not semantics).
+    *
+    * Scale: quality is the batch-sized cascade; the dedup tiers are
+    * incrementalDedup's asymmetric shape — batch×corpus band join with
+    * the corpus-side hot-bucket cap, never corpus×corpus. Batch-internal
+    * duplicates are [[curate]]'s job on the batch itself; this operator
+    * answers "what does this batch add to the corpus".
+    */
+  def curateIncremental(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val quality = TextAnalysis.qualityFilter(b, "doc_id", "text")
+      .select(col("doc_id"), col("reason").as("__q_reason"))
+    val okB = b.join(quality.filter(col("__q_reason") === "ok").select(col("doc_id")), Seq("doc_id"))
+    val dupLvl = Dedup
+      .incrementalDedup(c, okB, "doc_id", "text", shingleN, numHashes, rowsPerBand, threshold)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(max(when(col("kind") === "exact", 2).otherwise(1)).as("__dup_lvl"))
+    b.select(col("doc_id"))
+      .join(quality, Seq("doc_id"), "left")
+      .join(dupLvl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__q_reason") =!= "ok", col("__q_reason"))
+          .when(col("__dup_lvl") === 2, lit("exact_dup"))
+          .when(col("__dup_lvl") === 1, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"))
+  }
 }

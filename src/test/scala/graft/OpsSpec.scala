@@ -271,6 +271,25 @@ class OpsSpec extends SparkSpec {
       == v.filter(_._2 == "kept").keySet, s"$s1")
   }
 
+  test("incremental curation: quality gate first, then exact/near corpus dedup") {
+    def words(p: String) = (1 to 6).map(i => s"${p}w$i").mkString(" ")
+    def body(p: String) = s"${words(p + "a")} the ${words(p + "b")} the ${words(p + "c")}"
+    val corpus = Seq(100L -> body("c1"), 101L -> body("c2"), 102L -> body("c3"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> body("c1"), // exact copy of corpus doc 100
+      2L -> (body("c2") + " extraw"), // near-dup of corpus doc 101
+      3L -> "tiny", // fails the quality gate before any dedup tier
+      4L -> body("fresh") // genuinely new
+    ).toDF("doc_id", "text")
+    val v = Curation
+      .curateIncremental(corpus, batch, "doc_id", "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 8, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "too_short", 4L -> "new"),
+      s"$v")
+  }
+
   test("adaptive quality thresholds: corpus percentiles trim exactly the tails") {
     // doc i has i distinct tokens -> n_tokens = 1..10; p10/p90 of that
     // (p·(n−1) interpolation) are 1.9 and 9.1, so exactly docs 1 and 10
