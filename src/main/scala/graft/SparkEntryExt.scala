@@ -363,6 +363,12 @@ object SparkEntryExt {
           quotas = Map("en" -> 40, "zh" -> 15), defaultQuota = 25)
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
         .orderBy(col("lang"), col("rk"))),
+    // token-budget mixing: ~6000 en / 1500 zh / 2000 other tokens —
+    // proper subsets of every stratum at sf0.01 and sf0.1
+    "q_token_budget" -> ((s, d) =>
+      TextAnalysis.tokenBudgetSample(Tables.documents(s, d), "doc_id", "lang", "text",
+          budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+        .orderBy(col("doc_id"))),
     // corpus snapshot diff: v1 drops doc_id%11==3, v2 drops %13==4 and
     // appends ' v2' to every %9==0 text — all four statuses fire
     "q_corpus_diff" -> ((s, d) => {
@@ -1100,6 +1106,22 @@ object SparkEntryExt {
          |SELECT doc_id, lang, rk FROM r
          |WHERE rk <= quota
          |ORDER BY lang, rk""".stripMargin,
+    // naive single-window form of the sharded prefix sum (equal for any
+    // shardWidth — the Spark side is property-tested against this shape)
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${h32Sql("doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, lang AS stratum, n_tokens, cum_before
+         |FROM w
+         |WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END
+         |ORDER BY doc_id""".stripMargin,
     "text_quality_adaptive" ->
       s"""WITH st AS (
          |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

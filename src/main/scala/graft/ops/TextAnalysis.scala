@@ -414,4 +414,64 @@ object TextAnalysis {
       // prune); the CASE conjunct then trims to each stratum's quota
       .filter(col("rk") <= lit(maxQuota) && col("rk") <= quota)
   }
+
+  /** Token-budget data mixing: select docs per stratum until each
+    * stratum's TOKEN budget is met — "2B tokens of en, 500M of zh", the
+    * units a pretraining mix is actually specified in, where
+    * [[quotaSample]] counts docs and [[hashSampleMix]] takes a fixed
+    * percentage. Selection order within a stratum is portable-hash order
+    * (a deterministic shuffle: the chosen set depends only on ids,
+    * token counts, and budgets — never on partitioning or execution
+    * order), and the doc whose tokens cross the budget is INCLUDED
+    * (greedy fill: docs are never truncated, so selected tokens
+    * overshoot the budget by less than one doc). Growing a budget
+    * extends the previous selection; shrinking selects a prefix of it.
+    * Zero-token docs occupy no budget and are excluded. Output: one row
+    * per selected doc — (doc_id, stratum, n_tokens, cum_before) where
+    * cum_before is the stratum's token count ahead of this doc.
+    *
+    * Scale shape: a per-stratum running sum done naively is
+    * `PARTITION BY stratum` — an entire domain (terabytes at 100 TB) in
+    * ONE window task. Instead the prefix sum is sharded exactly like
+    * [[packSequences]]: docs shard by hash-RANGE within stratum (shard
+    * boundaries respect the selection order, so concatenating shards
+    * reproduces the global order), then (1) per-(stratum, shard) token
+    * totals are prefix-summed over the SHARD table — a per-stratum
+    * window over at most 2^32/shardWidth rows; (2) a per-shard
+    * cumulative window (partitioned, parallel) adds the broadcast shard
+    * offset. Identical to the naive global cumsum for ANY shardWidth
+    * (property-tested in TokenBudgetSpec).
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      shardWidth: Long = 1L << 24): DataFrame = {
+    require(defaultBudget >= 1 && budgets.values.forall(_ >= 1),
+      s"budgets must be >= 1 (got default=$defaultBudget, $budgets)")
+    require(shardWidth >= 1, s"shardWidth ($shardWidth) must be >= 1")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val t = docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        h32(col(idCol).cast("string")).as("__h"))
+      .filter(col("n_tokens") > 0)
+      // integer DIV keeps the shard key exact and monotone in __h, so
+      // (shard, __h, doc_id) sorts identically to (__h, doc_id)
+      .withColumn("__shard", expr(s"__h DIV $shardWidth"))
+    val offs = t.groupBy(col("stratum"), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.partitionBy(col("stratum")).orderBy(col("__shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"), col("__shard"), col("__off"))
+    val w = Window.partitionBy(col("stratum"), col("__shard"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offs), Seq("stratum", "__shard"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_before"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Token-budget data mixing: the sharded prefix sum must equal the naive
+  * global cumsum for any shardWidth, selections must nest as budgets
+  * grow, overshoot is bounded by one doc, and membership is independent
+  * of input partitioning.
+  */
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 docs, 3 strata, token counts 1..8 — ids chosen so hash order
+  // differs from id order
+  private lazy val docs = (1L to 60L).map { i =>
+    val words = (1 to (i % 8 + 1).toInt).map(j => s"w${i}_$j").mkString(" ")
+    (i, Seq("a", "b", "c")((i % 3).toInt), words)
+  }.toDF("doc_id", "lang", "text")
+
+  private def naive(d: DataFrame, budgets: Map[String, Long], dflt: Long): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(dflt)) {
+      case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    d.select(col("doc_id"), col("lang").as("stratum"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+        Dedup.h32(col("doc_id").cast("string")).as("__h"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("stratum")).orderBy(col("__h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_before"))
+  }
+
+  private def collectSet(d: DataFrame): Set[(Long, String, Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  private val budgets = Map("a" -> 30L, "b" -> 15L)
+
+  test("sharded prefix sum equals naive global cumsum for any shardWidth") {
+    val expected = collectSet(naive(docs, budgets, 20L))
+    assert(expected.nonEmpty)
+    // 1 shard (width spans the whole 2^32 hash space), many tiny shards,
+    // a width coprime to everything, and the default
+    for (width <- Seq(1L << 32, 1000L, 7777L, 1L << 24)) {
+      val got = collectSet(
+        TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text",
+          budgets, 20L, shardWidth = width))
+      assert(got == expected, s"shardWidth=$width diverged from naive cumsum")
+    }
+  }
+
+  test("budget growth extends the selection; shrinking selects a prefix") {
+    val small = collectSet(TextAnalysis.tokenBudgetSample(
+      docs, "doc_id", "lang", "text", Map("a" -> 10L), 8L))
+    val large = collectSet(TextAnalysis.tokenBudgetSample(
+      docs, "doc_id", "lang", "text", Map("a" -> 25L), 18L))
+    assert(small.nonEmpty && small.size < large.size)
+    assert(small.subsetOf(large), "smaller budgets must select a subset")
+  }
+
+  test("greedy fill: budget met, overshoot bounded by the crossing doc") {
+    val want = Map("a" -> 30L, "b" -> 15L, "c" -> 20L)
+    val rows = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text", budgets, 20L)
+      .groupBy(col("stratum"))
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "every stratum selected into")
+    for (r <- rows) {
+      val (stratum, tot, mx) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val b = want(stratum)
+      assert(tot >= b, s"$stratum: supply exists, budget must be met (tot=$tot < $b)")
+      assert(tot - b < mx, s"$stratum: overshoot ($tot - $b) must be < largest selected doc ($mx)")
+    }
+  }
+
+  test("membership is independent of input partitioning; zero-token docs excluded") {
+    val withEmpty = docs.union(Seq((990L, "a", "   "), (991L, "b", "")).toDF("doc_id", "lang", "text"))
+    val base = collectSet(TextAnalysis.tokenBudgetSample(
+      withEmpty, "doc_id", "lang", "text", budgets, 20L))
+    val shuffled = collectSet(TextAnalysis.tokenBudgetSample(
+      withEmpty.repartition(7), "doc_id", "lang", "text", budgets, 20L))
+    assert(base == shuffled, "selection must not depend on partitioning")
+    assert(!base.exists(r => r._1 == 990L || r._1 == 991L), "zero-token docs never selected")
+  }
+
+  test("invalid budgets and shardWidth rejected loudly") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text", Map("a" -> 0L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text", Map.empty, 10L, shardWidth = 0L)
+    }
+  }
+}
