@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
       s"sort+limit did not fuse (a full sort at 100 TB):\n$plan")
   }
 
+  test("token budget: every window is partitioned, shard offsets broadcast") {
+    val plan = formatted(TextAnalysis.tokenBudgetSample(Tables.documents(spark, sf0001),
+      "doc_id", "lang", "text", Map("en" -> 500L), defaultBudget = 300L))
+    // the whole point of the sharded design: the doc-level cumulative
+    // window partitions on (stratum, __shard), never stratum alone (a
+    // whole domain in one task at 100 TB) or globally (SinglePartition)
+    assert(plan.contains("Window"), s"expected the two prefix-sum windows:\n$plan")
+    assert("""windowspecdefinition\([^)]*\)[^\n]*\[stratum#\d+, __shard#\d+L\]""".r
+        .findFirstIn(plan).isDefined,
+      s"doc-level window no longer partitioned by (stratum, shard) — sharding lost:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global single-partition exchange crept into the prefix sum:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard-offset table must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("LSH candidate generation is an equi-join on the band key, not a nested loop") {
     val docs = Tables.documents(spark, sf0001)
     val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).withColumn("h", Dedup.h32(col("sh")))
