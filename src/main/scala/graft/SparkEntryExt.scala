@@ -369,6 +369,15 @@ object SparkEntryExt {
       TextAnalysis.tokenBudgetSample(Tables.documents(s, d), "doc_id", "lang", "text",
           budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
         .orderBy(col("doc_id"))),
+    // token-count-weighted draw of 12 docs per lang (uniform over
+    // tokens, deterministic in the ids)
+    "q_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(
+          Tables.documents(s, d)
+            .withColumn("w", size(Dedup.tokens(col("text"))).cast("long")),
+          "doc_id", "lang", "w", k = 12)
+        .select(col("doc_id"), col("stratum"), col("rk").cast("long").as("rk"))
+        .orderBy(col("stratum"), col("rk"))),
     // corpus snapshot diff: v1 drops doc_id%11==3, v2 drops %13==4 and
     // appends ' v2' to every %9==0 text — all four statuses fire
     "q_corpus_diff" -> ((s, d) => {
@@ -1122,6 +1131,21 @@ object SparkEntryExt {
          |FROM w
          |WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END
          |ORDER BY doc_id""".stripMargin,
+    // Efraimidis–Spirakis keys: ln(u)/w with u = (h32(id)+1)/2^32 —
+    // same double arithmetic as the Spark side
+    "q_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS w,
+         |    ${h32Sql("doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ln((h + 1) / 4294967296.0) / w DESC, doc_id) AS rk
+         |  FROM t)
+         |SELECT doc_id, lang AS stratum, rk FROM r
+         |WHERE rk <= 12
+         |ORDER BY stratum, rk""".stripMargin,
     "text_quality_adaptive" ->
       s"""WITH st AS (
          |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

@@ -415,6 +415,38 @@ object TextAnalysis {
       .filter(col("rk") <= lit(maxQuota) && col("rk") <= quota)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis): the top `k` docs per stratum by key `ln(u) / w`, where
+    * `u` is a uniform in (0, 1] derived from the portable id hash and
+    * `w` is the row's weight — each doc's inclusion odds scale with its
+    * weight (token count → uniform-over-tokens, quality score →
+    * quality-tilted), but the draw is a pure function of ids and
+    * weights: reruns, retries, and engine swaps select the same rows.
+    * Non-positive weights raise at execution (a silent drop would skew
+    * the sample unobservably). Output: (doc_id, stratum, rk) with rk
+    * the 1-based draw order within the stratum.
+    *
+    * Scale: same `WindowGroupLimit` shape as [[quotaSample]] — the
+    * rank-over-key window has a literal bound, so every map task prunes
+    * to its local top-k BEFORE the stratum exchange; the shuffle
+    * carries O(k x tasks) rows, never the corpus.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val u = (h32(col(idCol).cast("string")) + 1).cast("double") / lit(4294967296.0)
+    val key = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: non-positive weight in '$weightCol' for id "),
+        col(idCol).cast("string"))))
+      .otherwise(log(u) / col(weightCol).cast("double"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(key.desc, col(idCol))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(k))
+      .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"), col("rk"))
+  }
+
   /** Token-budget data mixing: select docs per stratum until each
     * stratum's TOKEN budget is met — "2B tokens of en, 500M of zh", the
     * units a pretraining mix is actually specified in, where

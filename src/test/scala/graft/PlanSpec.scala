@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
       s"sort+limit did not fuse (a full sort at 100 TB):\n$plan")
   }
 
+  test("weighted sample compiles to WindowGroupLimit (pre-shuffle top-k prune)") {
+    val plan = formatted(TextAnalysis.weightedSample(
+      Tables.documents(spark, sf0001).withColumn("w", lit(3L)),
+      "doc_id", "lang", "w", k = 5))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k over the ES key did not install a group limit:\n$plan")
+  }
+
   test("token budget: every window is partitioned, shard offsets broadcast") {
     val plan = formatted(TextAnalysis.tokenBudgetSample(Tables.documents(spark, sf0001),
       "doc_id", "lang", "text", Map("en" -> 500L), defaultBudget = 300L))

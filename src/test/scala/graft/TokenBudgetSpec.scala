@@ -96,4 +96,45 @@ class TokenBudgetSpec extends SparkSpec {
       TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text", Map.empty, 10L, shardWidth = 0L)
     }
   }
+
+  // --- weightedSample (Efraimidis–Spirakis draw) ---
+
+  private lazy val weighted = docs.withColumn("w",
+    size(Dedup.tokens(col("text"))).cast("long"))
+
+  test("weighted sample: exact k per stratum, matches the key formula, partition-invariant") {
+    val got = TextAnalysis.weightedSample(weighted, "doc_id", "lang", "w", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.groupBy(_._2).forall(_._2.size == 4), "each stratum draws exactly k")
+    // recompute the draw order naively from the collected weights
+    val rows = weighted.select(col("doc_id"), col("lang"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.map { case (id, _, w) =>
+        (id, math.log((h32(id.toString) + 1).toDouble / 4294967296.0) / w)
+      }.sortBy { case (id, key) => (-key, id) }.take(4)
+        .zipWithIndex.map { case ((id, _), i) => (id, lang, i + 1) }
+    }.toSet
+    assert(got == expected, "draw must equal the ln(u)/w top-k computed naively")
+    val shuffled = TextAnalysis.weightedSample(weighted.repartition(7), "doc_id", "lang", "w", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(shuffled == got, "draw must not depend on partitioning")
+  }
+
+  test("weighted sample: non-positive weight raises at execution, k >= 1 enforced") {
+    val bad = weighted.union(Seq((992L, "a", "x", 0L)).toDF("doc_id", "lang", "text", "w"))
+    val e = intercept[Exception] {
+      TextAnalysis.weightedSample(bad, "doc_id", "lang", "w", 3).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("weightedSample"),
+      s"error must name the operator, got: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.weightedSample(weighted, "doc_id", "lang", "w", 0)
+    }
+  }
 }
