@@ -62,5 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MisraGriesAgg(args.head, k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      info("graft_cms",
+        "graft_cms(key, depth, width) - Count-Min sketch build, O(depth*width)-state aggregate"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_cms $name must be a positive INT literal, got $other")
+        }
+        CmsAgg(args.head, intLit(args(1), "depth"), intLit(args(2), "width"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, key) - point-frequency estimate, never under the true count"),
+      (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1))))
   }
 }

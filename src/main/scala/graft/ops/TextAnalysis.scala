@@ -201,6 +201,28 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("term").asc)
       .limit(limit)
 
+  /** Count–Min point-frequency estimates for the top `limit` terms,
+    * next to their exact counts — the audit query for the
+    * [[graft.functions.CmsAgg]] sketch (est >= exact always; the gap is
+    * the collision error the width bounds). The sketch is ONE bounded
+    * O(depth·width) row built map-side-combinable over the whole token
+    * stream and broadcast into the probe — at 100 TB the exact-count
+    * side is the expensive one (full term group-by) and exists here only
+    * because this query's purpose is to measure the sketch against it;
+    * production readers probe the sketch alone.
+    */
+  def cmsTopTerms(docs: DataFrame, idCol: String, textCol: String, limit: Int,
+      depth: Int, width: Int): DataFrame = {
+    import graft.functions.CmsAgg
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val sketch = toks.agg(CmsAgg.cmsAgg(col("term"), depth, width).as("__sk"))
+    toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), col("term").asc)
+      .limit(limit)
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), CmsAgg.estimate(col("__sk"), col("term")).as("est"), col("exact"))
+  }
+
   /** TF-IDF with idf = ln(N / df); top `perDoc` terms per document.
     * Two shuffles (tf group-by, df group-by) + a broadcast join of the
     * small df table — at 100 TB the df table is still ~vocab-sized.

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{CmsAgg, CmsHash}
+import graft.ops.{Tables, TextAnalysis}
+
+/** Count–Min sketch: estimates match a naive reimplementation exactly,
+  * never undercount, survive partial aggregation (merge), and register
+  * through the SQL function surface.
+  */
+class CmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf-ish fixture: term t_i appears 60/i times — guaranteed
+  // collisions at width=64 (600+ distinct cells into 4x64)
+  private lazy val terms: Seq[String] =
+    (1 to 60).flatMap(i => Seq.fill(60 / i)(s"t$i"))
+
+  private def naiveEstimate(all: Seq[String], key: String, depth: Int, width: Int): Long = {
+    (0 until depth).map { j =>
+      val b = CmsHash.bucket(j, key, width)
+      all.count(t => CmsHash.bucket(j, t, width) == b).toLong
+    }.min
+  }
+
+  test("estimates equal the naive CMS exactly; never below the true count") {
+    val df = terms.toDF("term")
+    val sketch = df.agg(CmsAgg.cmsAgg(col("term"), 4, 64).as("sk"))
+    val est = df.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), CmsAgg.estimate(col("sk"), col("term")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.keySet == exact.keySet)
+    var overestimated = 0
+    for ((t, e) <- est) {
+      assert(e == naiveEstimate(terms, t, 4, 64), s"estimate for $t diverged from naive CMS")
+      assert(e >= exact(t), s"CMS must never undercount ($t: est=$e < ${exact(t)})")
+      if (e > exact(t)) overestimated += 1
+    }
+    assert(overestimated > 0, "fixture must actually collide (else the test proves nothing)")
+  }
+
+  test("merge: sketch identical under repartitioning (partial aggregation path)") {
+    val a = terms.toDF("term").agg(CmsAgg.cmsAgg(col("term"), 4, 64)).first().getAs[Array[Byte]](0)
+    val b = terms.toDF("term").repartition(7)
+      .agg(CmsAgg.cmsAgg(col("term"), 4, 64)).first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b), "merge must be order/partition-invariant")
+  }
+
+  test("cmsTopTerms: est >= exact on real docs, top-k matches topTerms") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.cmsTopTerms(docs, "doc_id", "text", limit = 10, depth = 4, width = 512)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)), "est >= exact for every term")
+    val expectTop = TextAnalysis.topTerms(docs, "doc_id", "text", limit = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == expectTop)
+  }
+
+  test("graft_cms / graft_cms_estimate callable from SQL; bad params rejected") {
+    val base = SparkSpec.session
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val est = s.sql(
+        """SELECT graft_cms_estimate(graft_cms(t, 4, 64), 'x') AS e
+          |FROM (SELECT explode(array('x', 'x', 'y')) AS t)""".stripMargin)
+        .first().getLong(0)
+      assert(est >= 2L, s"x appears twice, estimate must be >= 2 (got $est)")
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_cms(t, 0, 64) FROM (SELECT 'x' AS t)").collect()
+      }
+      assert(e.getMessage.contains("graft_cms"), s"bad depth must name the function: ${e.getMessage}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
