@@ -268,6 +268,18 @@ object SparkEntryExt {
       TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
           seqLen = 512, docsPerShard = 100)
         .orderBy(col("doc_id"))),
+    // composed mix -> pack: token-budget selection feeding sequence
+    // packing — the last two stages of a pretraining data pipeline in
+    // one lazy plan (Catalyst prunes doc columns through the join)
+    "pipeline_mix_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sel = TextAnalysis.tokenBudgetSample(docs, "doc_id", "lang", "text",
+        budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+      TextAnalysis.packSequences(
+          docs.join(sel.select(col("doc_id")), "doc_id"),
+          "doc_id", "text", seqLen = 512, docsPerShard = 100)
+        .orderBy(col("doc_id"))
+    }),
     // eval-set decontamination: every 5th doc plays the held-out set,
     // the rest the training corpus; trigram collisions ≥ 3 flag a pair
     "dedup_contaminate" -> ((s, d) => {
@@ -747,6 +759,32 @@ object SparkEntryExt {
          |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
          |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |  prev // 512 AS seq_start,
+         |  (prev + n_tokens - 1) // 512 AS seq_end,
+         |  prev % 512 AS offset
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+    // budget selection (q_token_budget's form) piped into the packing
+    // cumsum (q_pack_sequences' form) — one SQL chain, same constants
+    "pipeline_mix_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${h32Sql("doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t WHERE n_tokens > 0),
+         |sel AS (
+         |  SELECT doc_id, n_tokens FROM w
+         |  WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM sel)
          |SELECT doc_id, n_tokens,
          |  prev // 512 AS seq_start,
          |  (prev + n_tokens - 1) // 512 AS seq_end,
