@@ -26,6 +26,33 @@ object OracleSql {
       s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> $cat)"
     }
 
+  /** CMS replicated in SQL — per-(seed, bucket) counts from the whole
+    * token stream, estimate = min over the `depth` seed rows; same
+    * md5-prefix bucket hash as [[graft.functions.CmsHash]]. Shared by
+    * `q_cms_freq` (batch build) and `stream_cms` (micro-batch sketches
+    * merged) — the mergeable-summary property means both must hash-match
+    * THIS one query.
+    */
+  def cmsFreqSql(depth: Int, width: Int, limit: Int): String = {
+    val seeds = (0 until depth).mkString(", ")
+    s"""WITH tk AS (SELECT unnest($toksSql) AS term FROM documents),
+       |seeds AS (SELECT unnest([$seeds]) AS seed),
+       |bc AS (
+       |  SELECT seed, ${h32Sql("seed::VARCHAR || '|' || term")} % $width AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tk CROSS JOIN seeds
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT term, count(*) AS exact FROM tk GROUP BY term
+       |  ORDER BY exact DESC, term LIMIT $limit)
+       |SELECT t.term, min(bc.c) AS est, t.exact
+       |FROM top t CROSS JOIN seeds s
+       |JOIN bc ON bc.seed = s.seed
+       |  AND bc.b = ${h32Sql("s.seed::VARCHAR || '|' || t.term")} % $width
+       |GROUP BY t.term, t.exact
+       |ORDER BY t.term""".stripMargin
+  }
+
   // Vector math with exact fold-order parity to VectorOps (double cast,
   // sequential left-fold — bit-identical scores pre-rounding).
   def sqlSumSq(a: String): String =

@@ -19,6 +19,13 @@ object SparkEntryExt {
     * drift apart.
     */
   private val KmvK = 64
+  /** CMS shape shared by the Scala queries (`q_cms_freq` here,
+    * `stream_cms` in [[SparkEntryStream]]) and their common oracle
+    * ([[OracleSql.cmsFreqSql]]) — one constant set, no drift.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 2048
+  val CmsTopK = 20
   /** Shared DuckDB CTE: MinHash-LSH candidate pairs verified at j ≥ 0.5
     * (mirrors Dedup.minHashLsh with 3-gram shingles, 16 hashes,
     * 2 bands × 8 rows). Trigram shingles are the standard MinHash
@@ -216,7 +223,7 @@ object SparkEntryExt {
     // by construction; 4x2048 cells bound the gap
     "q_cms_freq" -> ((s, d) =>
       TextAnalysis.cmsTopTerms(Tables.documents(s, d), "doc_id", "text",
-          limit = 20, depth = 4, width = 2048)
+          limit = CmsTopK, depth = CmsDepth, width = CmsWidth)
         .orderBy(col("term"))),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text", perDoc = 3)
@@ -897,25 +904,9 @@ object SparkEntryExt {
          |GROUP BY term
          |ORDER BY cnt DESC, term
          |LIMIT 20""".stripMargin,
-    // CMS replicated in SQL: per-(seed, bucket) counts from the corpus,
-    // estimate = min over the 4 seed rows — same md5-prefix bucket hash
-    "q_cms_freq" ->
-      s"""WITH tk AS (SELECT unnest($toksSql) AS term FROM documents),
-         |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
-         |bc AS (
-         |  SELECT seed, ${h32Sql("seed::VARCHAR || '|' || term")} % 2048 AS b,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM tk CROSS JOIN seeds
-         |  GROUP BY 1, 2),
-         |top AS (
-         |  SELECT term, count(*) AS exact FROM tk GROUP BY term
-         |  ORDER BY exact DESC, term LIMIT 20)
-         |SELECT t.term, min(bc.c) AS est, t.exact
-         |FROM top t CROSS JOIN seeds s
-         |JOIN bc ON bc.seed = s.seed
-         |  AND bc.b = ${h32Sql("s.seed::VARCHAR || '|' || t.term")} % 2048
-         |GROUP BY t.term, t.exact
-         |ORDER BY t.term""".stripMargin,
+    // single-source with stream_cms: both build paths must match the
+    // same SQL replica (OracleSql.cmsFreqSql)
+    "q_cms_freq" -> OracleSql.cmsFreqSql(CmsDepth, CmsWidth, CmsTopK),
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

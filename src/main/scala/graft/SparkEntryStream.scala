@@ -96,7 +96,11 @@ object SparkEntryStream {
     // continuous index maintenance (the reference's ingestion loop as a
     // stream): final point store ≡ batch chunk+embed over the LATEST doc
     // versions — i.e. the doc-replace upsert branch is what's checked
-    "stream_index" -> ((s, d) => runIndexOnce(s, d)))
+    "stream_index" -> ((s, d) => runIndexOnce(s, d)),
+    // incremental Count-Min maintenance: per-micro-batch sketches
+    // merged ≡ one batch build (mergeable summary) — probed against the
+    // SAME oracle SQL as q_cms_freq
+    "stream_cms" -> ((s, d) => runCmsOnce(s, d)))
 
   /** Drive [[EventStream.novelDocsStream]]: stream ALL docs against a
     * static corpus holding every doc_id % 3 != 0 — exactly the % 3 == 0
@@ -120,6 +124,39 @@ object SparkEntryStream {
     spark.table(name)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Drive [[EventStream.cmsSketchStream]] over two doc micro-batches
+    * (split at doc_id 250), merge the per-batch sketch files, and probe
+    * the top exact terms against the merged sketch — the result must
+    * hash-match the BATCH-built `q_cms_freq` (mergeable-summary
+    * property: batch slicing cannot move any cell). The merged sketch
+    * embeds as a literal in the probe (loaded once per task, never a
+    * per-row binary-column read).
+    */
+  private def runCmsOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CmsAgg
+    import graft.ops.{Tables, TextAnalysis}
+    val in = java.nio.file.Files.createTempDirectory("graft-cms-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-cms-store").toString + "/sketches"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
+    val q = EventStream.cmsSketchStream(spark, in, store,
+      SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sketch = EventStream.readCmsSketch(store,
+      SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth)
+    TextAnalysis.topTerms(docs, "doc_id", "text", limit = SparkEntryExt.CmsTopK)
+      .select(col("term"),
+        CmsAgg.estimate(lit(sketch), col("term")).as("est"),
+        col("cnt").as("exact"))
+      .orderBy(col("term"))
   }
 
   /** Drive [[EventStream.qualityStream]] over two doc micro-batches
@@ -244,5 +281,9 @@ object SparkEntryStream {
          |  round(e.v[1], 6) AS first_dim,
          |  round(list_reduce(e.v, (a, x) -> a + x), 6) AS vsum
          |FROM ch JOIN ie_emb e ON ch.chunk_id = e.id
-         |ORDER BY ch.chunk_id""".stripMargin)
+         |ORDER BY ch.chunk_id""".stripMargin,
+    // literally the batch CMS oracle: micro-batch slicing must not move
+    // a single sketch cell
+    "stream_cms" -> OracleSql.cmsFreqSql(
+      SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth, SparkEntryExt.CmsTopK))
 }

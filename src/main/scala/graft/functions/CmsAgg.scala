@@ -184,4 +184,30 @@ object CmsAgg {
 
   def estimate(sketch: Column, key: Column): Column =
     column(CmsEstimateExpr(expression(sketch), expression(key)))
+
+  /** Merge two serialized sketches (element-wise add) — the driver-side
+    * form of [[CmsAgg.merge]], for folding per-micro-batch sketches into
+    * a running one (streaming maintenance). Shapes must match.
+    */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length &&
+        ByteBuffer.wrap(a).getInt == ByteBuffer.wrap(b).getInt,
+      s"cms merge: sketch shapes differ (${a.length} vs ${b.length} bytes)")
+    val out = new Array[Byte](a.length)
+    val bba = ByteBuffer.wrap(a)
+    val bbb = ByteBuffer.wrap(b)
+    val bbo = ByteBuffer.wrap(out)
+    bbo.putInt(bba.getInt); bbb.getInt
+    bbo.putInt(bba.getInt); bbb.getInt
+    while (bba.hasRemaining) bbo.putLong(bba.getLong + bbb.getLong)
+    out
+  }
+
+  /** An all-zero sketch of the given shape (merge identity). */
+  def emptyBytes(depth: Int, width: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * depth * width)
+    bb.putInt(depth)
+    bb.putInt(width)
+    bb.array()
+  }
 }

@@ -312,6 +312,57 @@ object EventStream {
       .start()
   }
 
+  /** Incremental Count–Min maintenance: each micro-batch's tokens
+    * aggregate into ONE bounded sketch, persisted as
+    * `sketch_<batchId>.bin` (write-temp + atomic move; a replayed batch
+    * overwrites its own file — idempotent, the foreachBatch
+    * exactly-once-EFFECT contract). The running sketch is the merge of
+    * the per-batch files, and because the sketch is a mergeable summary
+    * (element-wise add), the merged result is BIT-IDENTICAL to a batch
+    * build over everything seen, for any micro-batch slicing — the
+    * `stream_cms` oracle. State per batch is O(depth·width) bytes
+    * regardless of stream volume; nothing vocabulary-sized ever
+    * accumulates. This is the streaming half of corpus monitoring:
+    * continuous term-frequency estimates over an ingest firehose.
+    */
+  def cmsSketchStream(spark: SparkSession, inputDir: String, storeDir: String,
+      depth: Int, width: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    spark.readStream.schema(docSchema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sk = batch
+          .select(explode(graft.ops.Dedup.tokens(col("text"))).as("term"))
+          .agg(graft.functions.CmsAgg.cmsAgg(col("term"), depth, width))
+          .first().getAs[Array[Byte]](0)
+        val tmp = java.nio.file.Paths.get(storeDir, s".sketch_$batchId.tmp")
+        java.nio.file.Files.write(tmp, sk)
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(storeDir, s"sketch_$batchId.bin"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the per-batch sketch files of [[cmsSketchStream]] into the
+    * running sketch (driver-side: #batches tiny binary files).
+    */
+  def readCmsSketch(storeDir: String, depth: Int, width: Int): Array[Byte] = {
+    val dir = new java.io.File(storeDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("sketch_") && f.getName.endsWith(".bin"))
+      .sortBy(_.getName)
+    files.foldLeft(graft.functions.CmsAgg.emptyBytes(depth, width)) { (acc, f) =>
+      graft.functions.CmsAgg.mergeBytes(acc, java.nio.file.Files.readAllBytes(f.toPath))
+    }
+  }
+
   /** Drive the streaming plan over a parquet directory with a memory
     * sink, synchronously (for tests / local smoke): returns the final
     * materialized result table.

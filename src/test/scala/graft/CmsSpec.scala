@@ -60,6 +60,25 @@ class CmsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == expectTop)
   }
 
+  test("streaming maintenance: merged micro-batch sketches equal one batch build") {
+    val in = java.nio.file.Files.createTempDirectory("cms-in").toString
+    val store = java.nio.file.Files.createTempDirectory("cms-store").toString + "/sk"
+    val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3}")).toDF("doc_id", "text")
+    docs.filter(col("doc_id") <= 20).write.mode("append").parquet(in)
+    val q = graft.streaming.EventStream.cmsSketchStream(spark, in, store, 4, 64)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") > 20).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.EventStream.readCmsSketch(store, 4, 64)
+    val batch = docs
+      .select(explode(graft.ops.Dedup.tokens(col("text"))).as("term"))
+      .agg(CmsAgg.cmsAgg(col("term"), 4, 64)).first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamed, batch),
+      "micro-batch slicing must not move a single sketch cell")
+  }
+
   test("graft_cms / graft_cms_estimate callable from SQL; bad params rejected") {
     val base = SparkSpec.session
     SparkSession.clearDefaultSession()
