@@ -172,6 +172,15 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // JL sign projection 64 -> 16: per-coordinate rows, rounded — the
+    // dim-reduction step ahead of IVF/quantization at scale
+    "v_project" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(VectorOps.signProject(col("embedding"), inDim = 64, outDim = 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("k"),
+          round(col("col"), 6).as("yv"))
+        .orderBy(col("vec_id"), col("k"))),
     "v_quantize" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       emb.select(col("vec_id"), col("embedding"),
@@ -571,6 +580,19 @@ object SparkEntryExt {
          |  QUALIFY rank <= 3)
          |SELECT query_id, rank, point_id, round(score, 6) AS score
          |FROM s ORDER BY query_id, rank""".stripMargin,
+    // same ± matrix from the portable-hash parity, same sequential
+    // fold order as the codegen dot (list_reduce left fold)
+    "v_project" ->
+      s"""WITH y AS (
+         |  SELECT vec_id, k,
+         |    list_reduce(list_transform(generate_series(1, 64), i ->
+         |      embedding[i]::DOUBLE *
+         |      (CASE WHEN ${h32Sql("k::VARCHAR || '|' || (i-1)::VARCHAR")} % 2 = 0
+         |            THEN 0.25 ELSE -0.25 END)),
+         |      (acc, x) -> acc + x) AS yv
+         |  FROM embeddings CROSS JOIN generate_series(0, 15) t(k))
+         |SELECT vec_id, k, round(yv, 6) AS yv
+         |FROM y ORDER BY vec_id, k""".stripMargin,
     "v_quantize" ->
       s"""WITH b AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

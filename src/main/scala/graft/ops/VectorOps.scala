@@ -108,6 +108,33 @@ object VectorOps {
             transform(t.getField("d"), x => round(x / scale).cast("int"))
           }))))
 
+  /** Sign-random-projection (Johnson–Lindenstrauss) dimension
+    * reduction: y[k] = (1/sqrt(outDim)) * sum_i v[i] * s(k, i) with
+    * s(k, i) = ±1 from the parity of the portable hash of "k|i" — the
+    * projection matrix is a pure function of (k, i), so any engine (and
+    * the DuckDB oracle) reproduces it without shipping matrix data.
+    * Cosine/distance structure is approximately preserved (JL); the
+    * production use is shrinking wide embeddings (e.g. 768 → 64)
+    * before IVF bucketing or quantization, where the vector column
+    * dominates a 100 TB footprint and candidate scoring cost is linear
+    * in dim. Each output coordinate is one codegen [[dot]] against a
+    * CONSTANT row literal (resolved at plan time, loaded once per task
+    * — never a per-row matrix read), so the whole projection is a
+    * narrow, shuffle-free, whole-stage-codegen projection.
+    */
+  def signProject(v: Column, inDim: Int, outDim: Int): Column = {
+    require(inDim >= 1, s"inDim ($inDim) must be >= 1")
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim ($outDim) must be in [1, inDim=$inDim]")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val rows = (0 until outDim).map { k =>
+      val row = (0 until inDim).map(i =>
+        if (graft.functions.CmsHash.h32(s"$k|$i") % 2 == 0) scale else -scale)
+      dot(v, typedlit(row))
+    }
+    array(rows: _*)
+  }
+
   /** Per-row quantization scale (needed to dequantize). */
   def quantScale(v: Column): Column = {
     val amax = array_max(transform(toDoubleArray(v), x => abs(x)))

@@ -54,6 +54,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(ids(6).take(4) == ids(4).take(4))
   }
 
+  test("signProject: matches naive recompute, deterministic, dims validated") {
+    import graft.functions.CmsHash
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 3.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.5f, 2.5f, -0.25f, 4.0f)))
+    val df = vecs.toDF("vec_id", "v")
+    val got = df.select(col("vec_id"), VectorOps.signProject(col("v"), 4, 2).as("y"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val scale = 1.0 / math.sqrt(2.0)
+    def naive(v: Array[Float]): Seq[Double] =
+      (0 until 2).map { k =>
+        var acc = 0.0
+        for (i <- 0 until 4)
+          acc += v(i).toDouble * (if (CmsHash.h32(s"$k|$i") % 2 == 0) scale else -scale)
+        acc
+      }
+    for ((id, v) <- vecs) assert(got(id) == naive(v), s"vec $id diverged from naive projection")
+    assert(got(2L) == Seq(0.0, 0.0), "zero vector projects to zero")
+    // same input row -> identical projection regardless of partitioning
+    val again = df.repartition(3)
+      .select(col("vec_id"), VectorOps.signProject(col("v"), 4, 2).as("y"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] { VectorOps.signProject(col("v"), 4, 5) }
+    intercept[IllegalArgumentException] { VectorOps.signProject(col("v"), 0, 0) }
+  }
+
   test("embedTextDistributed matches per-row embedText") {
     val df = Seq((1L, "a b c a"), (2L, "x y")).toDF("id", "text")
     val perRow = df.select(col("id"), VectorOps.embedText(col("text"), 8).as("e"))
