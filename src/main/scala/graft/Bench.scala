@@ -24,14 +24,6 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    // Median-of-3 per query: single-run timings on this host swing up to
-    // 4x (SCALING.md) and round 2 recorded 6-11x spikes on unchanged
-    // plans. Three consecutive runs + median makes one transient spike
-    // (page-cache eviction, competing process, GC pause) unable to move
-    // the recorded number; a *real* regression shows up in all three.
-    // clamp: non-numeric/zero/negative values must not crash the bench
-    val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     // Deterministic order, streaming LAST: Map iteration order is
     // hash-arbitrary, so batch queries could otherwise run interleaved
     // with the stream_* queries' state-store churn in the same JVM —
@@ -41,51 +33,81 @@ object Bench {
     val ordered = selected.toSeq.sortBy { case (name, _) =>
       (name.startsWith("stream_"), name)
     }
-    def medianOfReps(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // Consume via the noop sink, not count(): under count() Catalyst
-        // prunes unreferenced projections and drops final sorts, so a
-        // projection-heavy query (vector scoring, string galleries) would
-        // be timed as little more than its scan. noop evaluates every
-        // output column of every row and writes nothing.
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Iterative ops persist intermediates; drop them so no query is
-        // timed against another query's lingering cache blocks.
-        spark.catalog.clearCache()
-        // a failed query reports -1, never a success-shaped fast time
-        if (ok) dt else -1.0
-      }
-      // any failed rep poisons the query to -1 (failure must not hide
-      // behind two fast successes)
-      if (times.contains(-1.0)) -1.0
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // Consume via the noop sink, not count(): under count() Catalyst
+      // prunes unreferenced projections and drops final sorts, so a
+      // projection-heavy query (vector scoring, string galleries) would
+      // be timed as little more than its scan. noop evaluates every
+      // output column of every row and writes nothing.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Iterative ops persist intermediates; drop them so no query is
+      // timed against another query's lingering cache blocks.
+      spark.catalog.clearCache()
+      // a failed query reports -1, never a success-shaped fast time
+      if (ok) dt else -1.0
+    }
+    // true median; for even counts average the two middle elements
+    // (upper-middle alone biases recorded times upward). Any failed rep
+    // poisons the window to -1 (failure must not hide behind fast
+    // successes).
+    def median(times: Seq[Double]): Double =
+      if (times.exists(_ < 0)) -1.0
       else {
-        // true median: for even rep counts average the two middle
-        // elements (upper-middle alone biases recorded times upward)
         val s = times.sorted
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-    }
-    val firstWindow = ordered.map { case (name, fn) => name -> medianOfReps(fn) }
-    // Second measurement window for expensive-looking queries: sustained
-    // host interference can inflate ALL reps of one window (a round-5
-    // full-suite pass recorded eval_per_row at 49.6 s vs 0.93 s measured
-    // in isolation minutes later — 2-50x across the board), which a
-    // single-window median cannot detect. A burst long enough to span
-    // two windows separated by the rest of the suite has never been
-    // observed, so min(median_w1, median_w2) estimates what the PLAN
-    // costs. Only queries whose first-window median exceeds the
-    // threshold re-run (the cheap ones can't move totals); failures stay
-    // poisoned, never retried into success.
+    // ADAPTIVE protocol (round 6). The round-5 protocol — median-of-3
+    // for every query plus a full second window above 2 s — tripled in
+    // cost as the suite grew 58 -> 88 queries and the driver's bench
+    // timed out (BENCH_r05.json rc=124: no total recorded at all). A
+    // bench that doesn't complete measures nothing, so reps now go
+    // where they can move the total:
+    //   pass A (probe): every query once, deterministic order.
+    //   pass B (refine): queries probing >= refineThreshold get 2 more
+    //     reps -> median-of-3. Sub-threshold queries keep the probe
+    //     value: their worst-case spike is bounded by the threshold
+    //     itself, so noise there cannot move a multi-minute total.
+    //   pass C (second window): sustained host interference can inflate
+    //     ALL reps of one window (round 5 recorded eval_per_row at
+    //     49.6 s vs 0.93 s in isolation minutes later), which a single
+    //     window cannot detect. Queries whose median exceeds
+    //     retryThreshold re-run a full window, separated from the first
+    //     by the rest of the suite; min(w1, w2) estimates what the PLAN
+    //     costs. A failed second window keeps w1 — the re-measurement
+    //     exists only to LOWER interference-inflated medians, never to
+    //     destroy a valid one.
+    // Passes B and C walk queries most-expensive-first and stop when
+    // the wall-clock budget is spent, so the worst case is bounded:
+    // the queries that matter most are refined first, and a too-small
+    // budget degrades precision, never completion. Failures are never
+    // retried into success: a failed probe stays -1.
+    val refineThreshold = 0.5
     val retryThreshold = 2.0
-    val results = firstWindow.map { case (name, v1) =>
-      if (v1 > retryThreshold) name -> math.min(v1, medianOfReps(selected(name)))
-      else name -> v1
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(210.0)
+    val benchStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
+    val probe = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    // pass B: most-expensive-first so a tight budget refines the
+    // queries that dominate the total
+    val refined = scala.collection.mutable.Map[String, Double](probe: _*)
+    probe.filter(_._2 >= refineThreshold).sortBy(-_._2).foreach { case (name, t1) =>
+      if (elapsed() < budgetSec * 0.75)
+        refined(name) = median(Seq(t1, timeOne(selected(name)), timeOne(selected(name))))
     }
+    // pass C: second measurement window, same priority + budget rule
+    refined.toSeq.filter(_._2 > retryThreshold).sortBy(-_._2).foreach { case (name, v1) =>
+      if (elapsed() < budgetSec) {
+        val v2 = median((1 to 3).map(_ => timeOne(selected(name))))
+        refined(name) = if (v2 < 0) v1 else math.min(v1, v2)
+      }
+    }
+    val results = ordered.map { case (name, _) => name -> refined(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -284,6 +284,27 @@ object SparkEntryExt {
       TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
           seqLen = 512, docsPerShard = 100)
         .orderBy(col("doc_id"))),
+    // DIAGNOSTIC pair for the round-5 driver-red trio (q_token_budget /
+    // q_pack_sequences / pipeline_mix_pack — bit-identical locally, red
+    // at the driver): each isolates ONE stage of the mix->pack chain, so
+    // if the trio ever reds again the green/red split of these two says
+    // whether the budget-selection cumsum or the packing cumsum diverges
+    // in the driver environment.
+    // Stage 1 alone — the per-stratum selection cumsum with an
+    // effectively infinite budget, so the budget FILTER is out of play
+    // and every doc's cum_before is compared.
+    "q_budget_cumsum_diag" -> ((s, d) =>
+      TextAnalysis.tokenBudgetSample(Tables.documents(s, d), "doc_id", "lang", "text",
+          budgets = Map.empty, defaultBudget = Long.MaxValue)
+        .orderBy(col("doc_id"))),
+    // Stage 2 alone — packing over a STATIC literal selection (doc_id
+    // predicate), so no upstream sampling stage feeds it; odd
+    // docsPerShard exercises non-aligned shard boundaries.
+    "q_pack_static_diag" -> ((s, d) =>
+      TextAnalysis.packSequences(
+          Tables.documents(s, d).filter(col("doc_id") % 3 =!= 1),
+          "doc_id", "text", seqLen = 64, docsPerShard = 7)
+        .orderBy(col("doc_id"))),
     // composed mix -> pack: token-budget selection feeding sequence
     // packing — the last two stages of a pretraining data pipeline in
     // one lazy plan (Catalyst prunes doc columns through the join)
@@ -371,7 +392,19 @@ object SparkEntryExt {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("l_returnflag"))
     }),
-    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    // HLL register values are engine-specific, so the raw estimate can
+    // never hash-match an oracle — instead the CHECKED output carries
+    // the exact count plus `within_bound` (|est − exact| / exact ≤
+    // 3·rsd, the GuardrailSpec bound, rsd = 0.02), which the oracle
+    // reproduces as the same exact count + literal TRUE. The estimate
+    // itself stays spec-tested (GuardrailSpec) and inspectable via
+    // Relational.approxDistinct.
+    "q_approx_distinct" -> ((s, d) =>
+      Relational.approxDistinct(s, d)
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+            / col("exact_parts").cast("double") <= 3 * 0.02).as("within_bound"))
+        .orderBy(col("l_returnflag"))),
     "q_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(s, d, KmvK)),
     "q_kmv_sketch" -> ((s, d) => Relational.kmvDistinctSketchOnly(s, d, KmvK)),
     // Z-order layout audit: Morton-key buckets carry tight min/max
@@ -784,14 +817,48 @@ object SparkEntryExt {
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (
+         |  -- CAST: DuckDB sum(BIGINT) is HUGEINT, which reaches pandas as
+         |  -- float64 — whether that hash-matches Spark's int64 depends on
+         |  -- the comparer's float normalization (the round-5 driver-red /
+         |  -- local-green split on exactly the window-sum queries). BIGINT
+         |  -- makes both sides int64 under any DuckDB/pandas version.
          |  SELECT doc_id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
          |  FROM t WHERE n_tokens > 0)
          |SELECT doc_id, n_tokens,
          |  prev // 512 AS seq_start,
          |  (prev + n_tokens - 1) // 512 AS seq_end,
          |  prev % 512 AS offset
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+    // stage-1 diagnostic: selection cumsum with no effective budget
+    // filter (defaultBudget = Long.MaxValue on the Spark side; every
+    // row has cum_before < 2^63-1 since sf0.1 holds ~5e5 tokens)
+    "q_budget_cumsum_diag" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${h32Sql("doc_id::VARCHAR")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang AS stratum, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |FROM t WHERE n_tokens > 0
+         |ORDER BY doc_id""".stripMargin,
+    // stage-2 diagnostic: packing over a static literal selection
+    "q_pack_static_diag" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id % 3 <> 1),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |  prev // 64 AS seq_start,
+         |  (prev + n_tokens - 1) // 64 AS seq_end,
+         |  prev % 64 AS offset
          |FROM c
          |ORDER BY doc_id""".stripMargin,
     // budget selection (q_token_budget's form) piped into the packing
@@ -803,16 +870,18 @@ object SparkEntryExt {
          |  FROM documents),
          |w AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t WHERE n_tokens > 0),
          |sel AS (
          |  SELECT doc_id, n_tokens FROM w
          |  WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END),
          |c AS (
+         |  -- CAST: see q_pack_sequences — HUGEINT window sums must not
+         |  -- reach the compared output
          |  SELECT doc_id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
          |  FROM sel)
          |SELECT doc_id, n_tokens,
          |  prev // 512 AS seq_start,
@@ -1128,8 +1197,17 @@ object SparkEntryExt {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    // q_approx_distinct intentionally has no oracle: HLL sketch values
-    // are engine-specific (driver records the weaker rows-only check).
+    // HLL estimates are engine-specific, so the oracle checks the exact
+    // count plus the accuracy CONTRACT (within_bound, literal true —
+    // red iff Spark's estimate ever exceeds 3x its configured rsd)
+    "q_approx_distinct" ->
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_partkey) AS exact_parts,
+         |  count(*) AS n,
+         |  true AS within_bound
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // q_kmv_distinct is the deterministic sketch that IS checkable:
     // both oracles interpolate the SAME KmvK the Scala queries register
     "q_kmv_distinct" ->
@@ -1199,9 +1277,12 @@ object SparkEntryExt {
          |    ${h32Sql("doc_id::VARCHAR")} AS h
          |  FROM documents),
          |w AS (
+         |  -- CAST: see q_pack_sequences — sum(BIGINT) is HUGEINT in
+         |  -- DuckDB; cum_before is a compared output column and must be
+         |  -- int64 on both sides under any DuckDB/pandas version
          |  SELECT doc_id, lang, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |  FROM t WHERE n_tokens > 0)
          |SELECT doc_id, lang AS stratum, n_tokens, cum_before
          |FROM w
