@@ -19,6 +19,12 @@ object SparkEntryExt {
     * drift apart.
     */
   private val KmvK = 64
+  /** Committed CSV fixture directory, interpolated into BOTH the Spark
+    * read and the DuckDB oracle of `q_csv_roundtrip` (same file, two
+    * readers). Overridable for dev checkouts at a non-standard path.
+    */
+  private val FixturesDir =
+    sys.props.getOrElse("graft.fixtures.dir", "/root/repo/data/fixtures")
   /** CMS shape shared by the Scala queries (`q_cms_freq` here,
     * `stream_cms` in [[SparkEntryStream]]) and their common oracle
     * ([[OracleSql.cmsFreqSql]]) — one constant set, no drift.
@@ -305,6 +311,27 @@ object SparkEntryExt {
           Tables.documents(s, d).filter(col("doc_id") % 3 =!= 1),
           "doc_id", "text", seqLen = 64, docsPerShard = 7)
         .orderBy(col("doc_id"))),
+    // S4/S5 CSV boundary as a CHECKED query (reference export shape:
+    // Qdrant/csv/data_case_100.csv — UTF-8 BOM, quoted multiline Thai
+    // text, embedded commas/quotes, non-ASCII header), over a committed
+    // miniature fixture with the same header. Positional toDF rename
+    // sidesteps BOM-in-header naming differences between readers; the
+    // derived columns make parse depth visible — a reader that splits
+    // quoted newlines or mis-handles the BOM row changes every value.
+    // Scale note: multiLine CSV is inherently non-splittable (one file
+    // = one task); it is the INGEST boundary only — bulk data lives in
+    // parquet (S9).
+    "q_csv_roundtrip" -> ((s, d) =>
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(FixturesDir + "/thai_cases.csv")
+        .toDF("text", "answers", "case_no")
+        .select(col("case_no"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"),
+          size(split(col("answers"), ", ")).cast("long").as("n_answers"),
+          trim(substring_index(col("answers"), ",", 1)).cast("long").as("first_answer"))
+        .orderBy(col("case_no"))),
     // composed mix -> pack: token-budget selection feeding sequence
     // packing — the last two stages of a pretraining data pipeline in
     // one lazy plan (Catalyst prunes doc columns through the join)
@@ -832,6 +859,16 @@ object SparkEntryExt {
          |  prev % 512 AS offset
          |FROM c
          |ORDER BY doc_id""".stripMargin,
+    // same committed fixture, DuckDB's reader: BOM + multiline quotes
+    // must survive BOTH parsers identically
+    "q_csv_roundtrip" ->
+      s"""SELECT "คำพิพากษาศาลฎีกาที่" AS case_no,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(string_split(answers, ', ')) AS BIGINT) AS n_answers,
+         |  CAST(trim(string_split(answers, ',')[1]) AS BIGINT) AS first_answer
+         |FROM read_csv('$FixturesDir/thai_cases.csv', header=true)
+         |ORDER BY case_no""".stripMargin,
     // stage-1 diagnostic: selection cumsum with no effective budget
     // filter (defaultBudget = Long.MaxValue on the Spark side; every
     // row has cum_before < 2^63-1 since sf0.1 holds ~5e5 tokens)

@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class CmsBuffer(val depth: Int, val width: Int) {
   val counts = new Array[Long](depth * width)
   def add(key: UTF8String): Unit = {
+    // one UTF8String->String conversion per row, not per depth row
+    val k = key.toString
     var j = 0
     while (j < depth) {
-      counts(j * width + CmsHash.bucket(j, key.toString, width)) += 1L
+      counts(j * width + CmsHash.bucket(j, k, width)) += 1L
       j += 1
     }
   }
@@ -50,8 +52,14 @@ object CmsHash {
       ((bytes(2) & 0xFFL) << 8) | (bytes(3) & 0xFFL)
   }
 
-  def bucket(seed: Int, key: String, width: Int): Int =
-    (h32(seed.toString + "|" + key) % width).toInt
+  // depth is capped at 16 (CmsAgg require), so every seed prefix the
+  // hot loops can ask for is precomputed once
+  private val seedPrefix = Array.tabulate(16)(_.toString + "|")
+
+  def bucket(seed: Int, key: String, width: Int): Int = {
+    val prefix = if (seed < 16) seedPrefix(seed) else seed.toString + "|"
+    (h32(prefix + key) % width).toInt
+  }
 
   /** Point-frequency estimate against serialized sketch bytes
     * ([depth INT][width INT][counts LONG...]).

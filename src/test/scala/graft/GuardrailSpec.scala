@@ -54,6 +54,30 @@ class GuardrailSpec extends SparkSpec {
     assert(guarded == unguarded)
   }
 
+  test("hot-bucket caps are not binding at the driver's checked scale (sf0.01)") {
+    // The oracles of dedup_incremental / pipeline_curate_inc /
+    // sim_neardup / sim_semdedup do NOT model the hot-bucket cap — if a
+    // scale factor ever produced a bucket over the cap, the gate would
+    // silently diverge with no pointer to the cause. This pins the
+    // invariant the oracles rely on, at the scale the driver checks.
+    // Full-table maxima bound every subset-based query: dropping rows
+    // (the corpus/batch splits) can only shrink a bucket.
+    val sfChecked = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sfChecked)
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .withColumn("h", Dedup.h32(col("sh")))
+    val bands = Dedup.lshBands(Dedup.minHashSignatures(sh, 16), 16, 8)
+    val maxBand = bands.groupBy(col("band"), col("key")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxBand <= Dedup.DefaultMaxBucketSize,
+      s"LSH band bucket of $maxBand rows exceeds the cap — oracle and engine diverge")
+    val maxSign = Tables.embeddings(spark, sfChecked)
+      .groupBy(SimilaritySearch.signBucket("embedding", 4)).count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxSign <= Dedup.DefaultMaxBucketSize,
+      s"sign bucket of $maxSign rows exceeds the cap — oracle and engine diverge")
+  }
+
   test("cosine near-dup hot-bucket guard: collapsed-embedding cluster stays bounded") {
     // 200 copies of one vector land in a single sign bucket — unguarded,
     // that bucket alone scores 200*199/2 pairs (the collapsed-encoder

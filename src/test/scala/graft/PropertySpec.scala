@@ -160,13 +160,18 @@ class PropertySpec extends SparkSpec {
     val docs = samples(Gen.choose(1, 25), 60).zipWithIndex
       .map { case (n, i) => (i.toLong * 3 + 1, (1 to n).map(j => s"t$j").mkString(" ")) }
       .toDF("doc_id", "text")
-    def run(shard: Int) =
-      TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 16, docsPerShard = shard)
+    def run(shard: Int, sup: Int = 1024) =
+      TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 16,
+          docsPerShard = shard, shardsPerSuper = sup)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSet
     val ref = run(1000000) // one shard == the plain global cumsum
     for (shard <- Seq(1, 7, 50)) assert(run(shard) == ref, s"docsPerShard=$shard diverged")
+    // supershard grouping must be offset-invariant too: exercise
+    // many-supershards (sup=1: one shard each), uneven grouping, and
+    // the everything-in-one-supershard degenerate case
+    for (sup <- Seq(1, 3, 7)) assert(run(7, sup) == ref, s"shardsPerSuper=$sup diverged")
   }
 
   test("packSequences: hand-computed placement, spanning docs included") {
