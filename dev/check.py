@@ -52,6 +52,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: row count differs: oracle={len(want)} spark={len(got)}")
             n_bad += 1
             continue
+        # Latent driver-divergence class (round 5): an int64 Spark column
+        # vs a float64 oracle column (e.g. an uncast DuckDB HUGEINT sum)
+        # passes HERE via the float normalization below but may
+        # hash-mismatch under the driver's comparer. Surface it loudly.
+        for c in want.columns:
+            wk, gk = want[c].dtype.kind, got[c].dtype.kind
+            if wk != gk and {wk, gk} <= {"i", "u", "f"}:
+                print(f"WARN {name}: dtype drift on '{c}': oracle={want[c].dtype} "
+                      f"spark={got[c].dtype} — CAST the oracle column (HUGEINT sum?)")
         w = want.map(norm_cell).values.tolist()
         g = got.map(norm_cell).values.tolist()
         if w != g:

@@ -178,6 +178,32 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // LARGE-query-side batch ANN: a query set too big to broadcast,
+    // searched against the PRE-BUCKETED stored index (ivfTopKStored).
+    // The index is written once (bucketBy on the materialized sign
+    // bucket — production amortizes this over every later batch); the
+    // point side then needs NO exchange and NO broadcast: only the
+    // query side shuffles on the bucket key. hint("merge") models the
+    // million-query case where the planner must not broadcast either
+    // side (plan-pinned in PlanSpec: no broadcast join, exactly one
+    // bucket-key exchange). Self-search: every 4th vector queries the
+    // full index, rank 1 is the vector itself.
+    "sim_ivf_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idxPath = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ivf_batch_idx").getAbsolutePath
+      emb.withColumnRenamed("vec_id", "point_id")
+        .withColumn("b", SimilaritySearch.signBucket("embedding", 4))
+        .write.mode("overwrite").option("path", idxPath)
+        .bucketBy(16, "b").saveAsTable("graft_ivf_batch_idx")
+      SimilaritySearch.ivfTopKStored(
+          emb.filter(col("vec_id") % 4 === 0).hint("merge"),
+          s.table("graft_ivf_batch_idx"),
+          "vec_id", "point_id", "embedding", "b", bits = 4, k = 3)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // JL sign projection 64 -> 16: per-coordinate rows, rounded — the
     // dim-reduction step ahead of IVF/quantization at scale
     "v_project" -> ((s, d) =>
@@ -186,6 +212,22 @@ object SparkEntryExt {
           posexplode(VectorOps.signProject(col("embedding"), inDim = 64, outDim = 16)))
         .select(col("vec_id"), col("pos").cast("long").as("k"),
           round(col("col"), 6).as("yv"))
+        .orderBy(col("vec_id"), col("k"))),
+    // composed project -> quantize: JL-shrink 64 -> 16 then int8 — the
+    // two storage-footprint stages of an embedding pipeline chained in
+    // one narrow shuffle-free projection (the order production uses:
+    // quantizing FIRST would feed the projection integer noise)
+    "v_project_quant" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorOps.signProject(col("embedding"), inDim = 64, outDim = 16).as("y"))
+        .select(col("vec_id"),
+          VectorOps.quantizeInt8(col("y")).as("codes"),
+          VectorOps.quantScale(col("y")).as("scale"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("k", "code")),
+          col("scale"))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          col("code").cast("long").as("code"), round(col("scale"), 6).as("scale"))
         .orderBy(col("vec_id"), col("k"))),
     "v_quantize" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -640,6 +682,21 @@ object SparkEntryExt {
          |  QUALIFY rank <= 3)
          |SELECT query_id, rank, point_id, round(score, 6) AS score
          |FROM s ORDER BY query_id, rank""".stripMargin,
+    // batch self-search: same bucket-join semantics as sim_ivf, query
+    // side = every 4th vector, point side = the full (stored) index
+    "sim_ivf_batch" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id % 4 = 0),
+         |s AS (
+         |  SELECT q.query_id, b.vec_id AS point_id,
+         |    ${sqlCos("q.embedding", "b.embedding")} AS score,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlCos("q.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rank
+         |  FROM q JOIN b ON q.bucket = b.bucket
+         |  QUALIFY rank <= 3)
+         |SELECT query_id, rank, point_id, round(score, 6) AS score
+         |FROM s ORDER BY query_id, rank""".stripMargin,
     // same ± matrix from the portable-hash parity, same sequential
     // fold order as the codegen dot (list_reduce left fold)
     "v_project" ->
@@ -653,6 +710,29 @@ object SparkEntryExt {
          |  FROM embeddings CROSS JOIN generate_series(0, 15) t(k))
          |SELECT vec_id, k, round(yv, 6) AS yv
          |FROM y ORDER BY vec_id, k""".stripMargin,
+    // project -> quantize composition: the projection sums evaluate in
+    // the same element order on both engines (sequential fold over
+    // i = 1..64 in doubles), so the unrounded y feeding the quantizer
+    // is bit-identical and the codes are exact integers
+    "v_project_quant" ->
+      s"""WITH y AS (
+         |  SELECT vec_id, k,
+         |    list_reduce(list_transform(generate_series(1, 64), i ->
+         |      embedding[i]::DOUBLE *
+         |      (CASE WHEN ${h32Sql("k::VARCHAR || '|' || (i-1)::VARCHAR")} % 2 = 0
+         |            THEN 0.25 ELSE -0.25 END)),
+         |      (acc, x) -> acc + x) AS yv
+         |  FROM embeddings CROSS JOIN generate_series(0, 15) t(k)),
+         |s AS (
+         |  SELECT vec_id, k, yv, max(abs(yv)) OVER (PARTITION BY vec_id) AS amax
+         |  FROM y),
+         |q AS (
+         |  SELECT vec_id, k, yv,
+         |    CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+         |  FROM s)
+         |SELECT vec_id, k, CAST(round(yv / scale) AS BIGINT) AS code,
+         |  round(scale, 6) AS scale
+         |FROM q ORDER BY vec_id, k""".stripMargin,
     "v_quantize" ->
       s"""WITH b AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on the bucket key:\n$plan")
   }
 
+  test("sim_ivf_batch: the big point side is neither broadcast nor re-shuffled") {
+    // the named batch-ANN query end-to-end: stored bucketed index +
+    // non-broadcastable query set. The executed plan must show a
+    // non-broadcast join with exactly ONE bucket-key exchange (the
+    // query side) — a second would mean the 100 TB point side moves on
+    // every batch search; a broadcast join would mean the plan only
+    // works while one side fits in memory.
+    val df = SparkEntry.queries("sim_ivf_batch")(spark, sf0001)
+    assert(df.count() > 0)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("BroadcastHashJoin")
+        && !planStr.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN must not broadcast either side:\n$planStr")
+    assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+      s"expected a non-broadcast equi-join on the bucket key:\n$planStr")
+    val bucketExchanges = "Exchange hashpartitioning\\(b#".r.findAllIn(planStr).size
+    assert(bucketExchanges == 1,
+      s"expected only the query side to exchange on the bucket key:\n$planStr")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)

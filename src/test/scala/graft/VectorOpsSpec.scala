@@ -82,6 +82,64 @@ class VectorOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VectorOps.signProject(col("v"), 0, 0) }
   }
 
+  test("signProject dim edges: outDim = 1, non-divisor, and inDim-sized all hold") {
+    // outDim does not need to divide inDim — the projection matrix is a
+    // pure (k, i) hash function; pin that at the awkward shapes
+    val df = Seq(
+      (1L, Array.tabulate(7)(i => (i - 3).toFloat * 1.5f)),
+      (2L, Array.fill(7)(0.0f))).toDF("vec_id", "v")
+    for (outDim <- Seq(1, 3, 7)) {
+      val rows = df
+        .select(col("vec_id"), VectorOps.signProject(col("v"), 7, outDim).as("y"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(rows(1L).size == outDim, s"outDim=$outDim: wrong output dim")
+      assert(rows(2L) == Seq.fill(outDim)(0.0), s"outDim=$outDim: zero in, zero out")
+      // exact sign linearity: each coordinate is the same sequential sum
+      // with every term negated, so the equality is bit-exact, not approx
+      val neg = df
+        .select(col("vec_id"),
+          VectorOps.signProject(transform(col("v"), x => -x), 7, outDim).as("y"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(neg(1L) == rows(1L).map(-_), s"outDim=$outDim: sign linearity broken")
+    }
+  }
+
+  test("quantizeInt8 contract: codes bounded, amax coordinate saturates, roundtrip error <= scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.3f, -1.7f, 0.05f, 0.9f)),
+      (2L, Array(-2.5f, 2.5f, 0.0f, 1.25f)), // |min| == max: both saturate
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val rows = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"),
+        VectorOps.quantizeInt8(col("v")).as("codes"),
+        VectorOps.quantScale(col("v")).as("scale"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toList
+    val byId = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    for ((id, v) <- vecs; ((codes, scale), _) <- Seq((byId(id), ()))) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id: code out of int8 range")
+      assert(codes.size == v.length)
+      // dequantized value lands within half a quantization step of the input
+      codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"vec $id: roundtrip error exceeds scale/2")
+      }
+    }
+    assert(byId(1L)._1.map(math.abs).max == 127, "largest-|x| coordinate must map to ±127")
+    assert(byId(2L)._1.count(c => math.abs(c) == 127) == 2, "tied ±amax coords both saturate")
+    assert(byId(3L)._1.forall(_ == 0) && byId(3L)._2 == 1.0,
+      "zero vector: zero codes, guard scale 1.0")
+  }
+
+  test("quantize after signProject: composition stays within contract at a non-divisor outDim") {
+    val df = Seq((1L, Array.tabulate(7)(i => math.pow(-1, i).toFloat * (i + 0.25f))))
+      .toDF("vec_id", "v")
+    val r = df.select(
+        VectorOps.quantizeInt8(VectorOps.signProject(col("v"), 7, 3)).as("codes"))
+      .first().getSeq[Int](0)
+    assert(r.size == 3 && r.map(math.abs).max == 127,
+      s"composed project->quantize must emit outDim codes with a saturated amax, got $r")
+  }
+
   test("embedTextDistributed matches per-row embedText") {
     val df = Seq((1L, "a b c a"), (2L, "x y")).toDF("id", "text")
     val perRow = df.select(col("id"), VectorOps.embedText(col("text"), 8).as("e"))
