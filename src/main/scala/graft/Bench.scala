@@ -88,8 +88,14 @@ object Bench {
     // retried into success: a failed probe stays -1.
     val refineThreshold = 0.5
     val retryThreshold = 2.0
+    // Default sized from measured runs: the probe pass alone is ~100 s
+    // at sf0.1 and is not budget-gated (a total REQUIRES one rep of
+    // everything); 150 s caps refinement so wall-clock lands ~200 s
+    // plus sbt startup — inside the envelope of the last driver bench
+    // that completed (196 s, round 4) and well under the round-5 run
+    // that timed out.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .flatMap(_.toDoubleOption).getOrElse(210.0)
+      .flatMap(_.toDoubleOption).getOrElse(150.0)
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
     val probe = ordered.map { case (name, fn) => name -> timeOne(fn) }

@@ -374,6 +374,21 @@ object SparkEntryExt {
           size(split(col("answers"), ", ")).cast("long").as("n_answers"),
           trim(substring_index(col("answers"), ",", 1)).cast("long").as("first_answer"))
         .orderBy(col("case_no"))),
+    // JSONL ingest — the de-facto LLM corpus exchange format (one JSON
+    // doc per line, nested metadata, optional fields): schema-inferred
+    // read checked against DuckDB's independent reader. Missing nested
+    // scalars and missing arrays surface as sentinels (-1), NOT dropped
+    // rows — ingest must preserve row cardinality. Scale note: unlike
+    // multiLine CSV, newline-delimited JSON splits by line, so the scan
+    // parallelizes over a 100 TB corpus like any text source.
+    "q_jsonl_ingest" -> ((s, d) =>
+      s.read.json(FixturesDir + "/docs.jsonl")
+        .select(col("id").cast("long").as("id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("meta.source").as("src"),
+          round(coalesce(col("meta.quality"), lit(-1.0)), 6).as("quality"),
+          coalesce(size(col("tags")), lit(-1)).cast("long").as("n_tags"))
+        .orderBy(col("id"))),
     // composed mix -> pack: token-budget selection feeding sequence
     // packing — the last two stages of a pretraining data pipeline in
     // one lazy plan (Catalyst prunes doc columns through the join)
@@ -949,6 +964,17 @@ object SparkEntryExt {
          |  CAST(trim(string_split(answers, ',')[1]) AS BIGINT) AS first_answer
          |FROM read_csv('$FixturesDir/thai_cases.csv', header=true)
          |ORDER BY case_no""".stripMargin,
+    // independent JSONL reader over the same fixture; sentinel -1 for
+    // absent optional fields on both sides (NULL would reach the
+    // comparer as NaN-vs-None, an avoidable ambiguity)
+    "q_jsonl_ingest" ->
+      s"""SELECT id, lang,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  meta.source AS src,
+         |  coalesce(round(meta.quality, 6), -1.0) AS quality,
+         |  CAST(coalesce(len(tags), -1) AS BIGINT) AS n_tags
+         |FROM read_json('$FixturesDir/docs.jsonl', format='newline_delimited')
+         |ORDER BY id""".stripMargin,
     // stage-1 diagnostic: selection cumsum with no effective budget
     // filter (defaultBudget = Long.MaxValue on the Spark side; every
     // row has cum_before < 2^63-1 since sf0.1 holds ~5e5 tokens)

@@ -367,8 +367,16 @@ object TextAnalysis {
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("__shard", floor(col("doc_id") / docsPerShard).cast("long"))
+    // Lazy local checkpoint: this table is BOUNDED (|docs|/docsPerShard
+    // rows) but fans out to two consumers (the supershard prefix and
+    // the shard-offset join); without the cut, each branch re-evaluates
+    // the entire upstream — scan, tokenize, and whatever pipeline feeds
+    // `docs` (measured: composed mix->pack re-ran the budget selection
+    // once per branch, 3x the input scan). Lazy, so plan inspection
+    // stays action-free; materialization happens once, at first use.
     val shardTot = t.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("__tot"))
       .withColumn("__sup", floor(col("__shard") / shardsPerSuper).cast("long"))
+      .localCheckpoint(false)
     // level 2a: prefix of each shard WITHIN its supershard — partitioned
     // window, parallel across supershards
     val wWithin = Window.partitionBy(col("__sup")).orderBy(col("__shard"))
