@@ -483,6 +483,22 @@ object SparkEntryExt {
     // reproduces as the same exact count + literal TRUE. The estimate
     // itself stays spec-tested (GuardrailSpec) and inspectable via
     // Relational.approxDistinct.
+    // salted JOIN sibling of q_salted_agg: the skewed-big-side shuffle
+    // join with the hot key spread over 8 salt reducers; result is
+    // row-identical to the plain equi-join (which is what the oracle
+    // runs). shuffle_hash hint models the small-side-too-big-to-
+    // broadcast case the salt exists for (plan-pinned in PlanSpec: the
+    // exchange carries the salt, no broadcast join).
+    "q_salted_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).hint("shuffle_hash")
+      Skew.saltedJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey",
+          saltSourceCol = "l_partkey", saltBuckets = 8)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_approx_distinct" -> ((s, d) =>
       Relational.approxDistinct(s, d)
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
@@ -519,6 +535,13 @@ object SparkEntryExt {
     "q_token_budget" -> ((s, d) =>
       TextAnalysis.tokenBudgetSample(Tables.documents(s, d), "doc_id", "lang", "text",
           budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+        .orderBy(col("doc_id"))),
+    // temperature mixing, alpha = 0.5 / target 20% of the corpus:
+    // low-resource langs up-sampled relative to share (XLM-R-style
+    // exponent smoothing), membership by portable id hash
+    "q_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+          alpha = 0.5, targetFrac = 0.2)
         .orderBy(col("doc_id"))),
     // token-count-weighted draw of 12 docs per lang (uniform over
     // tokens, deterministic in the ids)
@@ -1340,6 +1363,15 @@ object SparkEntryExt {
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // the plain equi-join the salted plan must reproduce exactly
+    "q_salted_join" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // HLL estimates are engine-specific, so the oracle checks the exact
     // count plus the accuracy CONTRACT (within_bound, literal true —
     // red iff Spark's estimate ever exceeds 3x its configured rsd)
@@ -1431,6 +1463,21 @@ object SparkEntryExt {
          |FROM w
          |WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END
          |ORDER BY doc_id""".stripMargin,
+    // same exponent-smoothed rate arithmetic: weights rounded to 6 dp
+    // BEFORE the total, so both engines sum identical doubles
+    "q_temperature_mix" ->
+      s"""WITH c0 AS (SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY 1),
+         |c AS (SELECT stratum, n, round(pow(n::DOUBLE, 0.5), 6) AS w FROM c0),
+         |t AS (SELECT sum(w) AS wsum, CAST(sum(n) AS BIGINT) AS nsum FROM c),
+         |r AS (
+         |  SELECT stratum,
+         |    least(100, greatest(0, CAST(round(
+         |      100.0 * 0.2 * nsum::DOUBLE * (w / wsum) / n::DOUBLE, 0) AS BIGINT))) AS rate
+         |  FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.lang AS stratum, r.rate
+         |FROM documents d JOIN r ON d.lang = r.stratum
+         |WHERE ${h32Sql("d.doc_id::VARCHAR")} % 100 < r.rate
+         |ORDER BY d.doc_id""".stripMargin,
     // Efraimidis–Spirakis keys: ln(u)/w with u = (h32(id)+1)/2^32 —
     // same double arithmetic as the Spark side
     "q_weighted_sample" ->

@@ -38,4 +38,38 @@ object Skew {
       .agg(sum(col("__psum")).as("__sum"), sum(col("__pcnt")).as("n"))
       .select(col(keyCol), round(col("__sum"), 2).as("sum_value"), col("n"))
   }
+
+  /** Salted shuffle join for a skewed BIG side that must meet a small-
+    * but-not-broadcastable side: the small side is replicated once per
+    * salt bucket (|small| × saltBuckets rows — the price of the cure),
+    * the big side salts each row from a row-unique column, and the join
+    * runs on (key, salt) — the hot key's rows land on `saltBuckets`
+    * reducers instead of one straggler. Row-identical to the plain
+    * equi-join for ANY saltBuckets (inner join; every big row meets
+    * exactly the replica carrying its salt).
+    *
+    * When the small side FITS in memory, broadcast and skip all of this
+    * — salting only pays when both sides must shuffle (AQE's skew split
+    * covers sort-merge joins at runtime; explicit salting is the
+    * plan-level form, and the one that also works for the partial-agg
+    * shapes AQE cannot split). Output: big columns then small columns,
+    * salt dropped.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      saltSourceCol: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets ($saltBuckets) must be >= 1")
+    val rep = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    val salted = big.withColumn("__salt",
+      pmod(hash(col(saltSourceCol)), lit(saltBuckets)))
+    salted
+      .join(rep, salted(bigKey) === rep(smallKey)
+        && salted("__salt") === rep("__salt"))
+      .drop("__salt")
+  }
 }

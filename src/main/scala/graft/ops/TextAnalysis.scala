@@ -433,6 +433,49 @@ object TextAnalysis {
         when(pmod(col("__h"), lit(10L)) < 8, lit("train")).otherwise(lit("val")))
   }
 
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * mix rule, e.g. mBERT/XLM-R exponent smoothing): stratum `i` gets
+    * sampling weight n_i^alpha / Σ n_j^alpha, so alpha = 1 reproduces
+    * the corpus proportions and alpha → 0 flattens toward uniform —
+    * low-resource strata are UP-sampled relative to their share. The
+    * per-stratum percentage rate is derived so the expected selected
+    * fraction of the corpus is `targetFrac`, clamped to [0, 100]:
+    * rate_i = clamp(round(100 · targetFrac · N · w_i / n_i), 0, 100)
+    * with w_i the normalized weight and N the corpus size. Membership
+    * then follows [[hashSampleMix]]'s rule (portable id hash mod 100 <
+    * rate): deterministic in the ids, independent of partitioning.
+    * Output: selected docs as (doc_id, stratum, rate).
+    *
+    * Scale shape: one count aggregate to a #strata-row table, the
+    * weight normalization over that TINY table (one cross join against
+    * its one-row total — both broadcast), then a broadcast rates join +
+    * narrow filter over the corpus: the big side is touched by exactly
+    * one scan-stage predicate, zero shuffles.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac ($targetFrac) must be in (0, 1]")
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("__n"))
+      // 6-dp rounding BEFORE the total sum: both engines then sum the
+      // same rounded doubles, so stratum-order ulp drift cannot move a
+      // rate across its round() boundary
+      .withColumn("__w", round(pow(col("__n").cast("double"), alpha), 6))
+    val tot = counts.agg(sum(col("__w")).as("__wsum"), sum(col("__n")).as("__nsum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("stratum"),
+        least(lit(100L), greatest(lit(0L),
+          round(lit(100.0) * targetFrac * col("__nsum").cast("double")
+            * (col("__w") / col("__wsum")) / col("__n").cast("double"), 0)
+            .cast("long"))).as("rate"))
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .join(broadcast(rates), "stratum")
+      .filter(pmod(h32(col("doc_id").cast("string")), lit(100L)) < col("rate"))
+      .select(col("doc_id"), col("stratum"), col("rate"))
+  }
+
   /** Exact per-stratum quota sampling: the first `quota` rows of each
     * stratum in portable-hash order — "exactly 40 en docs, 15 zh docs"
     * where [[hashSampleMix]]'s rate filter gives only an EXPECTED count.

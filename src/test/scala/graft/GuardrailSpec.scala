@@ -54,6 +54,25 @@ class GuardrailSpec extends SparkSpec {
     assert(guarded == unguarded)
   }
 
+  test("salted join: row-identical to the plain join at any salt count, hot key included") {
+    // one hot key carrying 500 of 506 big-side rows — the straggler
+    // shape the salt exists to break up
+    val big = ((1 to 500).map(i => (7L, i.toLong)) ++
+      Seq((1L, 1001L), (2L, 1002L), (2L, 1003L), (3L, 1004L), (9L, 1005L), (9L, 1006L)))
+      .toDF("k", "row_id")
+    val small = Seq((7L, "hot"), (2L, "warm"), (3L, "cool"), (5L, "unmatched"))
+      .toDF("sk", "tag")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select(col("k"), col("row_id"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    for (buckets <- Seq(1, 3, 8)) {
+      val salted = graft.ops.Skew.saltedJoin(big, "k", small, "sk", "row_id", buckets)
+        .select(col("k"), col("row_id"), col("tag"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(salted == plain, s"saltBuckets=$buckets diverged from the plain join")
+    }
+  }
+
   test("hot-bucket caps are not binding at the driver's checked scale (sf0.01)") {
     // The oracles of dedup_incremental / pipeline_curate_inc /
     // sim_neardup / sim_semdedup do NOT model the hot-bucket cap — if a

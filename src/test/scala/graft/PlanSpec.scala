@@ -55,6 +55,17 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on the bucket key:\n$plan")
   }
 
+  test("salted join: the exchange carries the salt, no broadcast join") {
+    val plan = formatted(SparkEntry.queries("q_salted_join")(spark, sf0001))
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"salting only matters when neither side broadcasts:\n$plan")
+    // the join exchange must partition on (key, salt) — that spread IS
+    // the skew mitigation; without __salt in the partitioning the hot
+    // key still lands on one reducer
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"join exchange does not carry the salt column:\n$plan")
+  }
+
   test("sim_ivf_batch: the big point side is neither broadcast nor re-shuffled") {
     // the named batch-ANN query end-to-end: stored bucketed index +
     // non-broadcastable query set. The executed plan must show a

@@ -102,6 +102,42 @@ class TokenBudgetSpec extends SparkSpec {
   private lazy val weighted = docs.withColumn("w",
     size(Dedup.tokens(col("text"))).cast("long"))
 
+  test("temperature mix: alpha=1 is proportional, alpha<1 up-samples small strata, deterministic") {
+    // skewed strata: 80 'a', 30 'b', 10 'c'. NOTE the output carries
+    // only strata with at least one selected member — rate assertions
+    // below are written against the strata that appear.
+    val skewed = (1L to 120L).map { i =>
+      (i, if (i <= 80) "a" else if (i <= 110) "b" else "c")
+    }.toDF("doc_id", "lang")
+    def rates(alpha: Double, tf: Double): Map[String, Long] =
+      TextAnalysis.temperatureMix(skewed, "doc_id", "lang", alpha, tf)
+        .select(col("stratum"), col("rate")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: w_i/wsum = n_i/N, so every stratum's rate collapses to
+    // round(100 * targetFrac) — the plain proportional sample
+    val prop = rates(1.0, 0.2)
+    assert(prop.nonEmpty && prop.values.toSet == Set(20L),
+      s"alpha=1 must be flat 20%, got $prop")
+    // alpha < 1: hand-checked rates for (80, 30, 10) at tf=0.2 —
+    // 100·0.2·120·(√n_i/Σ√n)/n_i — are a=15, b=25, c=43: the smoothing
+    // up-samples low-resource strata and all three appear in the output
+    val smooth = rates(0.5, 0.2)
+    assert(smooth == Map("a" -> 15L, "b" -> 25L, "c" -> 43L),
+      s"exponent-smoothed rates diverged from the closed form: $smooth")
+    // membership is a pure function of ids — partitioning cannot move it
+    val sel = TextAnalysis.temperatureMix(skewed, "doc_id", "lang", 0.5, 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val selRepart = TextAnalysis.temperatureMix(skewed.repartition(7), "doc_id", "lang", 0.5, 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == selRepart)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureMix(skewed, "doc_id", "lang", 0.0, 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureMix(skewed, "doc_id", "lang", 0.5, 1.5)
+    }
+  }
+
   test("weighted sample: exact k per stratum, matches the key formula, partition-invariant") {
     val got = TextAnalysis.weightedSample(weighted, "doc_id", "lang", "w", k = 4)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
