@@ -88,23 +88,29 @@ object Bench {
     // retried into success: a failed probe stays -1.
     val refineThreshold = 0.5
     val retryThreshold = 2.0
-    // Default sized from measured runs: the probe pass alone is ~100 s
-    // at sf0.1 and is not budget-gated (a total REQUIRES one rep of
-    // everything); 150 s caps refinement so wall-clock lands ~200 s
-    // plus sbt startup — inside the envelope of the last driver bench
-    // that completed (196 s, round 4) and well under the round-5 run
-    // that timed out.
+    // Budget gates REFINEMENT time only: the probe pass is mandatory (a
+    // total REQUIRES one rep of everything, ~100 s at sf0.1 per
+    // BASELINE.md) and so runs un-gated BEFORE the clock starts. The
+    // default refinement window is sized so probe + refinement lands in
+    // the envelope of the last driver benches that completed (~196 s
+    // round 4, rc=0 round 6).
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .flatMap(_.toDoubleOption).getOrElse(150.0)
-    val benchStart = System.nanoTime()
-    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
+      .flatMap(_.toDoubleOption).getOrElse(90.0)
     val probe = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    val refineStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - refineStart) / 1e9
     // pass B: most-expensive-first so a tight budget refines the
-    // queries that dominate the total
+    // queries that dominate the total. A refine rep that fails keeps
+    // the valid probe time (same rule as pass C: re-measurement exists
+    // to improve an estimate, never to destroy a valid one — and a -1
+    // here would both drop the query from pass C and subtract a second
+    // from the reported total).
     val refined = scala.collection.mutable.Map[String, Double](probe: _*)
     probe.filter(_._2 >= refineThreshold).sortBy(-_._2).foreach { case (name, t1) =>
-      if (elapsed() < budgetSec * 0.75)
-        refined(name) = median(Seq(t1, timeOne(selected(name)), timeOne(selected(name))))
+      if (elapsed() < budgetSec * 0.75) {
+        val m = median(Seq(t1, timeOne(selected(name)), timeOne(selected(name))))
+        refined(name) = if (m < 0) t1 else m
+      }
     }
     // pass C: second measurement window, same priority + budget rule
     refined.toSeq.filter(_._2 > retryThreshold).sortBy(-_._2).foreach { case (name, v1) =>
@@ -118,6 +124,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Short total-only line LAST: the driver artifact keeps only the
+    // tail of stdout, and the per-query line above is ~3.4 KB — with
+    // the total at its head, the driver's parse saw no total at all
+    // (BENCH_r06: rc=0 but parsed:null). This line is self-contained
+    // and a few dozen bytes, so it always survives tail truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

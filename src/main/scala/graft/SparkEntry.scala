@@ -210,13 +210,15 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // median_within_bound: the Spark side validates its bounded-state
+    // approx_percentile by rank position (see Relational.orderStats);
+    // the oracle contributes the exact columns and literal TRUE
     "q_order_stats" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  round(stddev_samp(o_totalprice), 4) AS sd_price,
         |  count(DISTINCT o_custkey) AS n_customers,
-        |  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4)
-        |    AS median_price
+        |  TRUE AS median_within_bound
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

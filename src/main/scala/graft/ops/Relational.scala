@@ -369,17 +369,44 @@ object Relational {
               element_at(col("mins"), k).cast("double")), 4).as("kmv_estimate"))
       .orderBy(col("event_type"))
 
-  /** Multi-aggregate stats (stddev / exact distinct / exact percentile)
+  /** Multi-aggregate stats (stddev / exact distinct / approx median)
     * per order-priority — the "wide agg" shape.
+    *
+    * The median is `approx_percentile` (Greenwald-Khanna sketch, bounded
+    * aggregation state) rather than exact `percentile`, which buffers
+    * EVERY group value in one reducer's buffer — unbounded per-group
+    * state at 100 TB, the same failure class as an unpartitioned
+    * window. The sketch value is engine-specific, so the CHECKED output
+    * carries `median_within_bound` instead of the raw estimate (the
+    * `q_approx_distinct` pattern): a second bounded-state pass counts
+    * per group how many values sit at or below the estimate, and that
+    * rank must land within 1% of n/2. The GK rank guarantee at
+    * accuracy=10000 is n/10000 — the check is 100x looser, so duplicate
+    * values can never flake it, while a broken sketch still fails it.
+    * The oracle emits the same exact columns and literal TRUE.
     */
-  def orderStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
+  def orderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("sum_price"),
         round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__amed"))
+    // rank check: one more scan, but every aggregate in it is a plain
+    // conditional sum against the broadcast (5-row) medians table
+    val rank = orders
+      .join(broadcast(base.select(col("o_orderpriority"), col("__amed"))),
+        Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("o_totalprice") <= col("__amed"), 1L).otherwise(0L)).as("__le"))
+    base.join(rank, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), col("sum_price"), col("sd_price"),
+        col("n_customers"),
+        (abs(col("__le").cast("double") - col("n").cast("double") / 2) <=
+          greatest(col("n").cast("double") * 0.01, lit(2.0))).as("median_within_bound"))
       .orderBy(col("o_orderpriority"))
+  }
 }
