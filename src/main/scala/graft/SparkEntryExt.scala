@@ -227,6 +227,30 @@ object SparkEntryExt {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // multi-probe batch ANN over the SAME stored index: each query also
+    // searches the bucket reached by flipping its least-confident sign
+    // bit (nprobe=2) — the recall knob of the stored serving path. The
+    // point side still never moves (PlanSpec: one bucket-key exchange,
+    // query side only); recall@3 strictly above single-probe is pinned
+    // in GuardrailSpec.
+    "sim_ivf_batch_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = storedIndexTable("ivf_batch_idx", d) { tbl =>
+        val idxPath = new java.io.File(
+          sys.props("java.io.tmpdir"), tbl).getAbsolutePath
+        emb.withColumnRenamed("vec_id", "point_id")
+          .withColumn("b", SimilaritySearch.signBucket("embedding", 4))
+          .write.mode("overwrite").option("path", idxPath)
+          .bucketBy(16, "b").saveAsTable(tbl)
+      }
+      SimilaritySearch.ivfTopKStored(
+          emb.filter(col("vec_id") % 4 === 0).hint("merge"),
+          s.table(idx),
+          "vec_id", "point_id", "embedding", "b", bits = 4, k = 3, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // JL sign projection 64 -> 16: per-coordinate rows, rounded — the
     // dim-reduction step ahead of IVF/quantization at scale
     "v_project" -> ((s, d) =>
@@ -755,6 +779,36 @@ object SparkEntryExt {
          |    CAST(row_number() OVER (PARTITION BY q.query_id
          |      ORDER BY ${sqlCos("q.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rank
          |  FROM q JOIN b ON q.bucket = b.bucket
+         |  QUALIFY rank <= 3)
+         |SELECT query_id, rank, point_id, round(score, 6) AS score
+         |FROM s ORDER BY query_id, rank""".stripMargin,
+    // multi-probe (nprobe=2): own bucket UNION the single-bit flip of
+    // the lowest-|component| sign bit (ties by mask — mirrors the
+    // struct array_sort in ivfTopKStored); mask for component j of 4
+    // is 2^(4-j), flip via xor
+    "sim_ivf_batch_mp" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id % 4 = 0),
+         |fl AS (
+         |  SELECT query_id, abs(embedding[j])::DOUBLE AS a,
+         |    CAST(pow(2, 4 - j) AS BIGINT) AS m
+         |  FROM q0, LATERAL (SELECT unnest(generate_series(1, 4)) AS j) g),
+         |fr AS (
+         |  SELECT query_id, m,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY a, m) AS rn
+         |  FROM fl),
+         |probes AS (
+         |  SELECT query_id, embedding, bucket FROM q0
+         |  UNION ALL
+         |  SELECT q0.query_id, q0.embedding, xor(q0.bucket, f.m) AS bucket
+         |  FROM fr f JOIN q0 USING (query_id) WHERE f.rn <= 1),
+         |s AS (
+         |  SELECT p.query_id, b.vec_id AS point_id,
+         |    ${sqlCos("p.embedding", "b.embedding")} AS score,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${sqlCos("p.embedding", "b.embedding")} DESC, b.vec_id) AS BIGINT) AS rank
+         |  FROM probes p JOIN b ON p.bucket = b.bucket
          |  QUALIFY rank <= 3)
          |SELECT query_id, rank, point_id, round(score, 6) AS score
          |FROM s ORDER BY query_id, rank""".stripMargin,

@@ -62,6 +62,17 @@ object SimilaritySearch {
     * bucket-key exchange, on the query side). Same semantics as
     * [[ivfTopK]]; `bucketedPoints` must carry the materialized
     * `bucketCol` (= `signBucket(vecCol, bits)` at write time).
+    *
+    * `nprobe` > 1 is standard multi-probe LSH (Lv et al. 2007, VLDB):
+    * single-probe recall is capped by how often a neighbor's sign
+    * pattern matches the query's exactly, and the buckets most likely
+    * to hide missed neighbors are reached by flipping the query's
+    * LEAST-CONFIDENT sign bits (smallest |component|). The QUERY side
+    * explodes into its own bucket plus the `nprobe - 1`
+    * lowest-|component| single-bit flips — the stored point side still
+    * never moves, so the recall knob costs only nprobe× query-side
+    * rows, on exactly the side that is small in the serving shape.
+    * Probed buckets are distinct, so no pair is scored twice.
     */
   def ivfTopKStored(
       queries: DataFrame,
@@ -71,10 +82,29 @@ object SimilaritySearch {
       vecCol: String,
       bucketCol: String,
       bits: Int,
-      k: Int): DataFrame = {
-    val q = queries
-      .withColumn(bucketCol, signBucket(vecCol, bits))
-      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"), col(bucketCol))
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe ($nprobe) must be in [1, bits + 1 = ${bits + 1}] — single-bit probe " +
+        "sequences reach exactly the own bucket plus one flip per sign bit")
+    val q0 = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
+    val q =
+      if (nprobe == 1) q0.withColumn(bucketCol, signBucket("__qvec", bits))
+      else {
+        // (|component|, flip mask) pairs; array_sort orders structs by
+        // field left-to-right, so ties on the magnitude break
+        // deterministically by mask (oracle mirrors: ORDER BY a, m)
+        val flips = array((0 until bits).map(i =>
+          struct(abs(element_at(col("__qvec"), i + 1)).cast("double").as("a"),
+            lit(1L << (bits - 1 - i)).as("m"))): _*)
+        val own = signBucket("__qvec", bits)
+        val probes = concat(
+          array(own),
+          transform(slice(array_sort(flips), 1, nprobe - 1),
+            s => own.bitwiseXOR(s.getField("m"))))
+        q0.withColumn(bucketCol, explode(probes))
+      }
     val scored = bucketedPoints
       .join(q, bucketCol)
       .withColumn("score", VectorOps.cosine(col("__qvec"), col(vecCol)))

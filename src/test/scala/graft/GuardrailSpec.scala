@@ -229,6 +229,36 @@ class GuardrailSpec extends SparkSpec {
     assert(cents(2L) == Seq(1.0, 0.0), "emptied cell keeps its previous centroid")
   }
 
+  test("stored batch ANN: multi-probe lifts recall@3, floor pinned vs exact kNN") {
+    // recall guardrail for the serving path: a future bucketing change
+    // must not silently trade recall for speed. Ground truth = exact
+    // kNN over the full point set; approx = the stored-index search
+    // semantics (points carrying their materialized sign bucket).
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val points = emb.withColumnRenamed("vec_id", "point_id")
+    val exact = Knn.knnJoin(queries, points, "vec_id", "embedding",
+      "point_id", "embedding", 3)
+    val bucketed = points.withColumn("b", SimilaritySearch.signBucket("embedding", 4))
+    def recall(nprobe: Int): Double =
+      SimilaritySearch.recallAtK(
+          exact,
+          SimilaritySearch.ivfTopKStored(queries, bucketed, "vec_id", "point_id",
+            "embedding", "b", bits = 4, k = 3, nprobe = nprobe),
+          "query_id", "point_id", 3)
+        .agg(avg(col("recall_at_k"))).first().getDouble(0)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    info(f"recall@3 single-probe=$r1%.4f nprobe=2=$r2%.4f")
+    assert(r2 > r1,
+      f"multi-probe must strictly beat single-probe recall ($r2%.4f vs $r1%.4f)")
+    // floors a few points under measured (r1=0.4533, r2=0.5360 on the
+    // sf0.001 harness embeddings) — loose enough for fixture drift,
+    // tight enough that a bucketing regression trips them
+    assert(r1 >= 0.40, f"single-probe recall floor broken: $r1%.4f")
+    assert(r2 >= 0.48, f"multi-probe recall floor broken: $r2%.4f")
+  }
+
   test("approx_count_distinct: |approx - exact| within 3x the configured rsd") {
     // quantitative gate for the one no-oracle query (HLL internals are
     // engine-specific, but the error bound is a published contract)

@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpec {
       s"expected only the query side to exchange on the bucket key:\n$planStr")
   }
 
+  test("sim_ivf_batch_mp: multi-probe still leaves the point side unmoved") {
+    // the recall knob must not change the scale shape: the query side
+    // explodes into nprobe buckets BEFORE its exchange; the stored
+    // point side still contributes zero exchanges and no broadcast
+    val df = SparkEntry.queries("sim_ivf_batch_mp")(spark, sf0001)
+    assert(df.count() > 0)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("BroadcastHashJoin")
+        && !planStr.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe batch ANN must not broadcast either side:\n$planStr")
+    val bucketExchanges = "Exchange hashpartitioning\\(b#".r.findAllIn(planStr).size
+    assert(bucketExchanges == 1,
+      s"expected only the query side to exchange on the bucket key:\n$planStr")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
