@@ -195,6 +195,66 @@ object SimilaritySearch {
       .select(col("__id"), col("__v"), col("cid"))
   }
 
+  /** Trained centroids as a driver-local DataFrame — k rows of dim
+    * doubles, bounded by the kCentroids parameter (this is the model,
+    * same as Spark ML's KMeansModel holding centers locally). The
+    * consumers then read a local relation: training runs exactly once,
+    * with no persist() left leaking in the cache manager and no
+    * Lloyd-subtree re-execution per consumer (measured at sf0.1: ~5 s
+    * vs 6.2 s unpersisted recompute, comparable to the persist variant
+    * without its unreleasable cache entry).
+    */
+  def trainedCentroids(points: DataFrame, pointIdCol: String, vecCol: String,
+      dim: Int, kCentroids: Int, iters: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    kmeansCentroids(points, pointIdCol, vecCol, dim, kCentroids, iters)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toDF("cid", "centroid")
+  }
+
+  /** Points labeled with their nearest trained cell:
+    * (point_id, __pv double-vector, cid). This is the INDEX layout —
+    * write it once with `bucketBy(n, "cid")` and every later batch
+    * search scans it with zero point-side movement (the trained
+    * sibling of the sign-bucket index in `sim_ivf_batch`).
+    */
+  def assignPoints(points: DataFrame, pointIdCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignToCentroid(normalized(points, pointIdCol, vecCol), cents)
+      .select(col("__id").as("point_id"), col("__v").as("__pv"), col("cid"))
+
+  /** Search an ALREADY-ASSIGNED point table: each query probes its
+    * `nprobe` nearest centroids (broadcast, k rows) and scores only
+    * those cells' points. Shared tail of the in-plan trained search
+    * and the stored-index search — when `assignedPts` is a
+    * `bucketBy(cid)` table, the cell join needs only the query-side
+    * exchange (plan-pinned in BucketingSpec).
+    */
+  def searchAssignedCells(
+      assignedPts: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val wq = Window.partitionBy(col("__id")).orderBy(desc("__s"), col("cid"))
+    val probes = normalized(queries, queryIdCol, vecCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("__s", VectorOps.cosine(col("__v"), col("centroid")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"), col("cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("point_id"))
+    assignedPts.join(probes, "cid")
+      .withColumn("score", VectorOps.cosine(col("__qv"), col("__pv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("point_id"), col("score"))
+  }
+
   /** Trained-IVF top-k with multi-probe: points live in their nearest
     * centroid cell; each query probes its `nprobe` nearest cells and
     * scores only those cells' points. One shuffle on the cell id joins
@@ -213,35 +273,9 @@ object SimilaritySearch {
       iters: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    // Materialize the trained centroids to the driver ONCE — k rows of
-    // dim doubles, bounded by the kCentroids parameter (this is the
-    // model, same as Spark ML's KMeansModel holding centers locally).
-    // The three consumers below then read a local relation: training
-    // runs exactly once, with no persist() left leaking in the cache
-    // manager and no Lloyd-subtree re-execution per consumer (measured
-    // at sf0.1: ~5 s vs 6.2 s unpersisted recompute, comparable to the
-    // persist variant without its unreleasable cache entry).
-    val spark = points.sparkSession
-    import spark.implicits._
-    val cents = kmeansCentroids(points, pointIdCol, vecCol, dim, kCentroids, iters)
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .toDF("cid", "centroid")
-    val assignedPts = assignToCentroid(normalized(points, pointIdCol, vecCol), cents)
-      .select(col("__id").as("point_id"), col("__v").as("__pv"), col("cid"))
-    val wq = Window.partitionBy(col("__id")).orderBy(desc("__s"), col("cid"))
-    val probes = normalized(queries, queryIdCol, vecCol)
-      .crossJoin(broadcast(cents))
-      .withColumn("__s", VectorOps.cosine(col("__v"), col("centroid")))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__id").as("query_id"), col("__v").as("__qv"), col("cid"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("point_id"))
-    assignedPts.join(probes, "cid")
-      .withColumn("score", VectorOps.cosine(col("__qv"), col("__pv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("point_id"), col("score"))
+    val cents = trainedCentroids(points, pointIdCol, vecCol, dim, kCentroids, iters)
+    searchAssignedCells(assignPoints(points, pointIdCol, vecCol, cents), cents,
+      queries, queryIdCol, vecCol, nprobe, k)
   }
 
   /** Index-quality evaluation: per-query recall@k of an approximate hit

@@ -33,6 +33,25 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("trained-IVF stored index: cell join exchanges the query side only") {
+    // the sim_ivf_trained_batch composition end-to-end: trained cell
+    // assignment persisted bucketBy(cid) + k-row centroid side table.
+    // Exactly ONE cid exchange (the probes side) — the stored point
+    // side reads with its join distribution already on disk.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("sim_ivf_trained_batch")(spark, sf0001)
+      assert(df.count() > 0)
+      val planStr = df.queryExecution.executedPlan.toString
+      val cidExchanges = "Exchange hashpartitioning\\(cid#".r.findAllIn(planStr).size
+      assert(cidExchanges == 1,
+        s"expected only the probe side to exchange on the cell id:\n$planStr")
+      assert(planStr.contains("SortMergeJoin"),
+        s"expected the forced sort-merge cell join:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
