@@ -574,6 +574,21 @@ object SparkEntryExt {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("l_returnflag"))
     }),
+    // LEFT-OUTER salted join: the skewed-enrichment shape (every
+    // lineitem row survives; only urgent orders enrich). Unmatched
+    // big-side rows are first-class output (matched=false groups) —
+    // row parity with the plain left outer equi-join is what the
+    // oracle checks.
+    "q_salted_join_left" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).hint("shuffle_hash")
+      Skew.saltedJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey",
+          saltSourceCol = "l_partkey", saltBuckets = 8, joinType = "left")
+        .groupBy(col("l_returnflag"), col("o_orderkey").isNotNull.as("matched"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"), col("matched"))
+    }),
     "q_approx_distinct" -> ((s, d) =>
       Relational.approxDistinct(s, d)
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
@@ -1480,6 +1495,15 @@ object SparkEntryExt {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join_left" ->
+      s"""SELECT l_returnflag, (o_orderkey IS NOT NULL) AS matched,
+         |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |LEFT JOIN (SELECT o_orderkey FROM orders
+         |           WHERE o_orderpriority = '1-URGENT') o
+         |  ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     // HLL estimates are engine-specific, so the oracle checks the exact
     // count plus the accuracy CONTRACT (within_bound, literal true —
     // red iff Spark's estimate ever exceeds 3x its configured rsd)

@@ -54,6 +54,14 @@ object Skew {
     * plan-level form, and the one that also works for the partial-agg
     * shapes AQE cannot split). Output: big columns then small columns,
     * salt dropped.
+    *
+    * `joinType` supports `inner` and `left`/`left_outer` — the common
+    * skewed-enrichment shape (events ⟕ optional dimension). Left-outer
+    * stays row-identical to the plain outer equi-join for free: a big
+    * row can only meet the replicas carrying its own salt, so an
+    * unmatched key null-fills exactly once. Right/full outer are
+    * REJECTED: an unmatched SMALL-side row exists once per salt
+    * replica and would be emitted `saltBuckets` times.
     */
   def saltedJoin(
       big: DataFrame,
@@ -61,15 +69,20 @@ object Skew {
       small: DataFrame,
       smallKey: String,
       saltSourceCol: String,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets ($saltBuckets) must be >= 1")
+    require(Set("inner", "left", "leftouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner and left outer only (got '$joinType') — " +
+        "right/full outer would emit each unmatched small-side row once per salt replica")
     val rep = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     val salted = big.withColumn("__salt",
       pmod(hash(col(saltSourceCol)), lit(saltBuckets)))
     salted
       .join(rep, salted(bigKey) === rep(smallKey)
-        && salted("__salt") === rep("__salt"))
+        && salted("__salt") === rep("__salt"), joinType)
       .drop("__salt")
   }
 }

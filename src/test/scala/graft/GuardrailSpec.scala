@@ -71,6 +71,23 @@ class GuardrailSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(salted == plain, s"saltBuckets=$buckets diverged from the plain join")
     }
+    // left outer: keys 1 and 9 have no small-side match and must
+    // null-fill exactly once per big row, at any salt count
+    val plainLeft = big.join(small, big("k") === small("sk"), "left")
+      .select(col("k"), col("row_id"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(plainLeft.exists(_._3.isEmpty), "fixture must exercise unmatched keys")
+    for (buckets <- Seq(1, 3, 8)) {
+      val salted = graft.ops.Skew
+        .saltedJoin(big, "k", small, "sk", "row_id", buckets, joinType = "left")
+        .select(col("k"), col("row_id"), col("tag"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(salted == plainLeft, s"saltBuckets=$buckets diverged from the plain left join")
+    }
+    // right/full outer would duplicate unmatched small rows per replica
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Skew.saltedJoin(big, "k", small, "sk", "row_id", 4, joinType = "full"))
+    assert(e.getMessage.contains("once per salt replica"))
   }
 
   test("hot-bucket caps are not binding at the driver's checked scale (sf0.01)") {
