@@ -271,6 +271,25 @@ class OpsSpec extends SparkSpec {
       == v.filter(_._2 == "kept").keySet, s"$s1")
   }
 
+  test("curation durable staging: Parquet-staged verdicts identical to in-plan form") {
+    // the stagePath overload swaps localCheckpoint blocks for
+    // restartable Parquet stages — the verdicts must not move, and the
+    // staged cleaned corpus must actually exist at the stage path
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val inPlan = Curation.curate(docs, "doc_id", "text", " the ", minDocs = 3, samplePct = 80)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("curate_stage").toString
+    val durable = Curation
+      .curate(docs, "doc_id", "text", " the ", minDocs = 3, samplePct = 80, stagePath = tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(durable == inPlan, "staged and in-plan verdicts diverged")
+    assert(inPlan.values.toSet.contains("kept"))
+    val staged = spark.read.parquet(s"$tmp/cleaned")
+    assert(staged.count() == docs.count(), "staged cleaned corpus must cover every doc")
+    assert(staged.columns.contains("clean_text"))
+  }
+
   test("incremental curation: quality gate first, then exact/near corpus dedup") {
     def words(p: String) = (1 to 6).map(i => s"${p}w$i").mkString(" ")
     def body(p: String) = s"${words(p + "a")} the ${words(p + "b")} the ${words(p + "c")}"
