@@ -81,6 +81,30 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // kNN at the reference's TRUE embedding width: Qdrant/main.py:94
+    // embeds at 384-d (bge-small); the harness fixture is 64-d, so the
+    // checked query widens it 6x in-query with transforms that are
+    // bit-exact in both engines (reverse, power-of-two scales,
+    // negation) and runs the same broadcast kNN join at genuine 384-d
+    // scoring cost — validating vector-op cost/correctness at width.
+    "v_knn_384" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def widen(df: DataFrame): DataFrame = df.withColumn("v384",
+        concat(
+          col("embedding"),
+          reverse(col("embedding")),
+          transform(col("embedding"), x => x * lit(0.5f)),
+          transform(col("embedding"), x => -x),
+          transform(col("embedding"), x => x * lit(0.25f)),
+          transform(reverse(col("embedding")), x => x * lit(0.5f))))
+      val queries = widen(emb.filter(col("vec_id") < 5))
+      val points = widen(emb.filter(col("vec_id") >= 10))
+        .select(col("vec_id").as("point_id"), col("v384"))
+      Knn.knnJoin(queries, points, "vec_id", "v384", "point_id", "v384", 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // radius search: every point at or above the score threshold — the
     // vector-store sibling of top-k; a pure scan-side filter
     "v_range_search" -> ((s, d) => {
@@ -259,6 +283,28 @@ object SparkEntry {
          |FROM embeddings q, embeddings p
          |WHERE q.vec_id < 10 AND p.vec_id >= 10
          |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    // 6x widening mirrored element-exactly: DuckDB computes x*0.5 in
+    // DOUBLE then narrows ::FLOAT — exact for power-of-two scales, so
+    // both engines score identical 384-d vectors
+    "v_knn_384" ->
+      s"""WITH w AS (
+         |  SELECT vec_id,
+         |    list_concat(list_concat(list_concat(list_concat(list_concat(
+         |      e, list_reverse(e)),
+         |      list_transform(e, x -> (x * 0.5)::FLOAT)),
+         |      list_transform(e, x -> (-x)::FLOAT)),
+         |      list_transform(e, x -> (x * 0.25)::FLOAT)),
+         |      list_transform(list_reverse(e), x -> (x * 0.5)::FLOAT)) AS v
+         |  FROM (SELECT vec_id, embedding AS e FROM embeddings))
+         |SELECT q.vec_id AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sqlCos("q.v", "p.v")} DESC, p.vec_id) AS BIGINT) AS rank,
+         |  p.vec_id AS point_id,
+         |  round(${sqlCos("q.v", "p.v")}, 6) AS score
+         |FROM w q, w p
+         |WHERE q.vec_id < 5 AND p.vec_id >= 10
+         |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
     "v_range_search" ->
       s"""SELECT q.vec_id AS query_id, p.vec_id AS point_id,
