@@ -705,8 +705,91 @@ object SparkEntryExt {
     "sim_semdedup" -> ((s, d) =>
       SimilaritySearch.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4, iterations = 3)
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+    // BM25 keyword retrieval (self-retrieval: the first 8 docs query the
+    // corpus with their own text) — the lexical half of hybrid search.
+    // maxDfFrac = 0.8, not the 0.5 default: the synthetic corpus is word
+    // soup from a ~31-term vocabulary (median df ≈ 78% of docs), so the
+    // default stopword cap would empty the query; 0.8 still exercises
+    // the cap (the most-universal terms sit above it) with candidates left
+    "text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 8), "doc_id", "text", k = 5, maxDfFrac = 0.8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // hybrid retrieval: BM25 ranks (text) + dense cosine ranks
+    // (embeddings; vec_id aligns with doc_id) fused by reciprocal rank
+    "rag_hybrid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10, maxDfFrac = 0.8)
+      val dense = Knn.knnJoin(
+          emb.filter(col("vec_id") < 8),
+          emb.select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "embedding", "point_id", "embedding", k = 10)
+        .select(col("query_id"), col("point_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // Qdrant filtered search: payload predicate (label = 2) restricts
+    // eligibility BEFORE scoring; predicate reaches the parquet scan
+    // (PlanSpec-pinned PushedFilters)
+    "v_knn_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.filteredKnnJoin(
+          emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding"), col("label")),
+          col("label") === 2,
+          "vec_id", "embedding", "point_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // cluster-aware train/test split: whole near-dup clusters land in
+    // one split (split-time decontamination)
+    "q_leakfree_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+      Curation.leakFreeSplit(docs, "doc_id", pairs, iterations = 3, trainPct = 80)
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
+    * (postings → doc lengths folded from postings → df → one-row
+    * corpus stats → distinct query terms of docs 0..7 → df-capped
+    * idf weights → scored → ranked-on-rounded-score top-k). Shared by
+    * `text_bm25` (k=5) and the hybrid fusion (k=10). Ends at CTE
+    * `bmr(query_id, doc_id, score, rank)`.
+    */
+  private def bm25Ctes(k: Int): String =
+    s"""tok25 AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf25 AS (SELECT doc_id, term, count(*) AS tf FROM tok25 GROUP BY 1, 2),
+       |dl25 AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf25 GROUP BY 1),
+       |df25 AS (SELECT term, count(*) AS df
+       |         FROM (SELECT DISTINCT doc_id, term FROM tok25) GROUP BY 1),
+       |st25 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl25),
+       |qt25 AS (SELECT doc_id AS query_id, unnest(list_distinct($toksSql)) AS term
+       |         FROM documents WHERE doc_id < 8),
+       |qw25 AS (SELECT qt25.query_id, qt25.term,
+       |           ln((st25.n - df + 0.5) / (df + 0.5) + 1) AS idf
+       |         FROM qt25 JOIN df25 USING (term), st25
+       |         WHERE df::DOUBLE <= 0.8 * st25.n),
+       |sc25 AS (SELECT qw25.query_id, tf25.doc_id,
+       |           round(sum(qw25.idf * (tf * (1.2 + 1)) /
+       |             (tf + 1.2 * (1 - 0.75 + 0.75 * dl25.dl / st25.avgdl))), 6) AS score
+       |         FROM qw25 JOIN tf25 USING (term)
+       |           JOIN dl25 ON tf25.doc_id = dl25.doc_id, st25
+       |         GROUP BY 1, 2),
+       |bmr AS (SELECT query_id, doc_id, score,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |        FROM sc25 QUALIFY rank <= $k)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_chunk" ->
@@ -1697,6 +1780,68 @@ object SparkEntryExt {
          |  GROUP BY doc_id)
          |SELECT doc_id AS id, label AS cluster_id, (label = doc_id) AS keep
          |FROM l3
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+    "text_bm25" ->
+      s"""WITH ${bm25Ctes(5)}
+         |SELECT query_id, rank, doc_id, score
+         |FROM bmr
+         |ORDER BY query_id, rank""".stripMargin,
+    "rag_hybrid" ->
+      s"""WITH ${bm25Ctes(10)},
+         |vr AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings q, embeddings p
+         |  WHERE q.vec_id < 8
+         |  QUALIFY rank <= 10),
+         |fus AS (
+         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + a.rank), 0) + coalesce(1.0 / (60 + b.rank), 0), 6)
+         |      AS rrf
+         |  FROM bmr a FULL OUTER JOIN vr b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+         |hyb AS (
+         |  SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fus QUALIFY rank <= 5)
+         |SELECT query_id, rank, doc_id, rrf
+         |FROM hyb
+         |ORDER BY query_id, rank""".stripMargin,
+    "v_knn_filtered" ->
+      s"""SELECT q.vec_id AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank,
+         |  p.vec_id AS point_id,
+         |  round(${sqlCos("q.embedding", "p.embedding")}, 6) AS score
+         |FROM embeddings q, embeddings p
+         |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
+         |QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_leakfree_split" ->
+      s"""$minhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+         |l1 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l0
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l2 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l1
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id),
+         |l3 AS (SELECT doc_id, min(label) AS label FROM (
+         |  SELECT doc_id, label FROM l2
+         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, label AS cluster_id,
+         |  CASE WHEN ${h32Sql("'split|' || label")} % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM l3
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -146,4 +146,32 @@ object Curation {
           .when(col("__dup_lvl") === 1, lit("near_dup"))
           .otherwise(lit("new")).as("verdict"))
   }
+
+  /** Leakage-free train/test split: assign docs to splits BY NEAR-DUP
+    * CLUSTER, not by doc — a random per-doc split puts one copy of a
+    * near-duplicate pair in train and the other in test, and the
+    * eval set silently overlaps the training set (the contamination
+    * that [[Dedup.decontaminate]] removes after the fact; this
+    * prevents it at split time). Every cluster lands wholly in one
+    * split: the split key is a portable hash of the CLUSTER label
+    * (`h32`, the engine-wide convention), so the assignment is
+    * deterministic, reproducible across runs/engines, and extends
+    * consistently when the corpus grows — docs joining an existing
+    * cluster inherit its split.
+    *
+    * `pairs(doc_a, doc_b)` is the near-dup edge list (e.g.
+    * [[Dedup.minHashLsh]] above a jaccard threshold); `trainPct` of
+    * the hash space (0..100) goes to train. Singleton docs are their
+    * own cluster. Scale shape = [[Dedup.clusterLabels]] (linear label
+    * propagation) plus one narrow hash projection — no new shuffle.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      iterations: Int, trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct ($trainPct) must be in [0, 100]")
+    Dedup.clusterLabels(docs, idCol, pairs, iterations)
+      .select(col("doc_id"), col("cluster_id"),
+        when(pmod(Dedup.h32(concat_ws("|", lit("split"), col("cluster_id"))), lit(100))
+            < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"))
+  }
 }

@@ -68,6 +68,30 @@ object Knn {
       .drop("__qvec")
   }
 
+  /** Filtered k-NN: Qdrant's filtered search (`search(..., query_filter=…)`)
+    * — a payload predicate restricts WHICH points are eligible, and the
+    * top-k is exact over the survivors. This is PRE-filtering: the
+    * predicate applies before scoring, so the result always has k hits
+    * when k eligible points exist (post-filtering a plain top-k can
+    * return fewer — the classic filtered-ANN deficit). In Spark the
+    * composition is free: the predicate lands on the point-side SCAN
+    * (PushedFilters, pinned in PlanSpec), so at 100 TB a selective
+    * payload filter prunes row groups before a single score is
+    * computed — the declarative win over index-side filtered search.
+    */
+  def filteredKnnJoin(
+      queries: DataFrame,
+      points: DataFrame,
+      payloadFilter: Column,
+      queryIdCol: String,
+      queryVecCol: String,
+      pointIdCol: String,
+      pointVecCol: String,
+      k: Int,
+      metric: String = "cosine"): DataFrame =
+    knnJoin(queries, points.filter(payloadFilter),
+      queryIdCol, queryVecCol, pointIdCol, pointVecCol, k, metric)
+
   /** Radius search: every point scoring at least `threshold` for each
     * query — the vector-store API next to top-k (Qdrant exposes it as
     * `score_threshold`; "all sufficiently similar", not "the k most

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval and hybrid rank fusion — the keyword half
+  * of the hybrid-search surface a vector store serves next to dense
+  * kNN (the reference serves only the dense half:
+  * `Qdrant/VectorDB/Database.py:22-28`; Qdrant's product API pairs it
+  * with sparse/BM25 scoring fused by reciprocal rank).
+  *
+  * Shape at scale — everything is an inverted-index EQUI-JOIN on the
+  * term, never a document cross join:
+  *
+  *  - The postings (`tf` per doc×term) and the doc-length table are
+  *    one tokenize→aggregate pass over the corpus — the classic
+  *    build-the-index stage; at 100 TB both are written once and
+  *    reused per query batch.
+  *  - The query side after term expansion is tiny (queries × distinct
+  *    terms) and is BROADCAST into the postings join, so the corpus
+  *    side never moves for candidate generation.
+  *  - A document-frequency cap (`maxDfFrac`) drops stopword-class
+  *    terms BEFORE the join — the lexical twin of the LSH hot-bucket
+  *    cap (Dedup.minHashLsh): a term matching half the corpus would
+  *    otherwise explode one join key into O(N) candidates while
+  *    contributing ~zero idf.
+  *  - Per-query top-k is `row_number() <= k` over (score, doc) —
+  *    Spark ≥3.5 plans it as WindowGroupLimit (map-side partial
+  *    top-k), so per-query state is k rows.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson/Okapi, +1 idf so scores stay positive) top-k.
+    *
+    * `queries(queryIdCol, queryTextCol)` must be broadcast-small; its
+    * DISTINCT tokens are the match terms (classic short-query BM25 —
+    * query-side tf is ignored). `N` and `avgdl` are computed over docs
+    * with at least one token and ride the plan as a one-row broadcast
+    * aggregate (the lazy [[TextAnalysis.tfIdf]] discipline — no eager
+    * corpus pass at construction).
+    *
+    * Ranking ties: scores are rounded to 6 dp BEFORE ranking, then
+    * tie-broken by doc id. The per-(query, doc) score is a hash-agg
+    * SUM of double terms, so its last bits depend on addition order;
+    * near-duplicate docs (the corpus has them by construction) produce
+    * scores equal up to ulps that an unrounded ORDER BY would rank
+    * differently between engines. Rounding first makes such docs true
+    * ties with a deterministic id order.
+    *
+    * Output: `(query_id, rank, doc_id, score)`.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"need 0 < maxDfFrac <= 1, got $maxDfFrac")
+    val tok = docs.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+    // postings: one shuffle on (doc_id, term); doc lengths fold out of
+    // the postings (second, far smaller aggregate) instead of re-scanning
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("__n_docs"), avg(col("dl")).as("__avgdl")))
+    // query-term weights: tiny side — join it into df (not the reverse)
+    // and attach idf + corpus stats here so the postings join below
+    // carries everything it needs in the broadcast
+    val qterms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.tokens(col(queryTextCol)))).as("term"))
+    val qw = broadcast(
+      qterms
+        .join(df, "term")
+        .crossJoin(stats)
+        .filter(col("df").cast("double") <= lit(maxDfFrac) * col("__n_docs"))
+        .withColumn("idf",
+          log((col("__n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)))
+    // candidate docs are semi-join-reduced by the postings match before
+    // the dl join, so the doc-length join touches only matched docs
+    val cand = tf.join(qw, "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") * b / col("__avgdl"))))
+    val scored = cand.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.: `1 / (k0 + rank)` summed
+    * over rankers) of two per-query rankings — the standard way to
+    * merge lexical and dense retrieval without score calibration,
+    * since it consumes only RANKS (BM25 scores and cosines live on
+    * incomparable scales).
+    *
+    * Both inputs are `(queryCol, docCol, rankCol)` tables already
+    * truncated to their own top-k, so the fusion join is tiny however
+    * large the corpus: FULL OUTER on (query, doc) — a doc ranked by
+    * only one side still scores via its one term (the other
+    * contributes 0, the rank-only analogue of a missing score).
+    * `rrf` is a sum of two exact rationals computed identically on any
+    * engine; ties (e.g. rank i on one side only vs rank i on the
+    * other side only) break by doc id.
+    *
+    * Output: `(query_id, rank, doc_id, rrf)` — top `k` per query.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int,
+      k0: Int = 60): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(
+        col(queryCol).as("query_id"),
+        col(docCol).as("doc_id"),
+        col(rankCol).as(s"__rank_$tag"))
+    val fused = side(a, "a")
+      .join(side(b, "b"), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("__rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("__rank_b")), lit(0.0)),
+          6))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("rrf"), col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+}

@@ -101,6 +101,27 @@ class PlanSpec extends SparkSpec {
       s"expected only the query side to exchange on the bucket key:\n$planStr")
   }
 
+  test("bm25: broadcast postings join, group-limited top-k, no all-pairs join") {
+    val plan = formatted(SparkEntry.queries("text_bm25")(spark, sf0001))
+    // candidate generation must be the term equi-join with the tiny
+    // query-term side broadcast — the corpus-side postings never move
+    // to meet the queries
+    assert(!plan.contains("CartesianProduct"),
+      s"BM25 candidates must come from the inverted-index term join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term side not broadcast into the postings join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rewritten to a group limit:\n$plan")
+  }
+
+  test("filtered kNN pushes the payload predicate to the point scan") {
+    val plan = formatted(SparkEntry.queries("v_knn_filtered")(spark, sf0001))
+    // the whole point of pre-filtered search: at 100 TB the label
+    // predicate prunes parquet row groups before any vector is scored
+    assert(plan.contains("EqualTo(label,2)"),
+      s"payload filter did not reach the parquet scan:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
