@@ -89,6 +89,96 @@ object SparkEntryExt {
        |FROM ranked ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Product-quantization oracle: per-subspace unrolled EUCLIDEAN
+    * k-means (assignment by `argmax dot − ‖c‖²/2`) → per-(point, sub)
+    * code assignment → broadcast-LUT ADC cosine — mirrors
+    * Pq.trainCodebooks / Pq.encode / Pq.adcTopK step for step
+    * (m=8 × 8-d subspaces, 16 codes, 2 Lloyd iterations, ADC scores
+    * rounded to 6 dp before ranking). With `rerank=true` the ADC
+    * ranking becomes a 50-candidate shortlist whose raw vectors are
+    * re-scored with exact cosine (Pq.adcRerank — ranking on the
+    * UNROUNDED exact score, the Knn.knnJoin convention).
+    */
+  private def pqSelect(rerank: Boolean): String = {
+    val m = 8; val dsub = 8; val kCodes = 16
+    val adcK = if (rerank) 50 else 5
+    // L2 assignment (argmax dot − ‖c‖²/2), not the IVF trainer's cosine
+    def assignCte(src: String, cents: String): String =
+      s"""SELECT pid, v, cid FROM (
+         |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
+         |  FROM (SELECT p.pid, p.v, c.cid,
+         |          ${OracleSql.sqlDot("p.v", "c.c")} - ${OracleSql.sqlDot("c.c", "c.c")} / 2 AS s
+         |        FROM $src p CROSS JOIN $cents c)) WHERE rn = 1""".stripMargin
+    def updateCte(assigned: String, prev: String): String =
+      s"""SELECT p.cid, coalesce(u.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |  SELECT cid, list(m ORDER BY j) AS c FROM (
+         |    SELECT cid, j, round(avg(v[j]), 6) AS m
+         |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+         |    GROUP BY cid, j) GROUP BY cid) u ON p.cid = u.cid""".stripMargin
+    val subChains = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"""ps$s AS (SELECT pid, v[$lo:$hi] AS v FROM pts),
+         |c0$s AS (SELECT pid AS cid, v AS c
+         |         FROM (SELECT pid, v FROM ps$s ORDER BY pid LIMIT $kCodes)),
+         |a1$s AS (${assignCte(s"ps$s", s"c0$s")}),
+         |c1$s AS (${updateCte(s"a1$s", s"c0$s")}),
+         |a2$s AS (${assignCte(s"ps$s", s"c1$s")}),
+         |c2$s AS (${updateCte(s"a2$s", s"c1$s")}),
+         |cd$s AS (${assignCte(s"ps$s", s"c2$s")})""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until m).map(s => s"SELECT $s AS sub, cid, c FROM c2$s")
+      .mkString("\n  UNION ALL ")
+    val codesUnion = (0 until m).map(s => s"SELECT $s AS sub, pid, cid FROM cd$s")
+      .mkString("\n  UNION ALL ")
+    val qsubUnion = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"SELECT pid AS qid, $s AS sub, v[$lo:$hi] AS qv FROM qs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
+       |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 5),
+       |$subChains,
+       |cb AS ($cbUnion),
+       |codes AS ($codesUnion),
+       |qsub AS ($qsubUnion),
+       |qn AS (SELECT pid AS qid, ${OracleSql.sqlNorm("v")} AS n FROM qs),
+       |lut AS (
+       |  SELECT q.qid, q.sub, cb.cid,
+       |    ${OracleSql.sqlDot("q.qv", "cb.c")} AS pdot,
+       |    ${OracleSql.sqlDot("cb.c", "cb.c")} AS cn2
+       |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+       |sc AS (
+       |  SELECT l.qid AS query_id, cds.pid AS point_id,
+       |    round(CASE WHEN max(qn.n) * sqrt(sum(l.cn2)) = 0 THEN 0
+       |          ELSE sum(l.pdot) / (max(qn.n) * sqrt(sum(l.cn2))) END, 6) AS score
+       |  FROM codes cds
+       |    JOIN lut l ON cds.sub = l.sub AND cds.cid = l.cid
+       |    JOIN qn ON qn.qid = l.qid
+       |  GROUP BY l.qid, cds.pid),
+       |ranked AS (
+       |  SELECT query_id, point_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id)
+       |      AS BIGINT) AS rank
+       |  FROM sc QUALIFY rank <= $adcK)
+       |${if (!rerank)
+            """SELECT query_id, rank, point_id, score
+              |FROM ranked ORDER BY query_id, rank""".stripMargin
+          else
+            s""",rr AS (
+              |  SELECT r.query_id, r.point_id, ${sqlCos("q.v", "p.v")} AS score
+              |  FROM ranked r
+              |    JOIN pts p ON p.pid = r.point_id
+              |    JOIN qs q ON q.pid = r.query_id),
+              |rr2 AS (
+              |  SELECT query_id, point_id, score,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id)
+              |      AS BIGINT) AS rank
+              |  FROM rr QUALIFY rank <= 5)
+              |SELECT query_id, rank, point_id, round(score, 6) AS score
+              |FROM rr2 ORDER BY query_id, rank""".stripMargin}""".stripMargin
+  }
+
   /** Shared prefix: tokenize → trigram shingles → portable hash →
     * 16-seed MinHash signatures → 2×8 band table. Doc signatures are
     * independent of every other doc, so the SAME band table serves the
@@ -153,6 +243,27 @@ object SparkEntryExt {
       build(tbl)
       tbl
     })
+
+  /** One PQ codebook training per (sfDir) per JVM — the model is
+    * `m × kCodes` driver-local rows (the storedIndexTable discipline
+    * applied to a model instead of a table: production trains
+    * codebooks once per corpus and every encode/search amortizes it;
+    * re-training on every bench rep would time training, not search).
+    * Parameters are fixed to the checked-query config (64-d, m=8,
+    * 16 codes, 2 iterations).
+    */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long, Array[Double])]]()
+  private def pqModel(s: SparkSession, d: String): DataFrame = {
+    val rows = pqModels.computeIfAbsent(d, _ =>
+      Pq.trainCodebooks(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10), "vec_id", "embedding",
+          dim = 64, m = 8, kCodes = 16, iters = 2)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray)))
+    import s.implicits._
+    rows.toSeq.toDF("sub", "cid", "centroid")
+  }
 
   private def bucketSql(col: String): String =
     s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
@@ -746,6 +857,29 @@ object SparkEntryExt {
           "vec_id", "embedding", "point_id", "embedding", k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("point_id"),
           round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // product quantization: per-subspace codebooks + broadcast-LUT ADC
+    // cosine — the compression path when raw floats stop fitting
+    "sim_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pts = emb.filter(col("vec_id") >= 10)
+      val cb = pqModel(s, d)
+      val codes = Pq.encode(pts, "vec_id", "embedding", cb, m = 8, dsub = 8)
+      Pq.adcTopK(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cb, codes, m = 8, dsub = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the production PQ search: ADC shortlist (50) + exact re-rank —
+    // raw vectors touched only for shortlisted candidates
+    "sim_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pts = emb.filter(col("vec_id") >= 10)
+      val cb = pqModel(s, d)
+      val codes = Pq.encode(pts, "vec_id", "embedding", cb, m = 8, dsub = 8)
+      Pq.adcRerank(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          pts.select(col("vec_id").as("point_id"), col("embedding")), "point_id",
+          cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
     // cluster-aware train/test split: whole near-dup clusters land in
@@ -1820,6 +1954,8 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "sim_pq" -> pqSelect(rerank = false),
+    "sim_pq_rerank" -> pqSelect(rerank = true),
     "q_leakfree_split" ->
       s"""$minhashPairsCte,
          |edges AS (
