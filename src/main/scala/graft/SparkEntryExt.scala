@@ -94,14 +94,19 @@ object SparkEntryExt {
     * code assignment → broadcast-LUT ADC cosine — mirrors
     * Pq.trainCodebooks / Pq.encode / Pq.adcTopK step for step
     * (m=8 × 8-d subspaces, 16 codes, 2 Lloyd iterations, ADC scores
-    * rounded to 6 dp before ranking). With `rerank=true` the ADC
-    * ranking becomes a 50-candidate shortlist whose raw vectors are
-    * re-scored with exact cosine (Pq.adcRerank — ranking on the
-    * UNROUNDED exact score, the Knn.knnJoin convention).
+    * rounded to 6 dp before ranking). Modes: "adc" ranks ADC scores
+    * directly; "rerank" turns the ADC ranking into a 50-candidate
+    * shortlist whose raw vectors are re-scored with exact cosine
+    * (Pq.adcRerank — ranking on the UNROUNDED exact score, the
+    * Knn.knnJoin convention); "ivfpq" additionally prunes candidates
+    * to the query's 4-bit sign bucket before ADC (Pq.ivfpqRerank,
+    * shortlist 20).
     */
-  private def pqSelect(rerank: Boolean): String = {
+  private def pqSelect(mode: String): String = {
     val m = 8; val dsub = 8; val kCodes = 16
-    val adcK = if (rerank) 50 else 5
+    val rerank = mode != "adc"
+    val ivfpq = mode == "ivfpq"
+    val adcK = if (!rerank) 5 else if (ivfpq) 20 else 50
     // L2 assignment (argmax dot − ‖c‖²/2), not the IVF trainer's cosine
     def assignCte(src: String, cents: String): String =
       s"""SELECT pid, v, cid FROM (
@@ -148,6 +153,10 @@ object SparkEntryExt {
        |    ${OracleSql.sqlDot("q.qv", "cb.c")} AS pdot,
        |    ${OracleSql.sqlDot("cb.c", "cb.c")} AS cn2
        |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+       |${if (ivfpq)
+            s"""pbk AS (SELECT pid, ${bucketSql("v")} AS bucket FROM pts),
+               |qbk AS (SELECT pid AS qid, ${bucketSql("v")} AS bucket FROM qs),""".stripMargin
+          else ""}
        |sc AS (
        |  SELECT l.qid AS query_id, cds.pid AS point_id,
        |    round(CASE WHEN max(qn.n) * sqrt(sum(l.cn2)) = 0 THEN 0
@@ -155,6 +164,10 @@ object SparkEntryExt {
        |  FROM codes cds
        |    JOIN lut l ON cds.sub = l.sub AND cds.cid = l.cid
        |    JOIN qn ON qn.qid = l.qid
+       |${if (ivfpq)
+            """    JOIN pbk ON pbk.pid = cds.pid
+              |    JOIN qbk ON qbk.qid = l.qid AND qbk.bucket = pbk.bucket""".stripMargin
+          else ""}
        |  GROUP BY l.qid, cds.pid),
        |ranked AS (
        |  SELECT query_id, point_id, score,
@@ -880,6 +893,20 @@ object SparkEntryExt {
       Pq.adcRerank(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           pts.select(col("vec_id").as("point_id"), col("embedding")), "point_id",
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // IVF-PQ: coarse sign-bucket prune -> ADC over same-cell codes ->
+    // exact re-rank; every stage reads strictly less than the last
+    "sim_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pts = emb.filter(col("vec_id") >= 10)
+      val cb = pqModel(s, d)
+      val codes = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m = 8, dsub = 8,
+        SimilaritySearch.signBucket("embedding", 4))
+      Pq.ivfpqRerank(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          SimilaritySearch.signBucket("embedding", 4),
+          pts.select(col("vec_id").as("point_id"), col("embedding")), "point_id",
+          cb, codes, m = 8, dsub = 8, shortlist = 20, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
     // cluster-aware train/test split: whole near-dup clusters land in
@@ -1954,8 +1981,9 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
-    "sim_pq" -> pqSelect(rerank = false),
-    "sim_pq_rerank" -> pqSelect(rerank = true),
+    "sim_pq" -> pqSelect("adc"),
+    "sim_pq_rerank" -> pqSelect("rerank"),
+    "sim_ivfpq" -> pqSelect("ivfpq"),
     "q_leakfree_split" ->
       s"""$minhashPairsCte,
          |edges AS (

@@ -137,24 +137,38 @@ object Pq {
       .select(col("point_id"), col("sub"), col("cid").as("code"))
   }
 
-  /** ADC top-k over an encoded corpus: approximate cosine
-    * `Σ_s dot(q_s, c) / (‖q‖ · sqrt(Σ_s ‖c‖²))` via the broadcast
-    * LUT join described above. Output `(query_id, rank, point_id,
-    * score)`, score rounded to 6 dp, rank tie-broken by point id.
+  /** Per-query lookup table: the `m × kCodes` partial dots (plus
+    * centroid norms and the query norm), optionally tagged with the
+    * query's coarse bucket. Tiny by construction — always broadcast.
     */
-  def adcTopK(queries: DataFrame, queryIdCol: String, vecCol: String,
-      codebooks: DataFrame, codes: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
-    val qsub = explodeSubs(
-      queries.select(col(queryIdCol).as("query_id"), col(vecCol),
-        VectorOps.l2Norm(col(vecCol)).as("__qnorm")),
-      vecCol, m, dsub)
-    val lut = broadcast(
+  private def buildLut(queries: DataFrame, queryIdCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dsub: Int,
+      queryBucket: Option[Column]): DataFrame = {
+    val base = queries.select(
+      (Seq(col(queryIdCol).as("query_id"), col(vecCol),
+        VectorOps.l2Norm(col(vecCol)).as("__qnorm")) ++
+        queryBucket.map(_.as("__qbucket")).toSeq): _*)
+    val qsub = explodeSubs(base, vecCol, m, dsub)
+    broadcast(
       qsub.join(broadcast(codebooks), "sub")
-        .select(col("query_id"), col("sub"), col("cid"), col("__qnorm"),
-          VectorOps.dot(col("__sv"), col("centroid")).as("__pdot"),
-          VectorOps.dot(col("centroid"), col("centroid")).as("__cn2")))
+        .select(
+          (Seq(col("query_id"), col("sub"), col("cid"), col("__qnorm"),
+            VectorOps.dot(col("__sv"), col("centroid")).as("__pdot"),
+            VectorOps.dot(col("centroid"), col("centroid")).as("__cn2")) ++
+            queryBucket.map(_ => col("__qbucket")).toSeq): _*))
+  }
+
+  /** ADC ranking tail shared by the flat and bucketed paths: join
+    * codes to the broadcast LUT, accumulate `Σ pdot` / `Σ ‖c‖²`,
+    * round, rank. `bucketed` adds the coarse-cell equality to the
+    * join, so only same-bucket (query, point) pairs are ever scored.
+    */
+  private def adcRank(lut: DataFrame, codes: DataFrame,
+      bucketed: Boolean, k: Int): DataFrame = {
+    val base = codes("sub") === lut("sub") && codes("code") === lut("cid")
+    val cond = if (bucketed) base && codes("bucket") === lut("__qbucket") else base
     val scored = codes
-      .join(lut, codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .join(lut, cond)
       .groupBy(col("query_id"), col("point_id"))
       .agg(sum(col("__pdot")).as("__num"),
         sum(col("__cn2")).as("__pn2"),
@@ -169,6 +183,37 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("point_id"), col("score"))
   }
+
+  /** Exact-cosine re-rank of a `(query_id, point_id)` candidate set —
+    * raw vectors are fetched ONLY for candidates (an equi-join on
+    * point_id), queries broadcast. [[Knn.knnJoin]] output conventions.
+    */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String,
+      points: DataFrame, pointIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
+    val raw = points.select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("__score"), col("point_id").asc)
+    cand
+      .join(raw, "point_id")
+      .join(q, "query_id")
+      .withColumn("__score", VectorOps.cosine(col("__qvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("point_id"),
+        round(col("__score"), 6).as("score"))
+  }
+
+  /** ADC top-k over an encoded corpus: approximate cosine
+    * `Σ_s dot(q_s, c) / (‖q‖ · sqrt(Σ_s ‖c‖²))` via the broadcast
+    * LUT join described above. Output `(query_id, rank, point_id,
+    * score)`, score rounded to 6 dp, rank tie-broken by point id.
+    */
+  def adcTopK(queries: DataFrame, queryIdCol: String, vecCol: String,
+      codebooks: DataFrame, codes: DataFrame, m: Int, dsub: Int, k: Int): DataFrame =
+    adcRank(buildLut(queries, queryIdCol, vecCol, codebooks, m, dsub, None),
+      codes, bucketed = false, k)
 
   /** ADC shortlist + EXACT re-rank — the production PQ search (Jégou
     * et al. §V: ADC orders a candidate shortlist from codes alone,
@@ -193,17 +238,51 @@ object Pq {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val cand = adcTopK(queries, queryIdCol, vecCol, codebooks, codes, m, dsub, shortlist)
       .select(col("query_id"), col("point_id"))
-    val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(vecCol).as("__qvec")))
-    val raw = points.select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("__score"), col("point_id").asc)
-    cand
-      .join(raw, "point_id")
-      .join(q, "query_id")
-      .withColumn("__score", VectorOps.cosine(col("__qvec"), col("__pvec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("point_id"),
-        round(col("__score"), 6).as("score"))
+    rerankExact(cand, queries, queryIdCol, vecCol, points, pointIdCol, k)
+  }
+
+  /** PQ-encode with the point's coarse bucket carried through the same
+    * pass: `(point_id, sub, code, bucket)`. `bucket` is any
+    * deterministic expression over the ORIGINAL vector column (e.g.
+    * [[SimilaritySearch.signBucket]]) — computed once per point while
+    * the vector is already in hand, so the IVF-PQ index needs no
+    * second corpus scan.
+    */
+  def encodeBucketed(points: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dsub: Int, bucket: Column): DataFrame = {
+    val w = Window.partitionBy(col("point_id"), col("sub"))
+      .orderBy(desc("__s"), col("cid").asc)
+    explodeSubs(
+        points.select(col(idCol).as("point_id"), col(vecCol), bucket.as("bucket")),
+        vecCol, m, dsub)
+      .join(broadcast(codebooks), "sub")
+      .withColumn("__s",
+        VectorOps.dot(col("__sv"), col("centroid")) -
+          VectorOps.dot(col("centroid"), col("centroid")) / 2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("point_id"), col("sub"), col("cid").as("code"), col("bucket"))
+  }
+
+  /** IVF-PQ — the full Jégou pipeline and the 100 TB serving shape:
+    * a coarse quantizer prunes candidates to the query's cell, ADC
+    * orders the survivors from codes alone, and exact cosine re-ranks
+    * the shortlist from raw vectors. Each stage touches strictly less
+    * data than the previous one: the cell join skips ~(1 − 1/cells)
+    * of the code table per query, ADC reads codes (not vectors), and
+    * only `shortlist × |queries|` raw vectors are ever fetched.
+    * `codes` must come from [[encodeBucketed]]; `queryBucket` must be
+    * the same bucket expression over the query's vector column.
+    */
+  def ivfpqRerank(queries: DataFrame, queryIdCol: String, vecCol: String,
+      queryBucket: Column,
+      points: DataFrame, pointIdCol: String,
+      codebooks: DataFrame, codes: DataFrame,
+      m: Int, dsub: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val lut = buildLut(queries, queryIdCol, vecCol, codebooks, m, dsub, Some(queryBucket))
+    val cand = adcRank(lut, codes, bucketed = true, shortlist)
+      .select(col("query_id"), col("point_id"))
+    rerankExact(cand, queries, queryIdCol, vecCol, points, pointIdCol, k)
   }
 }

@@ -122,6 +122,17 @@ class PlanSpec extends SparkSpec {
       s"payload filter did not reach the parquet scan:\n$plan")
   }
 
+  test("PQ search: the code table joins a broadcast LUT, never a shuffle of codes to queries") {
+    val plan = formatted(SparkEntry.queries("sim_ivfpq")(spark, sf0001))
+    // ADC's whole point at scale: per-query work is a broadcast LUT
+    // lookup per code row; the (huge) code table must not exchange to
+    // meet the query side, and nothing may cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC must join codes to the LUT, not cross-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-query LUT must broadcast into the code join:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)

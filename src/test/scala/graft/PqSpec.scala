@@ -69,4 +69,18 @@ class PqSpec extends SparkSpec {
     assert(rerank >= 0.5, s"re-ranked recall@5 collapsed: $rerank")
     assert(rerank > adc, s"re-rank must improve on pure ADC ($rerank vs $adc)")
   }
+
+  test("IVF-PQ hits stay inside the query's coarse cell") {
+    val bucketOf = SimilaritySearch.signBucket("embedding", 4)
+    val codesB = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m, dsub, bucketOf)
+    val out = Pq.ivfpqRerank(queries, "vec_id", "embedding", bucketOf,
+      pts.select(col("vec_id").as("point_id"), col("embedding")), "point_id",
+      cb, codesB, m, dsub, shortlist = 20, k = 5)
+    val qb = emb.select(col("vec_id").as("query_id"), bucketOf.as("qb"))
+    val pb = emb.select(col("vec_id").as("point_id"), bucketOf.as("pb"))
+    val crossed = out.join(qb, "query_id").join(pb, "point_id")
+      .filter(col("qb") =!= col("pb"))
+    assert(crossed.count() == 0, "a hit escaped the query's coarse cell")
+    assert(out.count() > 0)
+  }
 }
