@@ -89,6 +89,73 @@ object SparkEntryExt {
        |FROM ranked ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The λ both the `rag_mmr` query and its oracle use. The oracle
+    * interpolates λ AND Scala's `1.0 - λ` (0.30000000000000004, NOT
+    * the SQL literal 0.3 — binary doubles differ in the last bit, and
+    * the MMR objective is compared rounded to 6 dp after multiplying
+    * by it) so both engines compute bit-identical objectives.
+    */
+  private val MmrLambda = 0.7
+
+  /** MMR oracle: top-8 cosine pool per query, pairwise in-pool sims,
+    * then the greedy selection unrolled — pick 1 is max rounded rel;
+    * each later pick maximizes `λ·rel − (1−λ)·max-sim-to-selected`
+    * (rounded before the argmax, ties to the lowest point id).
+    * Mirrors Retrieval.mmrRerank step for step.
+    */
+  private lazy val mmrSelect: String = {
+    val lam = MmrLambda; val oneMinus = 1.0 - MmrLambda
+    val selectK = 3
+    def objExpr(relCol: String, maxsimCol: String) =
+      s"round($relCol * $lam - $maxsimCol * $oneMinus, 6)"
+    val steps = (2 to selectK).map { t =>
+      val selu = if (t == 2) "sel1"
+        else s"(SELECT query_id, point_id FROM sel1" +
+          (2 until t).map(i => s" UNION ALL SELECT query_id, point_id FROM sel$i")
+            .mkString + ")"
+      s"""p$t AS (
+         |  SELECT h.query_id, h.point_id, h.rel, max(s.sim) AS maxsim
+         |  FROM hp h
+         |  LEFT JOIN $selu x ON x.query_id = h.query_id AND x.point_id = h.point_id
+         |  JOIN simsp s ON s.query_id = h.query_id AND s.pa = h.point_id
+         |  JOIN $selu sel ON sel.query_id = s.query_id AND sel.point_id = s.pb
+         |  WHERE x.point_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |sel$t AS (
+         |  SELECT query_id, point_id, obj FROM (
+         |    SELECT query_id, point_id, ${objExpr("rel", "maxsim")} AS obj,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${objExpr("rel", "maxsim")} DESC, point_id) AS r
+         |    FROM p$t) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to selectK).map(t =>
+      s"SELECT query_id, CAST($t AS BIGINT) AS sel_rank, point_id, obj AS objective FROM sel$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH hp AS (
+       |  SELECT query_id, point_id, v, rel FROM (
+       |    SELECT q.vec_id AS query_id, p.vec_id AS point_id, p.embedding AS v,
+       |      ${sqlCos("q.embedding", "p.embedding")} AS rel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS rn
+       |    FROM embeddings q, embeddings p
+       |    WHERE q.vec_id < 5 AND p.vec_id >= 10) WHERE rn <= 8),
+       |simsp AS (
+       |  SELECT a.query_id, a.point_id AS pa, b.point_id AS pb,
+       |    ${sqlCos("a.v", "b.v")} AS sim
+       |  FROM hp a JOIN hp b
+       |    ON a.query_id = b.query_id AND a.point_id <> b.point_id),
+       |sel1 AS (
+       |  SELECT query_id, point_id, obj FROM (
+       |    SELECT query_id, point_id, round(rel, 6) AS obj,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(rel, 6) DESC, point_id) AS r
+       |    FROM hp) WHERE r = 1),
+       |$steps
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   /** Product-quantization oracle: per-subspace unrolled EUCLIDEAN
     * k-means (assignment by `argmax dot − ‖c‖²/2`) → per-(point, sub)
     * code assignment → broadcast-LUT ADC cosine — mirrors
@@ -894,6 +961,18 @@ object SparkEntryExt {
           pts.select(col("vec_id").as("point_id"), col("embedding")), "point_id",
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection
+    // from the kNN pool — the redundancy filter before context assembly
+    "rag_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Retrieval.mmrRerank(
+          emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "embedding", "point_id", "embedding",
+          poolK = 8, selectK = 3, lambda = MmrLambda)
+        .orderBy(col("query_id"), col("sel_rank"))
     }),
     // IVF-PQ: coarse sign-bucket prune -> ADC over same-cell codes ->
     // exact re-rank; every stage reads strictly less than the last
@@ -1981,6 +2060,7 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "rag_mmr" -> mmrSelect,
     "sim_pq" -> pqSelect("adc"),
     "sim_pq_rerank" -> pqSelect("rerank"),
     "sim_ivfpq" -> pqSelect("ivfpq"),

@@ -145,4 +145,83 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
   }
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): from each
+    * query's top-`poolK` hits, greedily select `selectK` maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(cand, s)` — the standard
+    * redundancy filter between retrieval and context assembly (two
+    * near-identical chunks waste prompt budget; reference context is
+    * assembled at `Qdrant/llm.py:93-101` with no such filter).
+    *
+    * Shape: everything happens INSIDE a query's pool — `poolK` rows —
+    * so the pairwise-similarity join is `poolK²` per query however
+    * large the corpus, and the greedy loop is a fixed `selectK − 1`
+    * unroll of (anti-join selected → max-sim aggregate → argmax
+    * window), each step over ≤ poolK rows per query. The first pick is
+    * rank 1 (relevance alone; the MMR objective with an empty selected
+    * set). Objectives are rounded to 6 dp before each argmax with ties
+    * to the lowest point id (the BM25 rule — `λ·rel − penalty` is
+    * engine-order-sensitive in its last bits).
+    *
+    * Output: `(query_id, sel_rank, point_id, objective)` where
+    * `objective` is rel for the first pick and the MMR value for later
+    * picks.
+    */
+  def mmrRerank(
+      queries: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      pointIdCol: String,
+      pointVecCol: String,
+      poolK: Int,
+      selectK: Int,
+      lambda: Double): DataFrame = {
+    require(selectK >= 1 && poolK >= selectK,
+      s"need 1 <= selectK ($selectK) <= poolK ($poolK)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda ($lambda) must be in [0, 1]")
+    // The pool is BOUNDED (poolK × |queries| rows) but fans out to the
+    // sims self-join, the first pick, and every greedy step's
+    // anti-join/penalty — each a differently-pruned consumer, so
+    // without a lineage cut the corpus-scanning kNN join upstream
+    // re-executes per branch (the SCALING.md branch fan-out rule: cut
+    // at the smallest bounded table, lazily).
+    val hits = Knn.knnJoin(queries, points, queryIdCol, queryVecCol,
+        pointIdCol, pointVecCol, poolK)
+      .select(col("query_id"), col(pointIdCol).as("point_id"),
+        col(pointVecCol).as("__pv"), col("score").as("__rel"))
+      .localCheckpoint(false)
+    // pairwise sims inside the pool: poolK² rows per query
+    val a = hits.select(col("query_id"), col("point_id").as("__pa"), col("__pv").as("__va"))
+    val b = hits.select(col("query_id"), col("point_id").as("__pb"), col("__pv").as("__vb"))
+    val sims = a.join(b, "query_id")
+      .filter(col("__pa") =!= col("__pb"))
+      .select(col("query_id"), col("__pa"), col("__pb"),
+        VectorOps.cosine(col("__va"), col("__vb")).as("__sim"))
+    val wSel = Window.partitionBy(col("query_id")).orderBy(desc("__obj"), col("point_id").asc)
+    def argmax(cands: DataFrame): DataFrame =
+      cands.withColumn("__rn", row_number().over(wSel))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("point_id"), col("__obj"))
+    // pick 1: pure relevance
+    var selected = argmax(hits.withColumn("__obj", round(col("__rel"), 6)))
+      .withColumn("sel_rank", lit(1L))
+    for (t <- 2 to selectK) {
+      val selSet = selected.select(col("query_id"), col("point_id"))
+      val cands = hits.join(selSet, Seq("query_id", "point_id"), "left_anti")
+      // max sim of each candidate to the selected set
+      val penalty = cands
+        .join(sims.withColumnRenamed("__pa", "point_id"), Seq("query_id", "point_id"))
+        .join(selSet.withColumnRenamed("point_id", "__pb"), Seq("query_id", "__pb"))
+        .groupBy(col("query_id"), col("point_id"))
+        .agg(max(col("__sim")).as("__maxsim"))
+      val scored = cands.join(penalty, Seq("query_id", "point_id"))
+        .withColumn("__obj",
+          round(col("__rel") * lambda - col("__maxsim") * (1.0 - lambda), 6))
+      selected = selected.unionByName(
+        argmax(scored).withColumn("sel_rank", lit(t.toLong)))
+    }
+    selected.select(col("query_id"), col("sel_rank"), col("point_id"),
+      col("__obj").as("objective"))
+  }
 }

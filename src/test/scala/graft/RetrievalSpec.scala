@@ -75,6 +75,45 @@ class RetrievalSpec extends SparkSpec {
     assert(got.select("query_id", "rank", "point_id").collect().toSet == want)
   }
 
+  test("mmrRerank demotes a duplicate hit below a less-relevant novel one") {
+    // q = (1,0); p1 (rel .9) tops the pool, p2 IS p1 (sim 1), p3 is
+    // less relevant (rel .6) but nearly novel. λ=0.7:
+    //   obj(p2) = .7·.9 − .3·1 = 0.33 < obj(p3) = .7·.6 − .3·sim(p3,p1)
+    // so MMR must pick p3 second and push the duplicate to third —
+    // pure relevance would keep the duplicate at rank 2.
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val pts = Seq(
+      (1L, Array(0.9f, 0.43589f)),
+      (2L, Array(0.9f, 0.43589f)),
+      (3L, Array(0.6f, -0.8f))).toDF("pid", "pv")
+    val out = Retrieval.mmrRerank(q, pts, "qid", "qv", "pid", "pv",
+        poolK = 3, selectK = 3, lambda = 0.7)
+      .orderBy("sel_rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L),
+      s"diversity selection order wrong: ${out.mkString(", ")}")
+  }
+
+  test("mmrRerank first pick is the pure-relevance winner") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    val mmr1 = Retrieval.mmrRerank(queries, points, "vec_id", "embedding",
+        "point_id", "embedding", poolK = 8, selectK = 3, lambda = 0.7)
+      .filter(col("sel_rank") === 1)
+      .select(col("query_id"), col("point_id"))
+    val knn1 = Knn.knnJoin(queries, points, "vec_id", "embedding",
+        "point_id", "embedding", 1)
+      .select(col("query_id"), col("point_id"))
+    assert(mmr1.collect().toSet == knn1.collect().toSet)
+    // and every query selects 3 DISTINCT points
+    val dup = Retrieval.mmrRerank(queries, points, "vec_id", "embedding",
+        "point_id", "embedding", poolK = 8, selectK = 3, lambda = 0.7)
+      .groupBy("query_id").agg(countDistinct(col("point_id")).as("n"))
+      .filter(col("n") =!= 3)
+    assert(dup.count() == 0, "a query re-selected a point")
+  }
+
   test("leakFreeSplit keeps every near-dup cluster wholly in one split") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
