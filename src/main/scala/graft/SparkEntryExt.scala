@@ -962,6 +962,20 @@ object SparkEntryExt {
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // hard-negative mining: per anchor, the top-scoring points of a
+    // DIFFERENT label — contrastive-training pairs from the same
+    // broadcast kNN shape
+    "v_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.hardNegatives(
+          emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", "label", "point_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"), col("neg_label"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection
     // from the kNN pool — the redundancy filter before context assembly
     "rag_mmr" -> ((s, d) => {
@@ -2059,6 +2073,17 @@ object SparkEntryExt {
          |FROM embeddings q, embeddings p
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "v_hard_negatives" ->
+      s"""SELECT q.vec_id AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank,
+         |  p.vec_id AS point_id,
+         |  round(${sqlCos("q.embedding", "p.embedding")}, 6) AS score,
+         |  p.label AS neg_label
+         |FROM embeddings q, embeddings p
+         |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label <> q.label
+         |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "rag_mmr" -> mmrSelect,
     "sim_pq" -> pqSelect("adc"),

@@ -100,7 +100,39 @@ object SparkEntryStream {
     // incremental Count-Min maintenance: per-micro-batch sketches
     // merged ≡ one batch build (mergeable summary) — probed against the
     // SAME oracle SQL as q_cms_freq
-    "stream_cms" -> ((s, d) => runCmsOnce(s, d)))
+    "stream_cms" -> ((s, d) => runCmsOnce(s, d)),
+    // continuous serving: streamed query vectors answered per
+    // micro-batch with the batch kNN against the static corpus; hits
+    // over two batches ≡ one batch kNN join
+    "stream_search" -> ((s, d) => runSearchOnce(s, d)))
+
+  /** Drive [[EventStream.searchStream]]: query vectors vec_id < 10
+    * arrive in TWO micro-batches (split at 5) against the static
+    * vec_id >= 10 corpus; the accumulated hit store must equal the
+    * one-shot batch kNN join (per-query purity ⇒ batch boundaries
+    * cannot move any hit).
+    */
+  private def runSearchOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-srch-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-srch-store").toString + "/hits"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    queries.filter(col("vec_id") < 5).write.mode("append").parquet(in)
+    val q = EventStream.searchStream(spark, in, store, points, k = 3)
+    try {
+      q.processAllAvailable()
+      queries.filter(col("vec_id") >= 5).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(store)
+      .select(col("query_id"), col("rank"), col("point_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Drive [[EventStream.novelDocsStream]]: stream ALL docs against a
     * static corpus holding every doc_id % 3 != 0 — exactly the % 3 == 0
@@ -285,5 +317,18 @@ object SparkEntryStream {
     // literally the batch CMS oracle: micro-batch slicing must not move
     // a single sketch cell
     "stream_cms" -> OracleSql.cmsFreqSql(
-      SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth, SparkEntryExt.CmsTopK))
+      SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth, SparkEntryExt.CmsTopK),
+    // the one-shot batch kNN join the two-micro-batch serving stream
+    // must accumulate to
+    "stream_search" ->
+      s"""SELECT q.vec_id AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${OracleSql.sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id)
+         |    AS BIGINT) AS rank,
+         |  p.vec_id AS point_id,
+         |  round(${OracleSql.sqlCos("q.embedding", "p.embedding")}, 6) AS score
+         |FROM embeddings q, embeddings p
+         |WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin)
 }

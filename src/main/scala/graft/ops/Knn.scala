@@ -92,6 +92,44 @@ object Knn {
     knnJoin(queries, points.filter(payloadFilter),
       queryIdCol, queryVecCol, pointIdCol, pointVecCol, k, metric)
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` HIGHEST-scoring points whose label differs from the anchor's
+    * — the close-but-wrong examples an embedding model learns the most
+    * from (random negatives are trivially separable; the hardest ones
+    * define the decision boundary). Same broadcast + WindowGroupLimit
+    * shape as [[knnJoin]], with the label inequality as a join-side
+    * filter: per-anchor state stays k rows, and at 100 TB the corpus
+    * side still never moves. Label here is any supervision proxy —
+    * class, source, or a dedup cluster id (mining negatives OUTSIDE
+    * the anchor's near-dup cluster avoids training on false
+    * negatives that are really unlabeled positives).
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      points: DataFrame,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      anchorLabelCol: String,
+      pointIdCol: String,
+      pointVecCol: String,
+      pointLabelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val a = broadcast(anchors.select(
+      col(anchorIdCol).as("query_id"),
+      col(anchorVecCol).as("__qvec"),
+      col(anchorLabelCol).as("__qlabel")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col(pointIdCol).asc)
+    points
+      .crossJoin(a)
+      .filter(col(pointLabelCol) =!= col("__qlabel"))
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col(pointVecCol)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(pointIdCol).as("point_id"),
+        col("score"), col(pointLabelCol).as("neg_label"))
+  }
+
   /** Radius search: every point scoring at least `threshold` for each
     * query — the vector-store API next to top-k (Qdrant exposes it as
     * `score_threshold`; "all sufficiently similar", not "the k most

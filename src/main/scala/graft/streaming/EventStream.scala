@@ -238,6 +238,38 @@ object EventStream {
       .start()
   }
 
+  /** Continuous vector SERVING: query vectors arriving in `inputDir`
+    * are answered with exact top-k against the static point corpus and
+    * the hits appended to `storeDir` — the query half of the serving
+    * loop whose build half is [[indexStream]] (together they are the
+    * reference's Qdrant deployment as two streams: ingest upserts
+    * points, search answers queries, `Database.py:16-28`).
+    * `foreachBatch` runs the identical batch operator
+    * ([[graft.ops.Knn.knnJoin]]) per micro-batch: each query's top-k
+    * depends only on its own row and the static corpus, so stream
+    * output ≡ batch output regardless of how queries are batched (the
+    * `stream_search` oracle) — and each micro-batch broadcasts only
+    * its own queries, never touching corpus layout.
+    */
+  def searchStream(spark: SparkSession, inputDir: String, storeDir: String,
+      points: DataFrame, k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val queries = spark.readStream.schema(qSchema).parquet(inputDir)
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Knn
+          .knnJoin(batch, points, "vec_id", "embedding", "point_id", "embedding", k)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("point_id"), col("score"))
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector-index maintenance: the reference's ingestion
     * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
     * new documents arriving in `inputDir` are chunked, hash-embedded,
