@@ -962,6 +962,40 @@ object SparkEntryExt {
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Qdrant recommend API: pseudo-query = mean(positives) −
+    // mean(negatives), examples excluded from results
+    "v_recommend" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.recommend(
+          emb.select(col("vec_id").as("point_id"), col("embedding")),
+          "point_id", "embedding",
+          positiveIds = Seq(0L, 1L, 2L), negativeIds = Seq(3L, 4L), k = 5)
+        .select(col("point_id"), round(col("score"), 6).as("score"))
+    }),
+    // Qdrant search_groups API: best hits per payload group, groups
+    // ranked by their best hit
+    "v_search_groups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.searchGroups(
+          emb.filter(col("vec_id") < 5),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", "point_id", "embedding", "label",
+          groupsK = 3, hitsPerGroup = 2)
+        .select(col("query_id"), col("group_rank"), col("group").as("grp"),
+          col("hit_rank"), col("point_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("group_rank"), col("hit_rank"))
+    }),
+    // Qdrant set_payload: metadata patch by key — embeddings (here:
+    // n_chars, text) never move, row count invariant
+    "q_payload_update" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val patch = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"), lit("patched").as("source"))
+      Store.setPayload(docs, patch, "doc_id", Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // hard-negative mining: per anchor, the top-scoring points of a
     // DIFFERENT label — contrastive-training pairs from the same
     // broadcast kNN shape
@@ -2074,6 +2108,52 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "v_recommend" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |pm AS (
+         |  SELECT j, round(avg(v[j]), 6) AS m
+         |  FROM ex, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+         |  WHERE vec_id IN (0, 1, 2) GROUP BY j),
+         |nm AS (
+         |  SELECT j, round(avg(v[j]), 6) AS m
+         |  FROM ex, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
+         |  WHERE vec_id IN (3, 4) GROUP BY j),
+         |qv AS (SELECT list(pm.m - nm.m ORDER BY pm.j) AS q
+         |       FROM pm JOIN nm ON pm.j = nm.j)
+         |SELECT p.vec_id AS point_id,
+         |  round(${sqlCos("q.q", "p.embedding")}, 6) AS score
+         |FROM embeddings p, qv q
+         |WHERE p.vec_id NOT IN (0, 1, 2, 3, 4)
+         |ORDER BY ${sqlCos("q.q", "p.embedding")} DESC, p.vec_id
+         |LIMIT 5""".stripMargin,
+    "v_search_groups" ->
+      s"""WITH h AS (
+         |  SELECT query_id, grp, point_id, score, hit_rank FROM (
+         |    SELECT q.vec_id AS query_id, p.label AS grp, p.vec_id AS point_id,
+         |      ${sqlCos("q.embedding", "p.embedding")} AS score,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id, p.label
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id)
+         |        AS BIGINT) AS hit_rank
+         |    FROM embeddings q, embeddings p
+         |    WHERE q.vec_id < 5 AND p.vec_id >= 10) WHERE hit_rank <= 2),
+         |g AS (
+         |  SELECT query_id, grp,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, grp) AS BIGINT) AS group_rank
+         |  FROM h WHERE hit_rank = 1
+         |  QUALIFY group_rank <= 3)
+         |SELECT h.query_id, g.group_rank, h.grp, h.hit_rank, h.point_id,
+         |  round(h.score, 6) AS score
+         |FROM h JOIN g ON h.query_id = g.query_id AND h.grp = g.grp
+         |ORDER BY h.query_id, g.group_rank, h.hit_rank""".stripMargin,
+    "q_payload_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'patched' ELSE source END AS source,
+        |  n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "v_hard_negatives" ->
       s"""SELECT q.vec_id AS query_id,
          |  CAST(row_number() OVER (PARTITION BY q.vec_id

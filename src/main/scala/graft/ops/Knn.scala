@@ -92,6 +92,101 @@ object Knn {
     knnJoin(queries, points.filter(payloadFilter),
       queryIdCol, queryVecCol, pointIdCol, pointVecCol, k, metric)
 
+  /** Recommendation search (the Qdrant `recommend` API shape,
+    * `client.recommend(collection, positive=[ids], negative=[ids])`):
+    * the query vector is CONSTRUCTED from example points —
+    * `mean(positive vectors) − mean(negative vectors)` (the classic
+    * contrastive pseudo-query; with no negatives it degrades to the
+    * positive centroid) — then scored like any single-query top-k.
+    * Example points are excluded from the results (you already have
+    * them). Means are element-wise avg aggregates over the (few)
+    * example rows, ROUNDED to 6 dp (the kmeans-update rule: hash-agg
+    * means are addition-order-sensitive in their last bits, and the
+    * pseudo-query must be identical on any engine), riding the plan
+    * as a 1-row broadcast — no driver-side collect.
+    *
+    * Output: `(point_id, score)`, top-k by `(score DESC, point_id)` —
+    * no rank column, so the single-query top-k plans as
+    * `TakeOrderedAndProject` (the [[topK]] rule; a rank window here
+    * would be an unpartitioned WindowExec, the shape PlanAuditSpec
+    * bans).
+    */
+  def recommend(
+      points: DataFrame,
+      pointIdCol: String,
+      vecCol: String,
+      positiveIds: Seq[Long],
+      negativeIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend: at least one positive example required")
+    require(k >= 1, s"k ($k) must be >= 1")
+    def meanVec(ids: Seq[Long]): DataFrame =
+      points.filter(col(pointIdCol).isin(ids: _*))
+        .select(posexplode(VectorOps.toDoubleArray(col(vecCol))).as(Seq("__j", "__x")))
+        .groupBy(col("__j")).agg(round(avg(col("__x")), 6).as("__m"))
+        .agg(array_sort(collect_list(struct(col("__j"), col("__m")))).as("__jm"))
+        .select(transform(col("__jm"), e => e.getField("__m")).as("__mean"))
+    val pos = meanVec(positiveIds).select(col("__mean").as("__pos"))
+    val qvec = (if (negativeIds.isEmpty) pos.select(col("__pos").as("__qvec"))
+      else pos.crossJoin(meanVec(negativeIds).select(col("__mean").as("__neg")))
+        .select(zip_with(col("__pos"), col("__neg"), (p, n) => p - n).as("__qvec")))
+    val excluded = (positiveIds ++ negativeIds).distinct
+    points
+      .filter(!col(pointIdCol).isin(excluded: _*))
+      .crossJoin(broadcast(qvec))
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col(vecCol)))
+      .orderBy(desc("score"), col(pointIdCol).asc)
+      .limit(k)
+      .select(col(pointIdCol).as("point_id"), col("score"))
+  }
+
+  /** Grouped search (the Qdrant `search_groups` API shape): per query,
+    * the best `hitsPerGroup` hits of each payload group, with groups
+    * ranked by their best hit and only the top `groupsK` kept —
+    * "the most relevant document per source/author/domain" without a
+    * second query. Two stacked rank-limit windows, both rewritten to
+    * WindowGroupLimit: per-(query, group) state is `hitsPerGroup`
+    * rows, per-query state `groupsK` groups.
+    *
+    * Output: `(query_id, group_rank, group, hit_rank, point_id,
+    * score)`.
+    */
+  def searchGroups(
+      queries: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      pointIdCol: String,
+      pointVecCol: String,
+      groupCol: String,
+      groupsK: Int,
+      hitsPerGroup: Int): DataFrame = {
+    require(groupsK >= 1 && hitsPerGroup >= 1,
+      s"need groupsK ($groupsK) >= 1 and hitsPerGroup ($hitsPerGroup) >= 1")
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec")))
+    val wInGroup = Window.partitionBy(col("query_id"), col("group"))
+      .orderBy(desc("score"), col("point_id").asc)
+    val hits = points
+      .select(col(pointIdCol).as("point_id"), col(pointVecCol).as("__pvec"),
+        col(groupCol).as("group"))
+      .crossJoin(q)
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col("__pvec")))
+      .withColumn("hit_rank", row_number().over(wInGroup).cast("long"))
+      .filter(col("hit_rank") <= hitsPerGroup)
+    // groups ranked by their BEST hit; ties by group value
+    val wGroups = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__best"), col("group").asc)
+    val best = hits.filter(col("hit_rank") === 1)
+      .select(col("query_id"), col("group"), col("score").as("__best"))
+      .withColumn("group_rank", row_number().over(wGroups).cast("long"))
+      .filter(col("group_rank") <= groupsK)
+      .select(col("query_id"), col("group"), col("group_rank"))
+    hits.join(best, Seq("query_id", "group"))
+      .select(col("query_id"), col("group_rank"), col("group"),
+        col("hit_rank"), col("point_id"), col("score"))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * `k` HIGHEST-scoring points whose label differs from the anchor's
     * — the close-but-wrong examples an embedding model learns the most

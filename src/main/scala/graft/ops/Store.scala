@@ -21,6 +21,30 @@ object Store {
     base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** Payload update (Qdrant `set_payload`,
+    * `qdrant_client.set_payload(collection, payload, points)`): patch
+    * METADATA columns of matched points, leaving every other column —
+    * crucially the embedding — untouched. The row-upsert above would
+    * force callers to re-supply (and at 100 TB re-shuffle) the whole
+    * row including its vector; this is a left join + per-column
+    * coalesce, so unmatched rows pass through unchanged, matched rows
+    * change only the named payload columns, and row count is
+    * invariant. `updates` must carry `keyCol` + exactly
+    * `payloadCols`.
+    */
+  def setPayload(base: DataFrame, updates: DataFrame, keyCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "setPayload: no payload columns named")
+    require(!payloadCols.contains(keyCol), s"setPayload: key '$keyCol' is not payload")
+    val u = updates.select(
+      (col(keyCol) +: payloadCols.map(c => col(c).as(s"__u_$c"))): _*)
+    base.columns.foldLeft(base.join(u, Seq(keyCol), "left")) { (df, c) =>
+      if (payloadCols.contains(c))
+        df.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      else df
+    }.drop(payloadCols.map(c => s"__u_$c"): _*)
+  }
+
   def recreate(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 

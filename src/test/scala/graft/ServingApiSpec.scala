@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Knn, Store, Tables}
+
+/** Vector-store serving-API semantics: payload patch, recommendation
+  * search, grouped search.
+  */
+class ServingApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("setPayload patches only the named columns of matched rows") {
+    val base = Seq((1L, "en", "s0", 10L), (2L, "th", "s1", 20L), (3L, "en", "s2", 30L))
+      .toDF("id", "lang", "source", "n")
+    val patch = Seq((2L, "xx")).toDF("id", "lang")
+    val out = Store.setPayload(base, patch, "id", Seq("lang")).orderBy("id").collect()
+    assert(out.length == 3, "row count must be invariant")
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, "en", "s0", 10L), (2L, "xx", "s1", 20L), (3L, "en", "s2", 30L)),
+      "only row 2's lang may change")
+    intercept[IllegalArgumentException] {
+      Store.setPayload(base, patch, "id", Seq("id"))
+    }
+  }
+
+  test("recommend ranks by the contrastive pseudo-query and excludes examples") {
+    // pos p1=(1,0), neg p4=(-1,0) → pseudo-query (1,0)·2/… direction (1,0):
+    // p3 (0.7,0.7) scores ~0.707 over p2 (0,1) at 0 — and p1/p4 must not appear
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("pid", "v")
+    val out = Knn.recommend(pts, "pid", "v", Seq(1L), Seq(4L), k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 2L),
+      s"expected (3, 2) — examples excluded, cosine order: ${out.mkString(", ")}")
+    assert(out.head.getDouble(1) > out.last.getDouble(1))
+  }
+
+  test("searchGroups: per-group hit caps, group cap, groups ordered by best hit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Knn.searchGroups(
+      emb.filter(col("vec_id") < 3),
+      emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"), col("label")),
+      "vec_id", "embedding", "point_id", "embedding", "label",
+      groupsK = 3, hitsPerGroup = 2)
+    val perGroup = out.groupBy("query_id", "group").count()
+    assert(perGroup.filter(col("count") > 2).count() == 0, "hitsPerGroup exceeded")
+    val groups = out.groupBy("query_id").agg(countDistinct(col("group")).as("g"))
+    assert(groups.filter(col("g") > 3).count() == 0, "groupsK exceeded")
+    // group_rank order must follow each group's best (hit_rank 1) score
+    val best = out.filter(col("hit_rank") === 1)
+      .select(col("query_id"), col("group_rank"), col("score")).collect()
+      .groupBy(_.getLong(0))
+    best.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"group ranking does not follow best-hit score: ${byRank.mkString(",")}")
+    }
+  }
+}
