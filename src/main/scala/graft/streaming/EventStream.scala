@@ -73,21 +73,41 @@ object EventStream {
       }
   }
 
+  /** Run `body` with the session's shuffle-partition count clamped to
+    * `n` and restored afterwards. EVERY stateful streaming runner uses
+    * this, not just the join: each shuffle partition of a stateful
+    * operator runs its own state store(s) paying per-batch commit +
+    * maintenance regardless of row count, so fixed cost scales with
+    * the partition count, not the data (measured on the 4-store join:
+    * 32 partitions → 26.6 s vs 8 → 4.3 s on identical input; the
+    * 1-store dedup/agg pay the same class of cost at 1/4 the rate).
+    * Production sizes state partitions to stream volume up front —
+    * the count is pinned by checkpoint metadata at the first batch.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, n))
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drive the stateful sessionizer over a parquet dir, single batch,
     * update-mode memory sink.
     */
   def runSessionsOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
     import spark.implicits._
-    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
-      .select(col("event_id"), col("ts"), col("user_id")).as[EvRow]
-    val q = statefulSessionCounts(stream).writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    withStatePartitions(spark, 8) {
+      val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+        .select(col("event_id"), col("ts"), col("user_id")).as[EvRow]
+      val q = statefulSessionCounts(stream).writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    }
   }
 
   /** Streaming exact-dedup: at-least-once sources redeliver rows, so
@@ -106,17 +126,18 @@ object EventStream {
   /** Drive the streaming dedup over a parquet dir, single batch,
     * append-mode memory sink.
     */
-  def runDedupOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
-    val q = dedupStream(stream, "1 hour", Seq("event_id")).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
-  }
+  def runDedupOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+      val q = dedupStream(stream, "1 hour", Seq("event_id")).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    }
 
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the `interval` before it — click attribution, the
@@ -153,22 +174,12 @@ object EventStream {
     * event-type filters of the SAME staged source), single batch,
     * append-mode memory sink.
     *
-    * State partitioning is right-sized here, not inherited: a
-    * stream-stream join runs FOUR state stores per shuffle partition
-    * (two per side), each paying per-batch commit + maintenance
-    * regardless of how many rows it holds, so the join's fixed cost
-    * scales with the partition count, not the data. Measured on
-    * identical 1k-event input: 32 partitions → 26.6 s median, 8 → 4.3 s.
-    * The partition count is pinned by checkpoint metadata at the first
-    * batch — a production deployment sizes it to stream volume up
-    * front for exactly this reason. The session conf is restored after
-    * the run so batch queries are untouched.
+    * The join is the WORST case for state-partition fixed cost — FOUR
+    * state stores per shuffle partition (two per side) — hence
+    * [[withStatePartitions]]; see its note for the measurements.
     */
-  def runJoinOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, 8))
-    try {
+  def runJoinOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
+    withStatePartitions(spark, 8) {
       val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
       val q = attributionJoin(
           ev.filter(col("event_type") === "click"),
@@ -181,8 +192,7 @@ object EventStream {
       try q.processAllAvailable()
       finally q.stop()
       spark.table(queryName)
-    } finally spark.conf.set(key, prev)
-  }
+    }
 
   /** Ingest novelty filter: stream-STATIC anti-join — arriving docs
     * pass only if their content hash is NOT in the accumulated corpus.
@@ -399,17 +409,18 @@ object EventStream {
     * sink, synchronously (for tests / local smoke): returns the final
     * materialized result table.
     */
-  def runOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventSchema)
-      .parquet(inputDir)
-    val q = hourlyAgg(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
-  }
+  def runOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(eventSchema)
+        .parquet(inputDir)
+      val q = hourlyAgg(stream).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName)
+    }
 }
