@@ -315,6 +315,26 @@ object SparkEntryExt {
     */
   private lazy val idxNonce = java.lang.Long.toHexString(System.nanoTime())
   private val storedIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // nonce-named index dirs would otherwise accumulate in tmpdir across
+  // JVM runs (the old fixed-name scheme overwrote in place); delete
+  // them on exit, the SparkEntryStream scratch-dir discipline
+  private val idxPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(): Unit
+    }
+    sys.addShutdownHook {
+      idxPaths.forEach(p => deleteRecursively(new java.io.File(p)))
+    }: Unit
+  }
+  /** tmpdir path for a stored-index table, registered for exit cleanup. */
+  private def idxPath(tbl: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"), tbl).getAbsolutePath
+    idxPaths.add(p)
+    p
+  }
   private def storedIndexTable(kind: String, sfDir: String)(
       build: String => Unit): String =
     storedIdx.computeIfAbsent(kind + ":" + sfDir, _ => {
@@ -323,6 +343,19 @@ object SparkEntryExt {
       build(tbl)
       tbl
     })
+
+  /** The sign-bucket stored index both batch-ANN queries share — ONE
+    * builder, so the layout (bits, bucket count, column name) cannot
+    * silently diverge between the single-probe and multi-probe
+    * registrations that search the same table.
+    */
+  private def signBucketIndex(s: SparkSession, d: String): String =
+    storedIndexTable("ivf_batch_idx", d) { tbl =>
+      Tables.embeddings(s, d).withColumnRenamed("vec_id", "point_id")
+        .withColumn("b", SimilaritySearch.signBucket("embedding", 4))
+        .write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(16, "b").saveAsTable(tbl)
+    }
 
   /** One PQ codebook training per (sfDir) per JVM — the model is
     * `m × kCodes` driver-local rows (the storedIndexTable discipline
@@ -402,14 +435,7 @@ object SparkEntryExt {
     // full index, rank 1 is the vector itself.
     "sim_ivf_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val idx = storedIndexTable("ivf_batch_idx", d) { tbl =>
-        val idxPath = new java.io.File(
-          sys.props("java.io.tmpdir"), tbl).getAbsolutePath
-        emb.withColumnRenamed("vec_id", "point_id")
-          .withColumn("b", SimilaritySearch.signBucket("embedding", 4))
-          .write.mode("overwrite").option("path", idxPath)
-          .bucketBy(16, "b").saveAsTable(tbl)
-      }
+      val idx = signBucketIndex(s, d)
       SimilaritySearch.ivfTopKStored(
           emb.filter(col("vec_id") % 4 === 0).hint("merge"),
           s.table(idx),
@@ -426,14 +452,7 @@ object SparkEntryExt {
     // in GuardrailSpec.
     "sim_ivf_batch_mp" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val idx = storedIndexTable("ivf_batch_idx", d) { tbl =>
-        val idxPath = new java.io.File(
-          sys.props("java.io.tmpdir"), tbl).getAbsolutePath
-        emb.withColumnRenamed("vec_id", "point_id")
-          .withColumn("b", SimilaritySearch.signBucket("embedding", 4))
-          .write.mode("overwrite").option("path", idxPath)
-          .bucketBy(16, "b").saveAsTable(tbl)
-      }
+      val idx = signBucketIndex(s, d)
       SimilaritySearch.ivfTopKStored(
           emb.filter(col("vec_id") % 4 === 0).hint("merge"),
           s.table(idx),
@@ -504,12 +523,10 @@ object SparkEntryExt {
         val points = emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id")
         val cents = SimilaritySearch.trainedCentroids(points, "point_id", "embedding",
           dim = 64, kCentroids = 16, iters = 2)
-        def path(t: String) =
-          new java.io.File(sys.props("java.io.tmpdir"), t).getAbsolutePath
-        cents.write.mode("overwrite").option("path", path(tbl + "_cents"))
+        cents.write.mode("overwrite").option("path", idxPath(tbl + "_cents"))
           .saveAsTable(tbl + "_cents")
         SimilaritySearch.assignPoints(points, "point_id", "embedding", cents)
-          .write.mode("overwrite").option("path", path(tbl))
+          .write.mode("overwrite").option("path", idxPath(tbl))
           .bucketBy(16, "cid").saveAsTable(tbl)
       }
       SimilaritySearch.searchAssignedCells(

@@ -128,7 +128,8 @@ object SparkEntryStream {
       queries.filter(col("vec_id") >= 5).write.mode("append").parquet(in)
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(store)
+    // one directory per micro-batch (idempotent replays) — glob them
+    spark.read.parquet(s"$store/batch_*")
       .select(col("query_id"), col("rank"), col("point_id"),
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))

@@ -66,6 +66,11 @@ object Curation {
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       sep: String, minDocs: Int, samplePct: Int, stagePath: String): DataFrame = {
+    // validate BEFORE the eager stage write: verdictFrom's require
+    // would otherwise fire only after the full cleaned corpus has been
+    // computed and written (hours of work at scale for a bad argument)
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct ($samplePct) must be in [1, 100]")
     val spark = docs.sparkSession
     def stage(df: DataFrame, name: String): DataFrame = {
       val p = s"$stagePath/$name"

@@ -120,12 +120,25 @@ object Knn {
       k: Int): DataFrame = {
     require(positiveIds.nonEmpty, "recommend: at least one positive example required")
     require(k >= 1, s"k ($k) must be >= 1")
+    // every example id must resolve to a point: a silent miss would
+    // shift (or empty) the mean and return k rows of plausible-looking
+    // garbage. Lazy in-plan guard (the jaccardPairs discipline) — the
+    // matched-id count rides the same 1-row aggregate the mean does.
     def meanVec(ids: Seq[Long]): DataFrame =
       points.filter(col(pointIdCol).isin(ids: _*))
-        .select(posexplode(VectorOps.toDoubleArray(col(vecCol))).as(Seq("__j", "__x")))
-        .groupBy(col("__j")).agg(round(avg(col("__x")), 6).as("__m"))
-        .agg(array_sort(collect_list(struct(col("__j"), col("__m")))).as("__jm"))
-        .select(transform(col("__jm"), e => e.getField("__m")).as("__mean"))
+        .select(col(pointIdCol).as("__ex_id"),
+          posexplode(VectorOps.toDoubleArray(col(vecCol))).as(Seq("__j", "__x")))
+        .groupBy(col("__j"))
+        .agg(round(avg(col("__x")), 6).as("__m"),
+          countDistinct(col("__ex_id")).as("__n_ex"))
+        .agg(array_sort(collect_list(struct(col("__j"), col("__m")))).as("__jm"),
+          min(col("__n_ex")).as("__n_ex"))
+        .select(
+          when(col("__n_ex") < ids.distinct.size || col("__n_ex").isNull,
+            raise_error(concat(
+              lit(s"recommend: only "), coalesce(col("__n_ex"), lit(0L)).cast("string"),
+              lit(s" of ${ids.distinct.size} example ids matched a point"))))
+            .otherwise(transform(col("__jm"), e => e.getField("__m"))).as("__mean"))
     val pos = meanVec(positiveIds).select(col("__mean").as("__pos"))
     val qvec = (if (negativeIds.isEmpty) pos.select(col("__pos").as("__qvec"))
       else pos.crossJoin(meanVec(negativeIds).select(col("__mean").as("__neg")))

@@ -47,12 +47,14 @@ object Pq {
     * id, so all m subspaces assign in the same job. Ties to the
     * lowest cid.
     */
+  /** The ONE definition of the L2 assignment objective. */
+  private def l2Score(v: Column, c: Column): Column =
+    VectorOps.dot(v, c) - VectorOps.dot(c, c) / 2
+
   private def assignL2(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__id"), col("sub")).orderBy(desc("__s"), col("cid").asc)
     vecs.join(broadcast(cents), "sub")
-      .withColumn("__s",
-        VectorOps.dot(col("__v"), col("centroid")) -
-          VectorOps.dot(col("centroid"), col("centroid")) / 2)
+      .withColumn("__s", l2Score(col("__v"), col("centroid")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("__id"), col("sub"), col("__v"), col("cid"))
@@ -124,17 +126,30 @@ object Pq {
     * `array<tinyint>` column per point.
     */
   def encode(points: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, dsub: Int): DataFrame = {
+      codebooks: DataFrame, m: Int, dsub: Int): DataFrame =
+    encodeCore(points, idCol, vecCol, codebooks, m, dsub, carry = Nil)
+
+  /** Shared encode body: explode to subvectors, L2-assign each against
+    * the broadcast codebook (the [[assignL2]] scoring — ONE definition
+    * of the assignment rule for train and encode paths), keep `carry`
+    * columns computed from the original row.
+    */
+  private def encodeCore(points: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dsub: Int,
+      carry: Seq[(String, Column)]): DataFrame = {
     val w = Window.partitionBy(col("point_id"), col("sub"))
       .orderBy(desc("__s"), col("cid").asc)
-    explodeSubs(points.select(col(idCol).as("point_id"), col(vecCol)), vecCol, m, dsub)
+    val src = points.select(
+      (Seq(col(idCol).as("point_id"), col(vecCol)) ++
+        carry.map { case (n, c) => c.as(n) }): _*)
+    explodeSubs(src, vecCol, m, dsub)
       .join(broadcast(codebooks), "sub")
-      .withColumn("__s",
-        VectorOps.dot(col("__sv"), col("centroid")) -
-          VectorOps.dot(col("centroid"), col("centroid")) / 2)
+      .withColumn("__s", l2Score(col("__sv"), col("centroid")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("point_id"), col("sub"), col("cid").as("code"))
+      .select(
+        (Seq(col("point_id"), col("sub"), col("cid").as("code")) ++
+          carry.map { case (n, _) => col(n) }): _*)
   }
 
   /** Per-query lookup table: the `m × kCodes` partial dots (plus
@@ -249,20 +264,9 @@ object Pq {
     * second corpus scan.
     */
   def encodeBucketed(points: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, dsub: Int, bucket: Column): DataFrame = {
-    val w = Window.partitionBy(col("point_id"), col("sub"))
-      .orderBy(desc("__s"), col("cid").asc)
-    explodeSubs(
-        points.select(col(idCol).as("point_id"), col(vecCol), bucket.as("bucket")),
-        vecCol, m, dsub)
-      .join(broadcast(codebooks), "sub")
-      .withColumn("__s",
-        VectorOps.dot(col("__sv"), col("centroid")) -
-          VectorOps.dot(col("centroid"), col("centroid")) / 2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("point_id"), col("sub"), col("cid").as("code"), col("bucket"))
-  }
+      codebooks: DataFrame, m: Int, dsub: Int, bucket: Column): DataFrame =
+    encodeCore(points, idCol, vecCol, codebooks, m, dsub,
+      carry = Seq("bucket" -> bucket))
 
   /** IVF-PQ — the full Jégou pipeline and the 100 TB serving shape:
     * a coarse quantizer prunes candidates to the query's cell, ADC

@@ -64,12 +64,14 @@ object Retrieval {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"need 0 < maxDfFrac <= 1, got $maxDfFrac")
     val tok = docs.select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
-    // postings: one shuffle on (doc_id, term); doc lengths fold out of
-    // the postings (second, far smaller aggregate) instead of re-scanning
+    // postings: one shuffle on (doc_id, term); BOTH doc lengths and
+    // document frequencies fold out of the postings (tf already has
+    // exactly one row per (doc, term), so df is a plain term count —
+    // no re-tokenize, no extra distinct shuffle). The three consumers
+    // share tf's aggregate exchange, which ReuseExchange dedups.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
-    val df = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = broadcast(dl.agg(
       count(lit(1)).cast("double").as("__n_docs"), avg(col("dl")).as("__avgdl")))
     // query-term weights: tiny side — join it into df (not the reverse)

@@ -29,20 +29,31 @@ object Store {
     * row including its vector; this is a left join + per-column
     * coalesce, so unmatched rows pass through unchanged, matched rows
     * change only the named payload columns, and row count is
-    * invariant. `updates` must carry `keyCol` + exactly
-    * `payloadCols`.
+    * invariant. `updates` must carry `keyCol` + exactly `payloadCols`
+    * and be KEY-UNIQUE: a duplicated update key would fan the left
+    * join out (row count silently grows, patches race), so the plan
+    * embeds a lazy per-key-count guard that RAISES at execution on the
+    * first duplicate (the jaccardPairs guard discipline — no eager
+    * count at construction; one window over the small update set).
     */
   def setPayload(base: DataFrame, updates: DataFrame, keyCol: String,
       payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "setPayload: no payload columns named")
     require(!payloadCols.contains(keyCol), s"setPayload: key '$keyCol' is not payload")
-    val u = updates.select(
-      (col(keyCol) +: payloadCols.map(c => col(c).as(s"__u_$c"))): _*)
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val u = updates
+      .select((col(keyCol) +: payloadCols.map(c => col(c).as(s"__u_$c"))): _*)
+      .withColumn("__k_n", count(lit(1)).over(wk))
     base.columns.foldLeft(base.join(u, Seq(keyCol), "left")) { (df, c) =>
       if (payloadCols.contains(c))
-        df.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+        // the guard rides the patched column so Catalyst cannot prune it
+        df.withColumn(c,
+          when(col("__k_n") > 1, raise_error(concat(
+            lit(s"setPayload: duplicate update key in '$keyCol' ("), col(keyCol).cast("string"),
+            lit(") — patches must be key-unique"))))
+            .otherwise(coalesce(col(s"__u_$c"), col(c))))
       else df
-    }.drop(payloadCols.map(c => s"__u_$c"): _*)
+    }.drop("__k_n").drop(payloadCols.map(c => s"__u_$c"): _*)
   }
 
   def recreate(df: DataFrame, path: String): Unit =

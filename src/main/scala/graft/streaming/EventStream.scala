@@ -269,12 +269,18 @@ object EventStream {
     val queries = spark.readStream.schema(qSchema).parquet(inputDir)
     queries.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent per-batch output: foreachBatch is AT-LEAST-ONCE
+        // (a failure after a partial append replays the batch), so a
+        // plain append would duplicate hits on replay and break the
+        // stream ≡ batch oracle. Writing each batch to its own
+        // overwritten directory makes replays converge — the
+        // [[cmsSketchStream]] per-batchId discipline.
         graft.ops.Knn
           .knnJoin(batch, points, "vec_id", "embedding", "point_id", "embedding", k)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("point_id"), col("score"))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
         ()
       }
       .start()
