@@ -21,6 +21,15 @@ class ServingApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Store.setPayload(base, patch, "id", Seq("id"))
     }
+    // duplicate update keys would fan the join out — the lazy in-plan
+    // guard must raise at execution, not return extra rows
+    val dup = Seq((2L, "xx"), (2L, "yy")).toDF("id", "lang")
+    val ex = intercept[Exception] {
+      Store.setPayload(base, dup, "id", Seq("lang")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate update key")
+      || Option(ex.getCause).exists(_.getMessage.contains("duplicate update key")),
+      s"expected the duplicate-key guard to fire: ${ex.getMessage}")
   }
 
   test("recommend ranks by the contrastive pseudo-query and excludes examples") {
