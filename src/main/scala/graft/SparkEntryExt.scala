@@ -979,6 +979,11 @@ object SparkEntryExt {
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // per-dimension embedding distribution stats — the index-health /
+    // drift monitor over the vector column
+    "v_dim_stats" -> ((s, d) =>
+      VectorOps.dimStats(Tables.embeddings(s, d), "embedding")
+        .orderBy(col("dim"))),
     // Qdrant recommend API: pseudo-query = mean(positives) −
     // mean(negatives), examples excluded from results
     "v_recommend" -> ((s, d) => {
@@ -2125,6 +2130,18 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "v_dim_stats" ->
+      """SELECT j::BIGINT AS dim,
+        |  round(avg(x), 6) AS mean,
+        |  round(stddev_samp(x), 6) AS std,
+        |  round(min(x), 6) AS min_x,
+        |  round(max(x), 6) AS max_x
+        |FROM (
+        |  SELECT j, embedding[j]::DOUBLE AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) g)
+        |GROUP BY j
+        |ORDER BY dim""".stripMargin,
     "v_recommend" ->
       s"""WITH ex AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

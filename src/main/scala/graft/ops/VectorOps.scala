@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector column operators — the core capability of the reference
@@ -107,6 +107,27 @@ object VectorOps {
             val scale = when(amax === 0.0d, lit(1.0d)).otherwise(amax / 127.0d)
             transform(t.getField("d"), x => round(x / scale).cast("int"))
           }))))
+
+  /** Per-dimension distribution statistics of an embedding table —
+    * the index-health / drift monitor a vector store runs over its
+    * corpus (a collapsed encoder shows as near-zero std in many
+    * dimensions; a domain shift moves the means; both silently
+    * degrade every ANN structure built on the column). One
+    * posexplode → per-dimension aggregate: map-side combinable, `dim`
+    * groups of state however large the corpus, stats rounded to 6 dp
+    * (hash-agg moment sums are addition-order-sensitive in their last
+    * bits). Output: `(dim [1-based], mean, std, min_x, max_x)`.
+    */
+  def dimStats(points: DataFrame, vecCol: String): DataFrame =
+    points
+      .select(posexplode(toDoubleArray(col(vecCol))).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).cast("long").as("dim"), col("__x"))
+      .groupBy(col("dim"))
+      .agg(
+        round(avg(col("__x")), 6).as("mean"),
+        round(stddev_samp(col("__x")), 6).as("std"),
+        round(min(col("__x")), 6).as("min_x"),
+        round(max(col("__x")), 6).as("max_x"))
 
   /** Sign-random-projection (Johnson–Lindenstrauss) dimension
     * reduction: y[k] = (1/sqrt(outDim)) * sum_i v[i] * s(k, i) with
