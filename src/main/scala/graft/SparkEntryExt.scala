@@ -103,7 +103,24 @@ object SparkEntryExt {
     * (rounded before the argmax, ties to the lowest point id).
     * Mirrors Retrieval.mmrRerank step for step.
     */
-  private lazy val mmrSelect: String = {
+  private lazy val mmrSelect: String =
+    mmrSelectFrom(
+      s"""hp AS (
+         |  SELECT query_id, point_id, v, rel FROM (
+         |    SELECT q.vec_id AS query_id, p.vec_id AS point_id, p.embedding AS v,
+         |      ${sqlCos("q.embedding", "p.embedding")} AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS rn
+         |    FROM embeddings q, embeddings p
+         |    WHERE q.vec_id < 5 AND p.vec_id >= 10) WHERE rn <= 8)""".stripMargin)
+
+  /** The greedy-selection tail parameterized by the pool: `poolCtes`
+    * must be a complete CTE list (no leading WITH) whose LAST entry is
+    * `hp(query_id, point_id, v, rel)` — the candidate pool MMR
+    * selects from. Shared by `rag_mmr` (cosine pool) and
+    * `rag_hybrid_mmr` (RRF pool).
+    */
+  private def mmrSelectFrom(poolCtes: String): String = {
     val lam = MmrLambda; val oneMinus = 1.0 - MmrLambda
     val selectK = 3
     def objExpr(relCol: String, maxsimCol: String) =
@@ -131,14 +148,7 @@ object SparkEntryExt {
     val out = (1 to selectK).map(t =>
       s"SELECT query_id, CAST($t AS BIGINT) AS sel_rank, point_id, obj AS objective FROM sel$t")
       .mkString("\n  UNION ALL ")
-    s"""WITH hp AS (
-       |  SELECT query_id, point_id, v, rel FROM (
-       |    SELECT q.vec_id AS query_id, p.vec_id AS point_id, p.embedding AS v,
-       |      ${sqlCos("q.embedding", "p.embedding")} AS rel,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS rn
-       |    FROM embeddings q, embeddings p
-       |    WHERE q.vec_id < 5 AND p.vec_id >= 10) WHERE rn <= 8),
+    s"""WITH $poolCtes,
        |simsp AS (
        |  SELECT a.query_id, a.point_id AS pa, b.point_id AS pb,
        |    ${sqlCos("a.v", "b.v")} AS sim
@@ -155,6 +165,34 @@ object SparkEntryExt {
        |  $out)
        |ORDER BY query_id, sel_rank""".stripMargin
   }
+
+  /** Hybrid-retrieval CTE chain: BM25 top-10 (`bm25Ctes`) + dense
+    * cosine top-10 + reciprocal-rank fusion, ending at
+    * `hyb(query_id, doc_id, rrf, rank)` truncated to the top `k` —
+    * mirrors Retrieval.rrfFuse over bm25TopK/knnJoin. Shared by
+    * `rag_hybrid` (k=5 output) and `rag_hybrid_mmr` (k=8 pool).
+    */
+  private def hybridCtes(k: Int): String =
+    s"""${bm25Ctes(10)},
+       |vr AS (
+       |  SELECT q.vec_id AS query_id, p.vec_id AS doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank
+       |  FROM embeddings q, embeddings p
+       |  WHERE q.vec_id < 8
+       |  QUALIFY rank <= 10),
+       |fus AS (
+       |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    round(coalesce(1.0 / (60 + a.rank), 0) + coalesce(1.0 / (60 + b.rank), 0), 6)
+       |      AS rrf
+       |  FROM bmr a FULL OUTER JOIN vr b
+       |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |hyb AS (
+       |  SELECT query_id, doc_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fus QUALIFY rank <= $k)""".stripMargin
 
   /** Product-quantization oracle: per-subspace unrolled EUCLIDEAN
     * k-means (assignment by `argmax dot − ‖c‖²/2`) → per-(point, sub)
@@ -979,6 +1017,19 @@ object SparkEntryExt {
           cb, codes, m = 8, dsub = 8, shortlist = 50, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // adjacent-token-pair (word-bigram) frequencies — the merge-candidate
+    // statistic of BPE-style tokenizer induction (each merge round picks
+    // the most frequent adjacent pair); corpus-wide count via the same
+    // shingle machinery dedup uses, map-side combinable
+    "text_bpe_pairs" -> ((s, d) =>
+      Tables.documents(s, d)
+        // tokens in their OWN projection (the shingles contract: an
+        // inlined split would re-tokenize once per bigram window)
+        .select(Dedup.tokens(col("text")).as("__toks"))
+        .select(explode(Dedup.shingles(col("__toks"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(20)),
     // per-dimension embedding distribution stats — the index-health /
     // drift monitor over the vector column
     "v_dim_stats" -> ((s, d) =>
@@ -1031,6 +1082,30 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"),
           round(col("score"), 6).as("score"), col("neg_label"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // the composed retrieval pipeline: hybrid RRF pool (lexical +
+    // dense) -> MMR diversity selection. Relevance is the RRF score
+    // normalized to [0,1] per query (max-division) so the λ trade-off
+    // against cosine redundancy is scale-meaningful.
+    "rag_hybrid_mmr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10, maxDfFrac = 0.8)
+      val dense = Knn.knnJoin(
+          emb.filter(col("vec_id") < 8),
+          emb.select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "embedding", "point_id", "embedding", k = 10)
+        .select(col("query_id"), col("point_id").as("doc_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 8)
+      val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      val pool = fused
+        .withColumn("__rel", round(col("rrf") / max(col("rrf")).over(wq), 6))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .select(col("query_id"), col("doc_id").as("point_id"),
+          col("embedding").as("__pv"), col("__rel"))
+      Retrieval.mmrFromPool(pool, selectK = 3, lambda = MmrLambda)
+        .orderBy(col("query_id"), col("sel_rank"))
     }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection
     // from the kNN pool — the redundancy filter before context assembly
@@ -2097,29 +2172,17 @@ object SparkEntryExt {
          |FROM bmr
          |ORDER BY query_id, rank""".stripMargin,
     "rag_hybrid" ->
-      s"""WITH ${bm25Ctes(10)},
-         |vr AS (
-         |  SELECT q.vec_id AS query_id, p.vec_id AS doc_id,
-         |    CAST(row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank
-         |  FROM embeddings q, embeddings p
-         |  WHERE q.vec_id < 8
-         |  QUALIFY rank <= 10),
-         |fus AS (
-         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
-         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
-         |    round(coalesce(1.0 / (60 + a.rank), 0) + coalesce(1.0 / (60 + b.rank), 0), 6)
-         |      AS rrf
-         |  FROM bmr a FULL OUTER JOIN vr b
-         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
-         |hyb AS (
-         |  SELECT query_id, doc_id, rrf,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-         |  FROM fus QUALIFY rank <= 5)
+      s"""WITH ${hybridCtes(5)}
          |SELECT query_id, rank, doc_id, rrf
          |FROM hyb
          |ORDER BY query_id, rank""".stripMargin,
+    "rag_hybrid_mmr" ->
+      mmrSelectFrom(
+        s"""${hybridCtes(8)},
+           |hp AS (
+           |  SELECT h.query_id, h.doc_id AS point_id, e.embedding AS v,
+           |    round(h.rrf / max(h.rrf) OVER (PARTITION BY h.query_id), 6) AS rel
+           |  FROM hyb h JOIN embeddings e ON e.vec_id = h.doc_id)""".stripMargin),
     "v_knn_filtered" ->
       s"""SELECT q.vec_id AS query_id,
          |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -2130,6 +2193,14 @@ object SparkEntryExt {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10 AND p.label = 2
          |QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "text_bpe_pairs" ->
+      s"""SELECT pair, count(*) AS cnt
+         |FROM (
+         |  SELECT unnest(${ngramSql("t", 2)}) AS pair
+         |  FROM (SELECT $toksSql AS t FROM documents))
+         |GROUP BY pair
+         |ORDER BY cnt DESC, pair
+         |LIMIT 20""".stripMargin,
     "v_dim_stats" ->
       """SELECT j::BIGINT AS dim,
         |  round(avg(x), 6) AS mean,

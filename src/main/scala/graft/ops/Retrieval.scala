@@ -179,20 +179,30 @@ object Retrieval {
       poolK: Int,
       selectK: Int,
       lambda: Double): DataFrame = {
-    require(selectK >= 1 && poolK >= selectK,
-      s"need 1 <= selectK ($selectK) <= poolK ($poolK)")
+    require(poolK >= selectK, s"need selectK ($selectK) <= poolK ($poolK)")
+    mmrFromPool(
+      Knn.knnJoin(queries, points, queryIdCol, queryVecCol,
+          pointIdCol, pointVecCol, poolK)
+        .select(col("query_id"), col(pointIdCol).as("point_id"),
+          col(pointVecCol).as("__pv"), col("score").as("__rel")),
+      selectK, lambda)
+  }
+
+  /** MMR greedy selection over an ALREADY-BUILT candidate pool
+    * `(query_id, point_id, __pv, __rel)` — the shared tail of
+    * [[mmrRerank]] (cosine pool) and composed pipelines that pool by
+    * other means (e.g. the hybrid RRF pool in `rag_hybrid_mmr`). The
+    * pool is BOUNDED (per-query top-k × |queries| rows) but fans out
+    * to the sims self-join, the first pick, and every greedy step's
+    * anti-join/penalty — each a differently-pruned consumer, so
+    * without a lineage cut whatever built the pool (a corpus-scanning
+    * kNN join, the whole hybrid chain) re-executes per branch (the
+    * SCALING.md rule: cut at the smallest bounded table, lazily).
+    */
+  def mmrFromPool(pool: DataFrame, selectK: Int, lambda: Double): DataFrame = {
+    require(selectK >= 1, s"selectK ($selectK) must be >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda ($lambda) must be in [0, 1]")
-    // The pool is BOUNDED (poolK × |queries| rows) but fans out to the
-    // sims self-join, the first pick, and every greedy step's
-    // anti-join/penalty — each a differently-pruned consumer, so
-    // without a lineage cut the corpus-scanning kNN join upstream
-    // re-executes per branch (the SCALING.md branch fan-out rule: cut
-    // at the smallest bounded table, lazily).
-    val hits = Knn.knnJoin(queries, points, queryIdCol, queryVecCol,
-        pointIdCol, pointVecCol, poolK)
-      .select(col("query_id"), col(pointIdCol).as("point_id"),
-        col(pointVecCol).as("__pv"), col("score").as("__rel"))
-      .localCheckpoint(false)
+    val hits = pool.localCheckpoint(false)
     // pairwise sims inside the pool: poolK² rows per query
     val a = hits.select(col("query_id"), col("point_id").as("__pa"), col("__pv").as("__va"))
     val b = hits.select(col("query_id"), col("point_id").as("__pb"), col("__pv").as("__vb"))
