@@ -70,6 +70,14 @@ class PqSpec extends SparkSpec {
     assert(rerank > adc, s"re-rank must improve on pure ADC ($rerank vs $adc)")
   }
 
+  test("encode is invariant to input partitioning") {
+    def codesAt(parts: Int) =
+      Pq.encode(pts.repartition(parts), "vec_id", "embedding", cb, m, dsub)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codesAt(1) == codesAt(7),
+      "code assignment must not depend on how points are partitioned")
+  }
+
   test("IVF-PQ hits stay inside the query's coarse cell") {
     val bucketOf = SimilaritySearch.signBucket("embedding", 4)
     val codesB = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m, dsub, bucketOf)

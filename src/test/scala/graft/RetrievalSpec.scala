@@ -114,6 +114,32 @@ class RetrievalSpec extends SparkSpec {
     assert(dup.count() == 0, "a query re-selected a point")
   }
 
+  test("bm25TopK is invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf0001)
+    val q = docs.filter(col("doc_id") < 4)
+    def run(parts: Int) =
+      Retrieval.bm25TopK(docs.repartition(parts), "doc_id", "text",
+          q, "doc_id", "text", k = 5, maxDfFrac = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(run(1) == run(7),
+      "BM25 scores/ranks must not depend on how the corpus is partitioned")
+  }
+
+  test("mmrRerank selection is invariant to input partitioning") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 3)
+    def run(parts: Int) =
+      Retrieval.mmrRerank(queries,
+          emb.filter(col("vec_id") >= 10).repartition(parts)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "embedding", "point_id", "embedding",
+          poolK = 8, selectK = 3, lambda = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(5),
+      "greedy MMR picks must not depend on point-side partitioning")
+  }
+
   test("leakFreeSplit keeps every near-dup cluster wholly in one split") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
