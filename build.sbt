@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM. The default
+// LoggedOutput strategy prefixes every child line with "[info] ", which
+// mangled graft.Bench's final summary JSON line for 8 straight rounds
+// (the driver tails stdout and json-parses lines; "[info] {...}" never
+// parses). StdoutOutput makes the bare line survive; Bench also writes
+// bench_summary.json as a file-based fallback.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,13 +123,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(fullLine)
     // Short total-only line LAST: the driver artifact keeps only the
     // tail of stdout, and the per-query line above is ~3.4 KB — with
     // the total at its head, the driver's parse saw no total at all
     // (BENCH_r06: rc=0 but parsed:null). This line is self-contained
     // and a few dozen bytes, so it always survives tail truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // (build.sbt sets run/outputStrategy := StdoutOutput so sbt passes
+    // it through WITHOUT the "[info] " prefix that defeated the
+    // driver's JSON parse in rounds 1-8.)
+    println(totalLine)
+    // Belt-and-braces beyond stdout: the summary also lands (a) on
+    // stderr, which some harnesses capture separately from the sbt
+    // logger, and (b) as a FILE in the working directory — immune to
+    // any stream prefixing/truncation whatsoever.
+    System.err.println(totalLine)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
