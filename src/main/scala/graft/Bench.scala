@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Delete any stale summary FIRST: the file is a fallback channel the
+    // driver may read, and a run that crashes before the final write must
+    // leave no previous run's numbers behind to be mistaken for fresh.
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SUMMARY_PATH",
+        new java.io.File("bench_summary.json").getAbsolutePath))): Unit
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -123,8 +129,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    // sfDir is a filesystem path under our control, but a quote or
+    // backslash in it would corrupt all three emission channels' JSON
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfJson"}"""
     println(fullLine)
     // Short total-only line LAST: the driver artifact keeps only the
     // tail of stdout, and the per-query line above is ~3.4 KB — with
@@ -140,8 +149,20 @@ object Bench {
     // logger, and (b) as a FILE in the working directory — immune to
     // any stream prefixing/truncation whatsoever.
     System.err.println(totalLine)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // Absolute path (env-overridable): a relative path lands wherever
+    // the forked JVM's cwd is — right under sbt's default fork cwd,
+    // silently elsewhere under spark-submit. And the write must not be
+    // able to fail the run: the stdout/stderr lines above already
+    // carried the result, so an IOException here (read-only dir, disk
+    // full) would turn a successful bench into a nonzero exit.
+    try {
+      val summaryPath = sys.env.getOrElse("SPARK_GRAFT_SUMMARY_PATH",
+        new java.io.File("bench_summary.json").getAbsolutePath)
+      java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench_summary write failed (results already on stdout): $e")
+    }
     spark.stop()
   }
 }

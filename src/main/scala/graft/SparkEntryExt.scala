@@ -207,11 +207,11 @@ object SparkEntryExt {
     * to the query's 4-bit sign bucket before ADC (Pq.ivfpqRerank,
     * shortlist 20).
     */
-  private def pqSelect(mode: String): String = {
+  private def pqSelect(mode: String, qMax: Int = 5, k: Int = 5): String = {
     val m = 8; val dsub = 8; val kCodes = 16
     val rerank = mode != "adc"
     val ivfpq = mode == "ivfpq"
-    val adcK = if (!rerank) 5 else if (ivfpq) 20 else 50
+    val adcK = if (!rerank) k else if (ivfpq) 20 else 50
     // L2 assignment (argmax dot − ‖c‖²/2), not the IVF trainer's cosine
     def assignCte(src: String, cents: String): String =
       s"""SELECT pid, v, cid FROM (
@@ -247,7 +247,7 @@ object SparkEntryExt {
     s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
-       |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 5),
+       |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < $qMax),
        |$subChains,
        |cb AS ($cbUnion),
        |codes AS ($codesUnion),
@@ -292,7 +292,7 @@ object SparkEntryExt {
               |  SELECT query_id, point_id, score,
               |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, point_id)
               |      AS BIGINT) AS rank
-              |  FROM rr QUALIFY rank <= 5)
+              |  FROM rr QUALIFY rank <= $k)
               |SELECT query_id, rank, point_id, round(score, 6) AS score
               |FROM rr2 ORDER BY query_id, rank""".stripMargin}""".stripMargin
   }
@@ -585,6 +585,56 @@ object SparkEntryExt {
         "embedding", dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
       SimilaritySearch.recallAtK(exact, approx, "query_id", "point_id", 3)
         .orderBy(col("query_id"))
+    }),
+    // unified ANN quality table: mean recall@3 of ALL six approximate
+    // paths (sign-bucket IVF, multi-probe IVF, trained IVF, PQ-ADC,
+    // PQ+exact-rerank, IVF-PQ) against ONE exact ground truth — the
+    // same query set (vec_id < 10), point set (vec_id >= 10) and k for
+    // every path, so the rows are directly comparable: this is the
+    // accuracy-vs-cost menu an ANN deployment picks its serving path
+    // from. One row per method: (method, n_queries, sum_hits,
+    // mean_recall). Integer hit counts divide once at the end, so the
+    // only float compared is one 6-dp-rounded division per row.
+    "sim_recall_all" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val pts = emb.filter(col("vec_id") >= 10)
+      val points = pts.withColumnRenamed("vec_id", "point_id")
+      val exact = Knn.knnJoin(queries, points, "vec_id", "embedding",
+          "point_id", "embedding", 3)
+        .select(col("query_id"), col("point_id"))
+      val cb = pqModel(s, d)
+      val codes = Pq.encode(pts, "vec_id", "embedding", cb, m = 8, dsub = 8)
+      val bcodes = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m = 8, dsub = 8,
+        SimilaritySearch.signBucket("embedding", 4))
+      val paths: Seq[(String, DataFrame)] = Seq(
+        "ivf" -> SimilaritySearch.ivfTopK(queries, points,
+          "vec_id", "point_id", "embedding", bits = 4, k = 3),
+        "ivf_mp" -> SimilaritySearch.ivfTopKStored(queries,
+          points.withColumn("b", SimilaritySearch.signBucket("embedding", 4)),
+          "vec_id", "point_id", "embedding", "b", bits = 4, k = 3, nprobe = 2),
+        "ivf_trained" -> SimilaritySearch.ivfTrainedTopK(queries, points,
+          "vec_id", "point_id", "embedding",
+          dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3),
+        "pq_adc" -> Pq.adcTopK(queries, "vec_id", "embedding",
+          cb, codes, m = 8, dsub = 8, k = 3),
+        "pq_rerank" -> Pq.adcRerank(queries, "vec_id", "embedding",
+          points.select(col("point_id"), col("embedding")), "point_id",
+          cb, codes, m = 8, dsub = 8, shortlist = 50, k = 3),
+        "ivfpq" -> Pq.ivfpqRerank(queries, "vec_id", "embedding",
+          SimilaritySearch.signBucket("embedding", 4),
+          points.select(col("point_id"), col("embedding")), "point_id",
+          cb, bcodes, m = 8, dsub = 8, shortlist = 20, k = 3))
+      paths.map { case (name, approx) =>
+        SimilaritySearch.recallAtK(exact,
+            approx.select(col("query_id"), col("point_id")),
+            "query_id", "point_id", 3)
+          .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("sum_hits"))
+          .select(lit(name).as("method"),
+            col("n_queries"), col("sum_hits"),
+            round(col("sum_hits").cast("double") / (col("n_queries") * 3), 6)
+              .as("mean_recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("method"))
     }),
     "sim_neardup" -> ((s, d) =>
       SimilaritySearch.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1403,6 +1453,74 @@ object SparkEntryExt {
          |FROM (SELECT DISTINCT query_id FROM exact) q
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
+    // six approximate top-3 tables (each mirroring its Spark path step
+    // for step), one exact ground truth, per-method hit counts
+    "sim_recall_all" ->
+      s"""WITH exact AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.vec_id) AS BIGINT) AS rank
+         |    FROM embeddings q, embeddings p
+         |    WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |    QUALIFY rank <= 3)),
+         |eb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |qm AS (SELECT vec_id AS query_id, embedding, bucket FROM eb WHERE vec_id < 10),
+         |pm AS (SELECT vec_id AS point_id, embedding, bucket FROM eb WHERE vec_id >= 10),
+         |ivf AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT q.query_id, p.point_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS rank
+         |    FROM qm q JOIN pm p ON q.bucket = p.bucket
+         |    QUALIFY rank <= 3)),
+         |fl AS (
+         |  SELECT query_id, abs(embedding[j])::DOUBLE AS a,
+         |    CAST(pow(2, 4 - j) AS BIGINT) AS m
+         |  FROM qm, LATERAL (SELECT unnest(generate_series(1, 4)) AS j) g),
+         |fr AS (
+         |  SELECT query_id, m,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY a, m) AS rn
+         |  FROM fl),
+         |probes AS (
+         |  SELECT query_id, embedding, bucket FROM qm
+         |  UNION ALL
+         |  SELECT qm.query_id, qm.embedding, xor(qm.bucket, f.m) AS bucket
+         |  FROM fr f JOIN qm USING (query_id) WHERE f.rn <= 1),
+         |mp AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT p.query_id, pm.point_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${sqlCos("p.embedding", "pm.embedding")} DESC, pm.point_id) AS rank
+         |    FROM probes p JOIN pm ON p.bucket = pm.bucket
+         |    QUALIFY rank <= 3)),
+         |trained AS (SELECT query_id, point_id FROM ($ivfTrainedSelect)),
+         |adc AS (SELECT query_id, point_id FROM (${pqSelect("adc", qMax = 10, k = 3)})),
+         |prr AS (SELECT query_id, point_id FROM (${pqSelect("rerank", qMax = 10, k = 3)})),
+         |ipq AS (SELECT query_id, point_id FROM (${pqSelect("ivfpq", qMax = 10, k = 3)})),
+         |paths AS (
+         |  SELECT 'ivf' AS method, query_id, point_id FROM ivf
+         |  UNION ALL SELECT 'ivf_mp', query_id, point_id FROM mp
+         |  UNION ALL SELECT 'ivf_trained', query_id, point_id FROM trained
+         |  UNION ALL SELECT 'pq_adc', query_id, point_id FROM adc
+         |  UNION ALL SELECT 'pq_rerank', query_id, point_id FROM prr
+         |  UNION ALL SELECT 'ivfpq', query_id, point_id FROM ipq),
+         |nq AS (SELECT count(DISTINCT query_id) AS n FROM exact),
+         |hits AS (
+         |  SELECT p.method, count(*) AS sum_hits
+         |  FROM paths p JOIN exact e
+         |    ON e.query_id = p.query_id AND e.point_id = p.point_id
+         |  GROUP BY p.method)
+         |SELECT m.method,
+         |  CAST(nq.n AS BIGINT) AS n_queries,
+         |  CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+         |  round(coalesce(h.sum_hits, 0)::DOUBLE / (3 * nq.n), 6) AS mean_recall
+         |FROM (VALUES ('ivf'), ('ivf_mp'), ('ivf_trained'),
+         |      ('pq_adc'), ('pq_rerank'), ('ivfpq')) m(method)
+         |CROSS JOIN nq
+         |LEFT JOIN hits h ON h.method = m.method
+         |ORDER BY m.method""".stripMargin,
     "sim_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)

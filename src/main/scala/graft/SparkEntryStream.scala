@@ -124,9 +124,9 @@ object SparkEntryStream {
     queries.filter(col("vec_id") < 5).write.mode("append").parquet(in)
     val q = EventStream.searchStream(spark, in, store, points, k = 3)
     try {
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
       queries.filter(col("vec_id") >= 5).write.mode("append").parquet(in)
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
     } finally q.stop()
     // one directory per micro-batch (idempotent replays) — glob them
     spark.read.parquet(s"$store/batch_*")
@@ -152,7 +152,7 @@ object SparkEntryStream {
     val q = EventStream
       .novelDocsStream(stream, docs.filter(col("doc_id") % 3 =!= 0), "text", "text")
       .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
+    try EventStream.drainAll(spark, q, in)
     finally q.stop()
     spark.table(name)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
@@ -179,9 +179,9 @@ object SparkEntryStream {
     val q = EventStream.cmsSketchStream(spark, in, store,
       SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth)
     try {
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
       docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
     } finally q.stop()
     val sketch = EventStream.readCmsSketch(store,
       SparkEntryExt.CmsDepth, SparkEntryExt.CmsWidth)
@@ -205,9 +205,9 @@ object SparkEntryStream {
     docs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
     val q = EventStream.qualityStream(spark, in, store)
     try {
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
       docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(store).orderBy(col("doc_id"))
   }
@@ -228,13 +228,13 @@ object SparkEntryStream {
       .write.mode("append").parquet(in)
     val q = EventStream.indexStream(spark, in, store, dim = 16, portableHash = true)
     try {
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
       docs.filter(col("doc_id") >= 20 && col("doc_id") < 60)
         .select(col("doc_id"),
           when(col("doc_id") < 40, substring(col("text"), 1, 120))
             .otherwise(col("text")).as("text"))
         .write.mode("append").parquet(in)
-      q.processAllAvailable()
+      EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(store)
       .select(col("chunk_id"), col("doc_id"), col("chunk_index"),

@@ -102,6 +102,16 @@ object Pq {
         .join(updated, Seq("sub", "cid"), "left")
         .select(col("sub"), col("cid"),
           coalesce(col("__upd"), col("centroid")).as("centroid"))
+        // Flat lineage per round (the Dedup.clusterLabels discipline):
+        // `cents` appears TWICE in each round's plan (assignment +
+        // stale-cell join), so without truncation the logical plan
+        // doubles per iteration — at iters=10 the analyzer walks ~2^10
+        // copies of the corpus subtree before a single task runs. The
+        // eager checkpoint materializes m × kCodes rows (the model,
+        // trivially small) and cuts the plan to a leaf, so per-round
+        // planning and execution cost stay constant (PqSpec pins
+        // iters=10 completing in bounded time).
+        .localCheckpoint(true)
     }
     cents.collect().toSeq
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))

@@ -172,6 +172,12 @@ object SimilaritySearch {
       cents = cents
         .join(updated, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__upd"), col("centroid")).as("centroid"))
+        // Flat lineage per round (the Dedup.clusterLabels discipline,
+        // same rationale as Pq.trainCodebooks): `cents` is referenced
+        // twice per round (assignment + stale-cell join), so the
+        // logical plan would double per iteration; the eager checkpoint
+        // materializes the k-row model and truncates the plan to a leaf.
+        .localCheckpoint(true)
     }
     cents
   }

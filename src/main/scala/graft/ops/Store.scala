@@ -21,6 +21,50 @@ object Store {
     base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** Partition-pruned upsert into a `partitionBy(partitionCol)` parquet
+    * table — the 100 TB form of [[upsert]]. The anti-join+union above
+    * returns (and on write, rewrites) the FULL table; the real pattern
+    * prunes the target to the partitions the update batch touches:
+    *  1. collect the batch's distinct partition values (O(batch) — an
+    *     update batch touches few partitions by construction),
+    *  2. read ONLY those partitions of the base (the literal `isin`
+    *     list becomes a PartitionFilter — directory pruning at the
+    *     scan, so untouched data is never read, let alone rewritten),
+    *  3. anti-join + union within the affected slice,
+    *  4. write to a staging dir and swap just the affected partition
+    *     directories into place ([[swapDirs]] — a metadata rename per
+    *     partition, never a data copy).
+    * Untouched partition directories keep their exact files (verified
+    * byte-for-byte in OpsSpec). Limitations (documented, not handled):
+    * null partition values and values needing URI-escaping in directory
+    * names; key uniqueness WITHIN a partition is the caller's contract,
+    * and a key may not MOVE between partitions (an update row with a
+    * changed partition value inserts rather than replaces — the same
+    * contract Hive-style partitioned upserts have).
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, keyCol: String, partitionCol: String): Unit = {
+    val partVals = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    require(!partVals.contains(null),
+      s"upsertPartitioned: null partition value in '$partitionCol' unsupported")
+    if (partVals.nonEmpty) {
+      val base = spark.read.parquet(path)
+      val affected = base.filter(col(partitionCol).isInCollection(partVals))
+      val merged = affected
+        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(updates.select(base.columns.map(col): _*))
+      val staging = path.stripSuffix("/") + "__upserting"
+      merged.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+      partVals.foreach { v =>
+        swapDirs(spark, s"$staging/$partitionCol=$v",
+          s"${path.stripSuffix("/")}/$partitionCol=$v")
+      }
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+    }
+  }
+
   /** Payload update (Qdrant `set_payload`,
     * `qdrant_client.set_payload(collection, payload, points)`): patch
     * METADATA columns of matched points, leaving every other column —

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
@@ -18,15 +18,23 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this loader truncates ns→µs (integer division — same floor the
-    * µs-native oracle applies), restoring a TIMESTAMP column.
+  /** `events.ts` arrives in whatever physical flavor the generator chose;
+    * normalize every flavor to a session-UTC TIMESTAMP so downstream
+    * `unix_micros`/window logic sees one type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong` and this loader
+    *    truncates ns→µs (integer division — same floor the µs-native
+    *    oracle applies);
+    *  - naive TIMESTAMP(MICROS) (isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ; with the session timezone pinned to UTC the cast
+    *    to TIMESTAMP is bit-lossless and matches the oracle's naive
+    *    epoch interpretation.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -91,6 +91,34 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Drain `q` until every row currently in `inputDir` has been
+    * ingested. `processAllAvailable()` alone was observed — once, in a
+    * long many-query Verify run — to return before the file source's
+    * FIRST directory listing registered any file, leaving the sink
+    * empty with no error anywhere; every finite-input runner therefore
+    * drains against the input-row ledger (`numInputRows` summed over
+    * the progress log), re-calling `processAllAvailable` until the
+    * expected input volume has actually been processed. A timeout
+    * fails LOUDLY rather than returning a silently-empty result. The
+    * `>=` guard is deliberate: a self-joined source is scanned once
+    * per plan instance and can legitimately over-count. Bounded by
+    * the progress-retention cap (default 100 triggers) — far above
+    * any finite-input runner here.
+    */
+  def drainAll(spark: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
+      inputDir: String, timeoutSec: Int = 120): Unit = {
+    val expected = spark.read.parquet(inputDir).count()
+    def ingested: Long = q.recentProgress.iterator.map(_.numInputRows).sum
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    while (ingested < expected && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      q.processAllAvailable()
+    }
+    require(ingested >= expected,
+      s"stream drain timed out: ingested $ingested of $expected input rows from $inputDir")
+  }
+
   /** Drive the stateful sessionizer over a parquet dir, single batch,
     * update-mode memory sink.
     */
@@ -104,7 +132,7 @@ object EventStream {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable()
+      try drainAll(spark, q, inputDir)
       finally q.stop()
       spark.table(queryName)
     }
@@ -134,7 +162,7 @@ object EventStream {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable()
+      try drainAll(spark, q, inputDir)
       finally q.stop()
       spark.table(queryName)
     }
@@ -189,7 +217,7 @@ object EventStream {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable()
+      try drainAll(spark, q, inputDir)
       finally q.stop()
       spark.table(queryName)
     }
@@ -425,7 +453,7 @@ object EventStream {
         .format("memory")
         .queryName(queryName)
         .start()
-      try q.processAllAvailable()
+      try drainAll(spark, q, inputDir)
       finally q.stop()
       spark.table(queryName)
     }

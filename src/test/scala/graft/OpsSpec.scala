@@ -18,6 +18,41 @@ class OpsSpec extends SparkSpec {
     assert(again.count() == 3)
   }
 
+  test("upsertPartitioned: only touched partition dirs rewritten, untouched files identical") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertp").toString + "/t"
+    val base = Seq(
+      (1L, "en", "a"), (2L, "en", "b"),
+      (3L, "de", "c"), (4L, "de", "d"),
+      (5L, "fr", "e")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    def listing(sub: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val enBefore = listing("lang=en")
+    val frBefore = listing("lang=fr")
+    // replace one key in de, insert a new de key, and open a new partition
+    val upd = Seq((3L, "de", "C2"), (6L, "de", "f"), (7L, "th", "g")).toDF("id", "lang", "v")
+    Store.upsertPartitioned(spark, dir, upd, "id", "lang")
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "en", "a"), (2L, "en", "b"),
+      (3L, "de", "C2"), (4L, "de", "d"), (6L, "de", "f"),
+      (5L, "fr", "e"), (7L, "th", "g")))
+    assert(listing("lang=en") == enBefore, "untouched en partition files changed")
+    assert(listing("lang=fr") == frBefore, "untouched fr partition files changed")
+    assert(!new java.io.File(dir + "__upserting").exists(), "staging dir left behind")
+    // the affected-slice read must prune directories at the scan
+    val baseRead = spark.read.parquet(dir)
+    val plan = baseRead.filter(col("lang").isInCollection(Seq("de", "th")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition values did not become a PartitionFilter:\n$plan")
+  }
+
   test("dedup: exact clusters group identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exactClusters(df, "doc_id", "text")

@@ -143,6 +143,42 @@ class PlanSpec extends SparkSpec {
       s"sort+limit did not fuse (a full sort at 100 TB):\n$plan")
   }
 
+  test("recommend plans TakeOrderedAndProject — no rank window over the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = formatted(Knn.recommend(
+      emb.select(col("vec_id").as("point_id"), col("embedding")),
+      "point_id", "embedding", positiveIds = Seq(0L, 1L, 2L), negativeIds = Seq(3L, 4L),
+      k = 5))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sort+limit did not fuse — a full corpus sort at 100 TB:\n$plan")
+    // the output deliberately has no rank column so no Window node may
+    // appear anywhere (a rank here would be an unpartitioned WindowExec
+    // over the whole corpus — the shape PlanAuditSpec bans)
+    assert("(?<![A-Za-z])Window(?![A-Za-z])".r.findFirstIn(plan).isEmpty,
+      s"a window operator crept into the single-query top-k:\n$plan")
+  }
+
+  test("searchGroups plans BOTH rank limits as WindowGroupLimit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = Knn.searchGroups(
+      emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"), col("label")),
+      "vec_id", "embedding", "point_id", "embedding", "label",
+      groupsK = 3, hitsPerGroup = 2)
+    // per-(query, group) state must be hitsPerGroup rows and per-query
+    // state groupsK rows BEFORE any exchange: both stacked rank windows
+    // must install a group limit — one partitioned by (query_id, group),
+    // one by query_id alone (Partial/Final modes of the same limit
+    // share a partition spec, hence the distinct-by-spec count).
+    val specs = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(specs.map(_.length).toSet == Set(1, 2),
+      s"expected group limits partitioned by (query_id, group) AND by query_id; got: $specs")
+  }
+
   test("weighted sample compiles to WindowGroupLimit (pre-shuffle top-k prune)") {
     val plan = formatted(TextAnalysis.weightedSample(
       Tables.documents(spark, sf0001).withColumn("w", lit(3L)),

@@ -70,6 +70,24 @@ class PqSpec extends SparkSpec {
     assert(rerank > adc, s"re-rank must improve on pure ADC ($rerank vs $adc)")
   }
 
+  test("trainCodebooks at iters=10: flat lineage, bounded plan depth and time") {
+    // Each Lloyd round references `cents` twice (assignment + stale-cell
+    // join); without the per-round localCheckpoint the logical plan
+    // doubles per iteration — at iters=10 the analyzer alone walks
+    // ~2^10 copies of the corpus subtree (minutes of driver spin on a
+    // 50-row input). With the checkpoint the whole training is 10 flat
+    // rounds and finishes in seconds; the generous wall bound is a
+    // regression tripwire, not a perf target.
+    val small = pts.filter(col("vec_id") < 60)
+    val t0 = System.nanoTime()
+    val cb10 = Pq.trainCodebooks(small, "vec_id", "embedding", dim, m, kCodes, iters = 10)
+    val rows = cb10.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == m * kCodes)
+    assert(rows.forall(_.getSeq[Double](2).length == dsub))
+    assert(secs < 120.0, s"iters=10 training took ${secs}s — lineage growth is back")
+  }
+
   test("encode is invariant to input partitioning") {
     def codesAt(parts: Int) =
       Pq.encode(pts.repartition(parts), "vec_id", "embedding", cb, m, dsub)

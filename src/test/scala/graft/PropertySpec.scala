@@ -51,6 +51,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: codegen dot/cosine bit-identical to the HOF reference forms") {
+    // functions/VectorExpressions.scala claims the native Expressions
+    // reproduce the declarative aggregate(zip_with(...)) forms
+    // bit-for-bit (same sequential left-fold order). Pin it: any drift
+    // in operation order would silently break oracle hash parity.
+    val vecs = samples(vecGen.map(_.padTo(16, 0.0f)), 30) :+
+      Array.fill(16)(0.0f) :+ Array.fill(16)(1e-30f) :+ Array.fill(16)(3.4e38f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rows = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorOps.dot(col("a.v"), col("b.v")).as("dot_native"),
+        VectorOps.dotHof(col("a.v"), col("b.v")).as("dot_hof"),
+        VectorOps.cosine(col("a.v"), col("b.v")).as("cos_native"),
+        VectorOps.cosineHof(col("a.v"), col("b.v")).as("cos_hof"),
+        col("a.id"), col("b.id"))
+      .collect()
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    rows.foreach { r =>
+      assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+        s"dot diverged at (${r.getLong(4)}, ${r.getLong(5)}): ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(bits(r.getDouble(2)) == bits(r.getDouble(3)),
+        s"cosine diverged at (${r.getLong(4)}, ${r.getLong(5)}): ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("property: kNN join — per-query rows == min(k, |points|), scores non-increasing") {
     val points = samples(vecGen.map(_.padTo(8, 0.0f)), 25).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("pid", "pv")
