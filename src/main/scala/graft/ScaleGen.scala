@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Tables
+
+/** Dev tool: inflate a harness scale-factor directory N× for the scale
+  * smoke — `ScaleGen <srcSfDir> <dstDir> [copies=10]`.
+  *
+  * Every inflated table is produced by ONE narrow, shuffle-free plan:
+  * scan → posexplode a `copies`-element replica array → per-replica
+  * column rewrite → write. No driver-side loop, no union of N scans —
+  * the same generator shape works at any multiplier on a cluster.
+  *
+  * Replicas are RE-KEYED (id + k·stride, stride = max(id)+1 of the
+  * source so key spaces never collide) and PERTURBED so the inflated
+  * corpus stresses operators the way bigger REAL data would, instead of
+  * the degenerate way verbatim copies would:
+  *  - `documents.text`: per-replica character rotation over 10 letters
+  *    (translate), so replica texts are neither exact nor near
+  *    duplicates of each other — otherwise every doc gains 9 clones and
+  *    all pairwise dedup work grows ~copies² by construction, which
+  *    would make every dedup query look super-linear when the ENGINE
+  *    is linear. Within a replica the rotation is a bijection on
+  *    characters, so the source's own near-dup structure (shingle
+  *    overlaps, cluster sizes) is preserved exactly, just `copies`
+  *    times over.
+  *  - `embeddings.embedding`: per-replica deterministic per-dimension
+  *    scaling (±1.5%), preserving the distribution's shape while
+  *    breaking exact-duplicate vectors. Query vectors stay replica-0
+  *    only (`vec_id < 10` filters select original ids), so ANN queries
+  *    search a `copies`× corpus with the same query set — the serving
+  *    scale-up shape.
+  *  - `events`: event and user ids re-keyed (timestamps kept), so
+  *    sessionization sees `copies`× users at the same per-user volume.
+  *  - `lineitem`/`orders`/`customer`: order and customer keys re-keyed
+  *    in lockstep so join alignment is preserved.
+  *  - dimension-sized tables (`part supplier nation region`) copied
+  *    verbatim: real 100 TB growth is fact-side; dimensions stay
+  *    broadcast-small.
+  */
+object ScaleGen {
+
+  /** 10 distinct per-replica rotations of a 10-letter alphabet; k=0 is
+    * the identity so replica 0 IS the source corpus.
+    */
+  private val RotAlphabet = "aeioubcdfg"
+  private def rotated(k: Int): String =
+    RotAlphabet.drop(k % RotAlphabet.length) + RotAlphabet.take(k % RotAlphabet.length)
+
+  private def withReplica(df: DataFrame, copies: Int): DataFrame =
+    df.withColumn("__k", explode(lit((0 until copies).toArray)))
+
+  /** id + k·stride over a replica-exploded frame. */
+  private def rekey(c: String, stride: Long): Column =
+    col(c) + col("__k") * stride
+
+  private def strideOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [copies=10]")
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] $name done")
+    }
+
+    // documents: re-key + per-replica bijective character rotation
+    locally {
+      val docs = Tables.documents(spark, src)
+      val stride = strideOf(docs, "doc_id")
+      val rot = (1 until copies).foldLeft(when(col("__k") === 0, col("text"))) {
+        (acc, k) => acc.when(col("__k") === k, translate(col("text"), RotAlphabet, rotated(k)))
+      }
+      write(
+        withReplica(docs, copies)
+          .withColumn("doc_id", rekey("doc_id", stride))
+          .withColumn("text", rot)
+          .drop("__k"),
+        "documents")
+    }
+
+    // embeddings: re-key + per-replica deterministic per-dim scaling
+    locally {
+      val emb = Tables.embeddings(spark, src)
+      val stride = strideOf(emb, "vec_id")
+      write(
+        withReplica(emb, copies)
+          .withColumn("embedding",
+            when(col("__k") === 0, col("embedding")).otherwise(
+              // scale dim i of replica k by 1 + ((7k + i) mod 11 − 5)·0.3%
+              zip_with(col("embedding"),
+                transform(col("embedding"),
+                  (_, i) => ((col("__k") * 7 + i) % 11 - 5).cast("float")),
+                (x, s) => x * (lit(1.0f) + s * lit(0.003f)))))
+          .withColumn("vec_id", rekey("vec_id", stride))
+          .drop("__k"),
+        "embeddings")
+    }
+
+    // events: copies× users at the same per-user event volume
+    locally {
+      val ev = Tables.events(spark, src)
+      val evStride = strideOf(ev, "event_id")
+      val userStride = strideOf(ev, "user_id")
+      write(
+        withReplica(ev, copies)
+          .withColumn("event_id", rekey("event_id", evStride))
+          .withColumn("user_id", rekey("user_id", userStride))
+          .drop("__k"),
+        "events")
+    }
+
+    // fact tables: order/customer keys re-keyed in lockstep
+    locally {
+      val li = Tables.lineitem(spark, src)
+      val ord = Tables.orders(spark, src)
+      val cust = Tables.customer(spark, src)
+      val okStride = strideOf(ord, "o_orderkey")
+      val ckStride = strideOf(cust, "c_custkey")
+      write(
+        withReplica(li, copies)
+          .withColumn("l_orderkey", rekey("l_orderkey", okStride))
+          .drop("__k"),
+        "lineitem")
+      write(
+        withReplica(ord, copies)
+          .withColumn("o_orderkey", rekey("o_orderkey", okStride))
+          .withColumn("o_custkey", rekey("o_custkey", ckStride))
+          .drop("__k"),
+        "orders")
+      write(
+        withReplica(cust, copies)
+          .withColumn("c_custkey", rekey("c_custkey", ckStride))
+          .drop("__k"),
+        "customer")
+    }
+
+    // dimensions stay broadcast-small: verbatim copy
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      write(Tables.table(spark, src, t), t)
+    }
+
+    spark.stop()
+  }
+}
