@@ -403,6 +403,28 @@ object SparkEntryExt {
     * Parameters are fixed to the checked-query config (64-d, m=8,
     * 16 codes, 2 iterations).
     */
+  /** One trained-IVF centroid model per (sfDir) per JVM — the
+    * [[pqModel]] discipline for the coarse quantizer: the model is
+    * kCentroids × dim driver-local doubles, training is deterministic
+    * (same data + params ⇒ bit-identical centroids), and production
+    * trains the quantizer once per corpus while every search amortizes
+    * it. Parameters fixed to the checked-query config (64-d,
+    * 16 centroids, 2 Lloyd iterations, points = vec_id ≥ 10).
+    */
+  private val ivfCentModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
+  private def ivfModel(s: SparkSession, d: String): DataFrame = {
+    val rows = ivfCentModels.computeIfAbsent(d, _ =>
+      SimilaritySearch.trainedCentroids(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "point_id"),
+          "point_id", "embedding", dim = 64, kCentroids = 16, iters = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+    import s.implicits._
+    rows.toSeq.toDF("cid", "centroid")
+  }
+
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long, Array[Double])]]()
   private def pqModel(s: SparkSession, d: String): DataFrame = {
@@ -540,11 +562,12 @@ object SparkEntryExt {
     }),
     "sim_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      SimilaritySearch.ivfTrainedTopK(
-          emb.filter(col("vec_id") < 10),
-          emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
-          "vec_id", "point_id", "embedding",
-          dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
+      val cents = ivfModel(s, d)
+      SimilaritySearch.searchAssignedCells(
+          SimilaritySearch.assignPoints(
+            emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id"),
+            "point_id", "embedding", cents),
+          cents, emb.filter(col("vec_id") < 10), "vec_id", "embedding", nprobe = 4, k = 3)
         .select(col("query_id"), col("rank"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -559,8 +582,7 @@ object SparkEntryExt {
       val emb = Tables.embeddings(s, d)
       val idx = storedIndexTable("ivf_trained_idx", d) { tbl =>
         val points = emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id")
-        val cents = SimilaritySearch.trainedCentroids(points, "point_id", "embedding",
-          dim = 64, kCentroids = 16, iters = 2)
+        val cents = ivfModel(s, d)
         cents.write.mode("overwrite").option("path", idxPath(tbl + "_cents"))
           .saveAsTable(tbl + "_cents")
         SimilaritySearch.assignPoints(points, "point_id", "embedding", cents)
@@ -581,8 +603,10 @@ object SparkEntryExt {
       val queries = emb.filter(col("vec_id") < 10)
       val points = emb.filter(col("vec_id") >= 10).withColumnRenamed("vec_id", "point_id")
       val exact = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 3)
-      val approx = SimilaritySearch.ivfTrainedTopK(queries, points, "vec_id", "point_id",
-        "embedding", dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3)
+      val cents = ivfModel(s, d)
+      val approx = SimilaritySearch.searchAssignedCells(
+        SimilaritySearch.assignPoints(points, "point_id", "embedding", cents),
+        cents, queries, "vec_id", "embedding", nprobe = 4, k = 3)
       SimilaritySearch.recallAtK(exact, approx, "query_id", "point_id", 3)
         .orderBy(col("query_id"))
     }),
@@ -613,9 +637,12 @@ object SparkEntryExt {
         "ivf_mp" -> SimilaritySearch.ivfTopKStored(queries,
           points.withColumn("b", SimilaritySearch.signBucket("embedding", 4)),
           "vec_id", "point_id", "embedding", "b", bits = 4, k = 3, nprobe = 2),
-        "ivf_trained" -> SimilaritySearch.ivfTrainedTopK(queries, points,
-          "vec_id", "point_id", "embedding",
-          dim = 64, kCentroids = 16, iters = 2, nprobe = 4, k = 3),
+        "ivf_trained" -> {
+          val cents = ivfModel(s, d)
+          SimilaritySearch.searchAssignedCells(
+            SimilaritySearch.assignPoints(points, "point_id", "embedding", cents),
+            cents, queries, "vec_id", "embedding", nprobe = 4, k = 3)
+        },
         "pq_adc" -> Pq.adcTopK(queries, "vec_id", "embedding",
           cb, codes, m = 8, dsub = 8, k = 3),
         "pq_rerank" -> Pq.adcRerank(queries, "vec_id", "embedding",
