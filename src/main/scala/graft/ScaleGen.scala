@@ -41,12 +41,25 @@ import graft.ops.Tables
   */
 object ScaleGen {
 
-  /** 10 distinct per-replica rotations of a 10-letter alphabet; k=0 is
-    * the identity so replica 0 IS the source corpus.
+  /** Per-replica bijective character mapping: two independent 10-letter
+    * rotations composed, giving 100 DISTINCT bijections (k = 0 is the
+    * identity, so replica 0 IS the source corpus). One rotation is not
+    * enough: with a single 10-letter alphabet, replicas k and k+10
+    * share a mapping, so any `copies` > 10 plants exact clone groups —
+    * measured at copies=30 as a 244 → 171,816 candidate-pair explosion
+    * in the MinHash smoke (every doc gained 2 verbatim twins; the
+    * "copies² by construction" failure mode this generator exists to
+    * avoid). Two rotations keep every replica pair distinct up to
+    * copies=100.
     */
-  private val RotAlphabet = "aeioubcdfg"
-  private def rotated(k: Int): String =
-    RotAlphabet.drop(k % RotAlphabet.length) + RotAlphabet.take(k % RotAlphabet.length)
+  private val RotA = "aeioubcdfg"
+  private val RotB = "hjklmnpqrs"
+  private def rot(s: String, k: Int): String = {
+    val r = k % s.length
+    s.drop(r) + s.take(r)
+  }
+  private val RotAlphabet = RotA + RotB
+  private def rotated(k: Int): String = rot(RotA, k % 10) + rot(RotB, (k / 10) % 10)
 
   private def withReplica(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("__k", explode(lit((0 until copies).toArray)))
@@ -101,11 +114,15 @@ object ScaleGen {
         withReplica(emb, copies)
           .withColumn("embedding",
             when(col("__k") === 0, col("embedding")).otherwise(
-              // scale dim i of replica k by 1 + ((7k + i) mod 11 − 5)·0.3%
+              // scale dim i of replica k by 1 + ((7k + i) mod 101 − 50)·0.06%
+              // (±3%; modulus 101 is prime and > any sane copies count,
+              // so no two replicas share a scaling pattern — mod 11
+              // would clone vectors verbatim at copies > 11, the same
+              // period bug the text rotation had at copies > 10)
               zip_with(col("embedding"),
                 transform(col("embedding"),
-                  (_, i) => ((col("__k") * 7 + i) % 11 - 5).cast("float")),
-                (x, s) => x * (lit(1.0f) + s * lit(0.003f)))))
+                  (_, i) => ((col("__k") * 7 + i) % 101 - 50).cast("float")),
+                (x, s) => x * (lit(1.0f) + s * lit(0.0006f)))))
           .withColumn("vec_id", rekey("vec_id", stride))
           .drop("__k"),
         "embeddings")

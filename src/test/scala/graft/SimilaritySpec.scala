@@ -98,6 +98,19 @@ class SimilaritySpec extends SparkSpec {
     assert(m(99L) == ((99L, true)), s"singleton keeps itself: $m")
   }
 
+  test("sim_recall_all: six methods, every count within [0, k·queries], recall consistent") {
+    val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
+    val methods = rows.map(_.getString(0)).toSet
+    assert(methods == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank", "ivfpq"))
+    rows.foreach { r =>
+      val (n, hits, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n == 10L, s"${r.getString(0)}: expected the 10 fixed queries, got $n")
+      assert(hits >= 0L && hits <= 3L * n, s"${r.getString(0)}: hits $hits out of range")
+      assert(math.abs(rec - hits.toDouble / (3 * n)) < 1e-6,
+        s"${r.getString(0)}: mean_recall $rec inconsistent with hits $hits")
+    }
+  }
+
   test("cosineNearDup(bits=0) is the exact form: matches threshold filter on all pairs") {
     val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 60)
     val exact = SimilaritySearch.cosineNearDup(emb, "vec_id", "embedding", 0.3, bits = 0).count()
