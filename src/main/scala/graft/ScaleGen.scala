@@ -26,7 +26,7 @@ import graft.ops.Tables
   *    overlaps, cluster sizes) is preserved exactly, just `copies`
   *    times over.
   *  - `embeddings.embedding`: per-replica deterministic per-dimension
-  *    scaling (±1.5%), preserving the distribution's shape while
+  *    scaling (±3%), preserving the distribution's shape while
   *    breaking exact-duplicate vectors. Query vectors stay replica-0
   *    only (`vec_id < 10` filters select original ids), so ANN queries
   *    search a `copies`× corpus with the same query set — the serving
@@ -73,9 +73,6 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [copies=10]")
-    val src = args(0)
-    val dst = args(1)
-    val copies = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,6 +82,16 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    inflate(spark, args(0), args(1), if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
+
+  /** The whole generator as a library call (spec-testable). */
+  def inflate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    require(copies >= 1 && copies <= 100,
+      s"copies ($copies) must be in [1, 100] — the per-replica text bijection " +
+        "has exactly 100 distinct mappings; beyond that replicas repeat verbatim " +
+        "and every doc gains exact clones (the copies² failure mode)")
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -170,7 +177,5 @@ object ScaleGen {
     Seq("part", "supplier", "nation", "region").foreach { t =>
       write(Tables.table(spark, src, t), t)
     }
-
-    spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Tables
+
+/** Pins the scale-smoke generator's load-bearing invariants. The smoke's
+  * verdicts rest on deterministic counts staying linear in `copies`;
+  * that only holds if inflation introduces NO new duplicate groups —
+  * the exact bug caught at copies=30 (a 10-period text rotation planted
+  * verbatim clone triples and exploded MinHash candidates 70×, see
+  * SCALING.md "Second decade").
+  */
+class ScaleGenSpec extends SparkSpec {
+
+  private lazy val outDir = {
+    val dir = java.nio.file.Files.createTempDirectory("scalegen").toString
+    // copies=13 straddles BOTH perturbation sub-periods (10 for the text
+    // rotation halves, 11 for the old embedding modulus) — the regression
+    // configuration, shrunk to fixture scale
+    ScaleGen.inflate(spark, sf0001, dir, copies = 13)
+    dir
+  }
+
+  test("row counts are exactly copies-linear for every inflated table") {
+    for (t <- Seq("documents", "embeddings", "events", "lineitem", "orders", "customer")) {
+      val src = spark.read.parquet(s"$sf0001/$t.parquet").count()
+      val out = spark.read.parquet(s"$outDir/$t.parquet").count()
+      assert(out == 13 * src, s"$t: $src -> $out, expected ${13 * src}")
+    }
+  }
+
+  test("no new duplicate-text groups: max clone-group size is preserved") {
+    def maxGroup(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(col("text")).count().agg(max(col("count"))).head().getLong(0)
+    val srcMax = maxGroup(Tables.documents(spark, sf0001))
+    val outMax = maxGroup(spark.read.parquet(s"$outDir/documents.parquet"))
+    // replicas of a duplicate GROUP stay duplicates of each other within
+    // their replica (the bijection preserves equality), but must never
+    // merge across replicas — so the max group size cannot grow
+    assert(outMax == srcMax,
+      s"inflation changed the largest duplicate-text group: $srcMax -> $outMax")
+  }
+
+  test("no verbatim embedding clones across replicas") {
+    def maxGroup(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(col("embedding")).count().agg(max(col("count"))).head().getLong(0)
+    val srcMax = maxGroup(Tables.embeddings(spark, sf0001))
+    val outMax = maxGroup(spark.read.parquet(s"$outDir/embeddings.parquet"))
+    assert(outMax == srcMax,
+      s"inflation changed the largest duplicate-vector group: $srcMax -> $outMax")
+  }
+
+  test("ids never collide and fact join alignment is preserved") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    assert(docs.select(col("doc_id")).distinct().count() == docs.count())
+    val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$outDir/orders.parquet")
+    val srcJoin = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey")).count()
+    val outJoin = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(outJoin == 13 * srcJoin,
+      s"join alignment broke: $srcJoin -> $outJoin, expected ${13 * srcJoin}")
+  }
+
+  test("replica 0 is the source verbatim") {
+    val src = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val stride = Tables.documents(spark, sf0001)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    val rep0 = spark.read.parquet(s"$outDir/documents.parquet")
+      .filter(col("doc_id") < stride).select(col("doc_id"), col("text"))
+    assert(rep0.exceptAll(src).count() == 0 && src.exceptAll(rep0).count() == 0)
+  }
+}
