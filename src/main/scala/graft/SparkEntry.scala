@@ -126,6 +126,24 @@ object SparkEntry {
     "rag_flagship" -> ((s, d) => Rag.flagship(s, d, portableHash = true)),
     "eval_per_row" -> ((s, d) => Eval.evalPerRow(s, d)),
     "eval_macro" -> ((s, d) => Eval.evalMacro(s, d)),
+    // nDCG@5 with label-match relevance over the exact kNN ranking —
+    // the position-sensitive retrieval-quality metric (extension: the
+    // reference's eval stops at Recall/MRR, which see only membership
+    // and the FIRST relevant hit; nDCG credits every relevant hit by
+    // position against the ideal ordering of the same result set)
+    "eval_ndcg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val points = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"), col("label").as("p_label"))
+      // knnJoin carries the point-side payload columns through, so
+      // p_label rides along with each hit; only the query label joins
+      val hits = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
+        .join(queries.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+          "query_id")
+        .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
+      Eval.ndcgAtK(hits, "query_id", "rank", "rel").orderBy(col("query_id"))
+    }),
     // §3.2 + §3.3 chained end-to-end IN ONE CHECKED QUERY: retrieval
     // (kNN) → rank-ordered prediction text (retrieval-only L2 ceiling)
     // → Recall@5 / MRR@5 against a stand-in gold (the query document's
@@ -369,6 +387,46 @@ object SparkEntry {
         |    list_transform(predk, x -> list_contains(gold, x)), true), 0.0), 6) AS mrr_at_k
         |FROM m
         |ORDER BY user_id""".stripMargin,
+    "eval_ndcg" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (
+         |  SELECT vec_id AS point_id, embedding, label AS p_label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |hits AS (
+         |  SELECT query_id, rank, q_label, p_label FROM (
+         |    SELECT q.query_id, q.q_label, p.p_label,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS BIGINT)
+         |        AS rank
+         |    FROM q, p
+         |    QUALIFY rank <= 5)),
+         |rel AS (
+         |  SELECT query_id, rank,
+         |    CASE WHEN q_label = p_label THEN 1 ELSE 0 END AS rel
+         |  FROM hits),
+         |per AS (
+         |  SELECT query_id,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    list_reduce(
+         |      list_prepend(0.0::DOUBLE,
+         |        list(rel::DOUBLE / log2((rank + 1)::DOUBLE) ORDER BY rank)),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM rel GROUP BY query_id),
+         |norm AS (
+         |  SELECT query_id, n_rel, dcg,
+         |    CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+         |      list_reduce(
+         |        list_prepend(0.0::DOUBLE,
+         |          list_transform(generate_series(1, n_rel),
+         |            i -> 1.0::DOUBLE / log2((i + 1)::DOUBLE))),
+         |        (a, b) -> a + b)
+         |    END AS idcg
+         |  FROM per)
+         |SELECT query_id, n_rel, round(dcg, 6) AS dcg,
+         |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+         |FROM norm ORDER BY query_id""".stripMargin,
     "eval_macro" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -52,6 +52,41 @@ object Eval {
       .withColumn("mrr_at_k", coalesce(lit(1.0d) / rank.cast("double"), lit(0.0d)))
   }
 
+  /** nDCG@k with binary relevance over an already-ranked hit table
+    * `(queryCol, rankCol, relCol)` — the ranking-quality metric the
+    * Recall/MRR pair doesn't capture: it credits EVERY relevant hit by
+    * position (MRR sees only the first), normalized by the best
+    * achievable ordering of the same result set, so 1.0 means "all
+    * relevant hits ranked first". The retrieval-tuning companion to
+    * [[graft.ops.SimilaritySearch.recallAtK]].
+    *
+    * Determinism: DCG and IDCG are sequential folds over rank-sorted
+    * arrays, NOT floating `sum()` aggregates whose addition order
+    * depends on partitioning — the discipline every oracle-checked
+    * double here follows. `n_rel = 0` short-circuits IDCG to 0 (a
+    * `sequence(1, 0)` would count DOWN in Spark) and nDCG to 0.0.
+    * One groupBy on the query key; k is whatever the hit table was
+    * truncated to upstream.
+    */
+  def ndcgAtK(hits: DataFrame, queryCol: String, rankCol: String, relCol: String): DataFrame = {
+    val pairs = sort_array(collect_list(struct(
+      col(rankCol).cast("long").as("r"), col(relCol).cast("double").as("rel"))))
+    hits.groupBy(col(queryCol).as("query_id"))
+      .agg(pairs.as("__ps"), sum(col(relCol).cast("long")).as("n_rel"))
+      .select(col("query_id"), col("n_rel"),
+        aggregate(col("__ps"), lit(0.0d),
+          (acc, p) => acc + p.getField("rel") / log2(p.getField("r").cast("double") + lit(1.0d)))
+          .as("__dcg"),
+        when(col("n_rel") >= 1,
+            aggregate(sequence(lit(1L), col("n_rel")), lit(0.0d),
+              (acc, i) => acc + lit(1.0d) / log2(i.cast("double") + lit(1.0d))))
+          .otherwise(lit(0.0d)).as("__idcg"))
+      .select(col("query_id"), col("n_rel"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0d)), 6)
+          .as("ndcg"))
+  }
+
   /** E8: macro averages; 0.0 on empty input for parity with the
     * reference's `sum/len or 0.0`.
     */

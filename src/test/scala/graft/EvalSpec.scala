@@ -55,4 +55,29 @@ class EvalSpec extends SparkSpec {
     val r = Eval.macroAverages(Eval.withMetrics(empty, "answers", "predicted", 5)).first()
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("nDCG: hand-computed values, ideal ordering, and the zero-relevant guard") {
+    // q1: rel at ranks 1 and 3 → dcg = 1/log2(2) + 1/log2(4) = 1.5;
+    //     idcg = 1/log2(2) + 1/log2(3) = 1.630930; ndcg = 0.919721
+    // q2: all relevant in order → ndcg = 1.0 exactly
+    // q3: nothing relevant → dcg = idcg = 0 → ndcg = 0.0 (guard, not NaN)
+    val hits = Seq(
+      (1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1),
+      (2L, 1L, 1), (2L, 2L, 1),
+      (3L, 1L, 0), (3L, 2L, 0)).toDF("query_id", "rank", "rel")
+    val m = Eval.ndcgAtK(hits, "query_id", "rank", "rel")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((2L, 1.5, 0.919721)), s"q1: ${m(1L)}")
+    assert(m(2L) == ((2L, 1.630930, 1.0)), s"q2: ${m(2L)}")
+    assert(m(3L) == ((0L, 0.0, 0.0)), s"q3: ${m(3L)}")
+  }
+
+  test("nDCG is invariant to input partitioning (deterministic fold order)") {
+    val hits = Seq((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0))
+      .toDF("query_id", "rank", "rel")
+    def at(parts: Int) =
+      Eval.ndcgAtK(hits.repartition(parts), "query_id", "rank", "rel")
+        .select("dcg", "ndcg").first()
+    assert(at(1) == at(7), "ndcg must not depend on how rows are partitioned")
+  }
 }
