@@ -3,12 +3,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ONE definition of the summary path for both the startup delete and
+    // the final write — computed independently they could drift and the
+    // delete would stop protecting the write's location.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_SUMMARY_PATH",
+      new java.io.File("bench_summary.json").getAbsolutePath)
     // Delete any stale summary FIRST: the file is a fallback channel the
     // driver may read, and a run that crashes before the final write must
     // leave no previous run's numbers behind to be mistaken for fresh.
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SUMMARY_PATH",
-        new java.io.File("bench_summary.json").getAbsolutePath))): Unit
+    // Guarded like the final write: NO file-op failure (read-only dir,
+    // malformed env path) may fail the bench itself — stdout/stderr are
+    // the primary channels and they don't depend on this file.
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(summaryPath)): Unit
+    catch { case e: Exception =>
+      System.err.println(s"stale bench_summary delete failed (continuing): $e")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -155,12 +164,9 @@ object Bench {
     // able to fail the run: the stdout/stderr lines above already
     // carried the result, so an IOException here (read-only dir, disk
     // full) would turn a successful bench into a nonzero exit.
-    try {
-      val summaryPath = sys.env.getOrElse("SPARK_GRAFT_SUMMARY_PATH",
-        new java.io.File("bench_summary.json").getAbsolutePath)
-      java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
-        (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: java.io.IOException =>
+    try java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+      (fullLine + "\n").getBytes("UTF-8")): Unit
+    catch { case e: Exception =>
       System.err.println(s"bench_summary write failed (results already on stdout): $e")
     }
     spark.stop()

@@ -98,7 +98,14 @@ object ScaleGen {
       println(s"[scalegen] $name done")
     }
 
-    // documents: re-key + per-replica bijective character rotation
+    // documents: re-key + per-replica bijective character rotation.
+    // The rotation alone leaves a clone hole: a doc whose text contains
+    // NONE of the 20 rotated letters (digits-only, non-Latin script) is
+    // byte-identical across replicas. A replica-distinct trailing marker
+    // token closes it structurally — within a replica every doc carries
+    // the SAME marker, so intra-replica near-dup structure is unchanged
+    // (one extra shared token), while cross-replica texts can never be
+    // verbatim equal.
     locally {
       val docs = Tables.documents(spark, src)
       val stride = strideOf(docs, "doc_id")
@@ -108,7 +115,9 @@ object ScaleGen {
       write(
         withReplica(docs, copies)
           .withColumn("doc_id", rekey("doc_id", stride))
-          .withColumn("text", rot)
+          .withColumn("text",
+            when(col("__k") === 0, col("text"))
+              .otherwise(concat(rot, lit(" zrep"), col("__k").cast("string"))))
           .drop("__k"),
         "documents")
     }
@@ -121,15 +130,21 @@ object ScaleGen {
         withReplica(emb, copies)
           .withColumn("embedding",
             when(col("__k") === 0, col("embedding")).otherwise(
-              // scale dim i of replica k by 1 + ((7k + i) mod 101 − 50)·0.06%
-              // (±3%; modulus 101 is prime and > any sane copies count,
-              // so no two replicas share a scaling pattern — mod 11
+              // affine per-dim perturbation of replica k ≠ 0:
+              //   x·(1 + s·0.06%) + s·1e-5, s = (7k + i) mod 101 − 50
+              // (±3% multiplicative; modulus 101 is prime and > any sane
+              // copies count, so no two replicas share a pattern — mod 11
               // would clone vectors verbatim at copies > 11, the same
-              // period bug the text rotation had at copies > 10)
+              // period bug the text rotation had at copies > 10). The
+              // additive term exists for the zero hole: a purely
+              // multiplicative perturbation maps zero vectors (and zero
+              // components) to themselves, so an all-zero embedding —
+              // the collapsed-encoder case the ANN hot-bucket guards
+              // contemplate — would gain copies−1 verbatim clones.
               zip_with(col("embedding"),
                 transform(col("embedding"),
                   (_, i) => ((col("__k") * 7 + i) % 101 - 50).cast("float")),
-                (x, s) => x * (lit(1.0f) + s * lit(0.0006f)))))
+                (x, s) => x * (lit(1.0f) + s * lit(0.0006f)) + s * lit(1.0e-5f))))
           .withColumn("vec_id", rekey("vec_id", stride))
           .drop("__k"),
         "embeddings")

@@ -89,6 +89,30 @@ object SparkEntryExt {
        |FROM ranked ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe (nprobe=2) probe-set CTEs over a query CTE
+    * `qCte(query_id, embedding, bucket)`: own bucket UNION the single
+    * flip of the lowest-|component| sign bit, ties by mask (mirrors the
+    * struct array_sort in `ivfTopKStored`; for component j of 4 the
+    * mask is 2^(4−j), flip via xor). ONE definition of the probe rule,
+    * shared by the batch multi-probe oracle and the unified recall
+    * table so the tie-break can never silently diverge between them.
+    * Emits `fl`/`fr`/`probes`; callers join `probes` on the bucket.
+    */
+  private def mpProbeCtes(qCte: String): String =
+    s"""fl AS (
+       |  SELECT query_id, abs(embedding[j])::DOUBLE AS a,
+       |    CAST(pow(2, 4 - j) AS BIGINT) AS m
+       |  FROM $qCte, LATERAL (SELECT unnest(generate_series(1, 4)) AS j) g),
+       |fr AS (
+       |  SELECT query_id, m,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY a, m) AS rn
+       |  FROM fl),
+       |probes AS (
+       |  SELECT query_id, embedding, bucket FROM $qCte
+       |  UNION ALL
+       |  SELECT q0.query_id, q0.embedding, xor(q0.bucket, f.m) AS bucket
+       |  FROM fr f JOIN $qCte q0 USING (query_id) WHERE f.rn <= 1)""".stripMargin
+
   /** The λ both the `rag_mmr` query and its oracle use. The oracle
     * interpolates λ AND Scala's `1.0 - λ` (0.30000000000000004, NOT
     * the SQL literal 0.3 — binary doubles differ in the last bit, and
@@ -1378,19 +1402,7 @@ object SparkEntryExt {
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
          |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id % 4 = 0),
-         |fl AS (
-         |  SELECT query_id, abs(embedding[j])::DOUBLE AS a,
-         |    CAST(pow(2, 4 - j) AS BIGINT) AS m
-         |  FROM q0, LATERAL (SELECT unnest(generate_series(1, 4)) AS j) g),
-         |fr AS (
-         |  SELECT query_id, m,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY a, m) AS rn
-         |  FROM fl),
-         |probes AS (
-         |  SELECT query_id, embedding, bucket FROM q0
-         |  UNION ALL
-         |  SELECT q0.query_id, q0.embedding, xor(q0.bucket, f.m) AS bucket
-         |  FROM fr f JOIN q0 USING (query_id) WHERE f.rn <= 1),
+         |${mpProbeCtes("q0")},
          |s AS (
          |  SELECT p.query_id, b.vec_id AS point_id,
          |    ${sqlCos("p.embedding", "b.embedding")} AS score,
@@ -1502,19 +1514,7 @@ object SparkEntryExt {
          |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS rank
          |    FROM qm q JOIN pm p ON q.bucket = p.bucket
          |    QUALIFY rank <= 3)),
-         |fl AS (
-         |  SELECT query_id, abs(embedding[j])::DOUBLE AS a,
-         |    CAST(pow(2, 4 - j) AS BIGINT) AS m
-         |  FROM qm, LATERAL (SELECT unnest(generate_series(1, 4)) AS j) g),
-         |fr AS (
-         |  SELECT query_id, m,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY a, m) AS rn
-         |  FROM fl),
-         |probes AS (
-         |  SELECT query_id, embedding, bucket FROM qm
-         |  UNION ALL
-         |  SELECT qm.query_id, qm.embedding, xor(qm.bucket, f.m) AS bucket
-         |  FROM fr f JOIN qm USING (query_id) WHERE f.rn <= 1),
+         |${mpProbeCtes("qm")},
          |mp AS (
          |  SELECT query_id, point_id FROM (
          |    SELECT p.query_id, pm.point_id,

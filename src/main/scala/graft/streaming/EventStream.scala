@@ -101,12 +101,16 @@ object EventStream {
     * expected input volume has actually been processed. A timeout
     * fails LOUDLY rather than returning a silently-empty result. The
     * `>=` guard is deliberate: a self-joined source is scanned once
-    * per plan instance and can legitimately over-count. Bounded by
-    * the progress-retention cap (default 100 triggers) — far above
-    * any finite-input runner here.
+    * per plan instance and can legitimately over-count. The ledger is
+    * the `recentProgress` ring buffer, so its retention cap is raised
+    * to 10k below — at the default 100, a pathological
+    * one-file-per-micro-batch listing could evict the earliest
+    * entries and permanently undercount, failing a run whose rows
+    * were all processed.
     */
   def drainAll(spark: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
       inputDir: String, timeoutSec: Int = 120): Unit = {
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val expected = spark.read.parquet(inputDir).count()
     def ingested: Long = q.recentProgress.iterator.map(_.numInputRows).sum
     q.processAllAvailable()

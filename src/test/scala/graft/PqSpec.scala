@@ -85,7 +85,10 @@ class PqSpec extends SparkSpec {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(rows.length == m * kCodes)
     assert(rows.forall(_.getSeq[Double](2).length == dsub))
-    assert(secs < 120.0, s"iters=10 training took ${secs}s — lineage growth is back")
+    // generous bound: healthy training is ~6-10 s and the broken 2^10
+    // plan blow-up is minutes-to-hours, so 300 s separates the two even
+    // under the documented multi-x host-interference windows
+    assert(secs < 300.0, s"iters=10 training took ${secs}s — lineage growth is back")
   }
 
   test("encode is invariant to input partitioning") {

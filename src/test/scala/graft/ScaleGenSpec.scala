@@ -62,6 +62,32 @@ class ScaleGenSpec extends SparkSpec {
       s"join alignment broke: $srcJoin -> $outJoin, expected ${13 * srcJoin}")
   }
 
+  test("degenerate inputs gain no clones: zero vectors and unrotatable text") {
+    import spark.implicits._
+    // a source whose perturbation-resistant rows would clone under a
+    // purely multiplicative / rotation-only scheme: an all-zero
+    // embedding and a text containing none of the 20 rotated letters
+    val srcDir = java.nio.file.Files.createTempDirectory("scalegen-degen").toString
+    Seq((0L, "12345 678 999", 13), (1L, "the quick brown fox", 7))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$srcDir/documents.parquet")
+    Seq((0L, Array.fill(8)(0.0f), 0), (1L, Array.tabulate(8)(_.toFloat / 8), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$srcDir/embeddings.parquet")
+    // remaining tables: reuse the fixture's via the loader contract
+    for (t <- Seq("events", "lineitem", "orders", "customer",
+        "part", "supplier", "nation", "region"))
+      spark.read.parquet(s"$sf0001/$t.parquet").write.parquet(s"$srcDir/$t.parquet")
+    val outDir = java.nio.file.Files.createTempDirectory("scalegen-degen-out").toString
+    ScaleGen.inflate(spark, srcDir, outDir, copies = 12)
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    assert(docs.groupBy(col("text")).count().agg(max(col("count"))).head().getLong(0) == 1L,
+      "digits-only text cloned across replicas")
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    assert(emb.groupBy(col("embedding")).count().agg(max(col("count"))).head().getLong(0) == 1L,
+      "zero vector cloned across replicas")
+  }
+
   test("replica 0 is the source verbatim") {
     val src = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val stride = Tables.documents(spark, sf0001)
