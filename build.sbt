@@ -33,6 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // drainAll's ingestion ledger sums recentProgress; the default
+  // 100-entry retention could evict early entries on a pathological
+  // one-file-per-micro-batch listing. A system property reaches every
+  // forked session at creation, before any query captures the conf.
+  "-Dspark.sql.streaming.numRecentProgressUpdates=10000",
   // local[32] = driver-only: give the single JVM real headroom (the box
   // has 128 GiB; 8g caused GC-thrash variance under parallel stages)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
