@@ -68,8 +68,18 @@ object ScaleGen {
   private def rekey(c: String, stride: Long): Column =
     col(c) + col("__k") * stride
 
-  private def strideOf(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).head().getLong(0) + 1L
+  private[graft] def strideOf(df: DataFrame, c: String): Long = {
+    // clear failure modes for the CLI entry point: an empty source table
+    // yields max=null (would NPE), and a non-integral key column would
+    // throw an opaque ClassCastException from getLong
+    val row = df.agg(max(col(c))).head()
+    require(!row.isNullAt(0), s"strideOf: source table has no rows (max($c) is null)")
+    row.get(0) match {
+      case n: java.lang.Number => n.longValue() + 1L
+      case other => throw new IllegalArgumentException(
+        s"strideOf: key column '$c' must be integral, got ${other.getClass.getSimpleName}")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [copies=10]")

@@ -110,7 +110,12 @@ object Pq {
         // eager checkpoint materializes m × kCodes rows (the model,
         // trivially small) and cuts the plan to a leaf, so per-round
         // planning and execution cost stay constant (PqSpec pins
-        // iters=10 completing in bounded time).
+        // iters=10 completing in bounded time). Tradeoff: localCheckpoint
+        // stores blocks WITHOUT replication, so on a real cluster an
+        // executor loss mid-training aborts the job instead of recomputing
+        // from lineage — acceptable for this k-row model frame (retraining
+        // is cheap); a long-running deployment with a configured checkpoint
+        // dir should use reliable `checkpoint()` instead.
         .localCheckpoint(true)
     }
     cents.collect().toSeq

@@ -177,6 +177,9 @@ object SimilaritySearch {
         // twice per round (assignment + stale-cell join), so the
         // logical plan would double per iteration; the eager checkpoint
         // materializes the k-row model and truncates the plan to a leaf.
+        // Non-replicated storage: an executor loss mid-training aborts
+        // rather than recomputes — fine for a cheap k-row model; use
+        // reliable checkpoint() when a checkpoint dir is configured.
         .localCheckpoint(true)
     }
     cents

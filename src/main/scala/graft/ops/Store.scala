@@ -32,37 +32,91 @@ object Store {
     *     scan, so untouched data is never read, let alone rewritten),
     *  3. anti-join + union within the affected slice,
     *  4. write to a staging dir and swap just the affected partition
-    *     directories into place ([[swapDirs]] — a metadata rename per
-    *     partition, never a data copy).
+    *     directories into place via a TRASH-STAGED swap: per partition,
+    *     rename live → trash then staging → live; only after EVERY
+    *     partition has swapped are trash and staging deleted. Each step
+    *     is a metadata rename, never a data copy, and no byte is
+    *     deleted until the whole swap has succeeded — a crash or error
+    *     at any point leaves every partition's data intact in exactly
+    *     one of live/trash (old bytes) and staging/live (new bytes),
+    *     so the interrupted state is manually recoverable (finish or
+    *     undo the renames). On a pre-swap failure (write or partition
+    *     value validation) the staging dir is cleaned up and live data
+    *     is untouched.
     * Untouched partition directories keep their exact files (verified
-    * byte-for-byte in OpsSpec). Limitations (documented, not handled):
-    * null partition values and values needing URI-escaping in directory
-    * names; key uniqueness WITHIN a partition is the caller's contract,
-    * and a key may not MOVE between partitions (an update row with a
-    * changed partition value inserts rather than replaces — the same
-    * contract Hive-style partitioned upserts have).
+    * byte-for-byte in OpsSpec). Partition values that Spark URI-escapes
+    * in directory names (spaces, slashes, '=', …) are REJECTED before
+    * any live data is touched, by checking the raw `col=value` name
+    * against the directories Spark actually wrote to staging — not by
+    * guessing the escape rules. Remaining limitations (documented, not
+    * handled): null partition values; key uniqueness WITHIN a partition
+    * is the caller's contract, and a key may not MOVE between
+    * partitions (an update row with a changed partition value inserts
+    * rather than replaces — the same contract Hive-style partitioned
+    * upserts have).
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
-      updates: DataFrame, keyCol: String, partitionCol: String): Unit = {
+      updates: DataFrame, keyCol: String, partitionCol: String): Unit =
+    upsertPartitioned(spark, path, updates, keyCol, partitionCol, Int.MaxValue)
+
+  /** [[upsertPartitioned]] with a fault-injection point: throw after
+    * `failAfterSwaps` partition swaps, so OpsSpec can pin the
+    * mid-swap-crash contract (no byte deleted, state recoverable).
+    */
+  private[graft] def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, updates: DataFrame, keyCol: String, partitionCol: String,
+      failAfterSwaps: Int): Unit = {
     val partVals = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
     require(!partVals.contains(null),
       s"upsertPartitioned: null partition value in '$partitionCol' unsupported")
-    if (partVals.nonEmpty) {
-      val base = spark.read.parquet(path)
-      val affected = base.filter(col(partitionCol).isInCollection(partVals))
-      val merged = affected
-        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(updates.select(base.columns.map(col): _*))
-      val staging = path.stripSuffix("/") + "__upserting"
+    if (partVals.isEmpty) return
+    val base = spark.read.parquet(path)
+    val affected = base.filter(col(partitionCol).isInCollection(partVals))
+    val merged = affected
+      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(base.columns.map(col): _*))
+    val root = path.stripSuffix("/")
+    val staging = root + "__upserting"
+    val trash = root + "__upsert_trash"
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = partVals.map(v => s"$partitionCol=$v")
+    // Phase 1 — stage + validate. Nothing under `root` is touched yet,
+    // so any failure here cleans up staging and leaves the table as-is.
+    try {
       merged.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
-      partVals.foreach { v =>
-        swapDirs(spark, s"$staging/$partitionCol=$v",
-          s"${path.stripSuffix("/")}/$partitionCol=$v")
-      }
-      val fs = new org.apache.hadoop.fs.Path(staging)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
+      val escaped = dirs.filterNot(d => fs.exists(new Path(s"$staging/$d")))
+      require(escaped.isEmpty,
+        s"upsertPartitioned: partition value(s) URI-escaped in directory names " +
+          s"(unsupported): expected staging dir(s) ${escaped.mkString(", ")} not found")
+    } catch {
+      case e: Throwable =>
+        fs.delete(new Path(staging), true)
+        throw e
     }
+    // Phase 2 — swap. On failure we deliberately KEEP staging and trash:
+    // deleting either would destroy one side of the recovery story.
+    fs.mkdirs(new Path(trash))
+    try {
+      dirs.zipWithIndex.foreach { case (d, i) =>
+        if (i >= failAfterSwaps)
+          throw new java.io.IOException(s"injected test failure before swap of $d")
+        val live = new Path(s"$root/$d")
+        if (fs.exists(live) && !fs.rename(live, new Path(s"$trash/$d")))
+          throw new java.io.IOException(s"rename $live -> $trash/$d failed")
+        if (!fs.rename(new Path(s"$staging/$d"), live))
+          throw new java.io.IOException(s"rename $staging/$d -> $live failed")
+      }
+    } catch {
+      case e: Throwable =>
+        throw new java.io.IOException(
+          s"upsertPartitioned interrupted mid-swap; no data was deleted — old bytes " +
+            s"are in $root or $trash, new bytes in $staging or $root; recover by " +
+            s"finishing or undoing the per-partition renames", e)
+    }
+    // Phase 3 — all swaps landed; now (and only now) drop the old bytes.
+    fs.delete(new Path(trash), true)
+    fs.delete(new Path(staging), true): Unit
   }
 
   /** Payload update (Qdrant `set_payload`,

@@ -85,11 +85,24 @@ object EventStream {
     * the count is pinned by checkpoint metadata at the first batch.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    ensureProgressRetention(spark)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(prev.toInt, n))
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Raise the progress-log retention to 10k entries. MUST run before
+    * `start()`: StreamExecution clones the session at start, so a conf
+    * set afterwards never reaches the running query's progress buffer
+    * — and [[drainAll]]'s ledger is that buffer. At the default 100, a
+    * pathological one-file-per-micro-batch listing could evict the
+    * earliest entries and permanently undercount, failing a healthy
+    * run. (build.sbt also sets this as a JVM property for sbt-launched
+    * runs, but a spark-submit deployment only gets it from here.)
+    */
+  private def ensureProgressRetention(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
   /** Drain `q` until every row currently in `inputDir` has been
     * ingested. `processAllAvailable()` alone was observed — once, in a
@@ -102,15 +115,19 @@ object EventStream {
     * fails LOUDLY rather than returning a silently-empty result. The
     * `>=` guard is deliberate: a self-joined source is scanned once
     * per plan instance and can legitimately over-count. The ledger is
-    * the `recentProgress` ring buffer, so its retention cap is raised
-    * to 10k below — at the default 100, a pathological
-    * one-file-per-micro-batch listing could evict the earliest
-    * entries and permanently undercount, failing a run whose rows
-    * were all processed.
+    * the `recentProgress` ring buffer, whose retention cap every runner
+    * raises to 10k BEFORE starting its query ([[ensureProgressRetention]]).
     */
   def drainAll(spark: SparkSession, q: org.apache.spark.sql.streaming.StreamingQuery,
       inputDir: String, timeoutSec: Int = 120): Unit = {
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // Retention must have been raised BEFORE q started (the query holds
+    // a session clone — see [[ensureProgressRetention]], called by every
+    // runner in this file pre-start). Setting it here would be too late;
+    // assert the session-level conf instead so a runner that forgot is
+    // caught loudly rather than by a flaky undercount.
+    require(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt >= 10000,
+      "drainAll: progress retention not raised before query start — " +
+        "the ledger could undercount; call ensureProgressRetention pre-start")
     val expected = spark.read.parquet(inputDir).count()
     def ingested: Long = q.recentProgress.iterator.map(_.numInputRows).sum
     q.processAllAvailable()
@@ -265,6 +282,7 @@ object EventStream {
     */
   def qualityStream(spark: SparkSession, inputDir: String,
       storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -295,6 +313,7 @@ object EventStream {
     */
   def searchStream(spark: SparkSession, inputDir: String, storeDir: String,
       points: DataFrame, k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
     val qSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -334,6 +353,7 @@ object EventStream {
       dim: Int,
       portableHash: Boolean = false,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -407,6 +427,7 @@ object EventStream {
     */
   def cmsSketchStream(spark: SparkSession, inputDir: String, storeDir: String,
       depth: Int, width: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))

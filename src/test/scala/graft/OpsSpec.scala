@@ -44,6 +44,7 @@ class OpsSpec extends SparkSpec {
     assert(listing("lang=en") == enBefore, "untouched en partition files changed")
     assert(listing("lang=fr") == frBefore, "untouched fr partition files changed")
     assert(!new java.io.File(dir + "__upserting").exists(), "staging dir left behind")
+    assert(!new java.io.File(dir + "__upsert_trash").exists(), "trash dir left behind")
     // the affected-slice read must prune directories at the scan
     val baseRead = spark.read.parquet(dir)
     val plan = baseRead.filter(col("lang").isInCollection(Seq("de", "th")))
@@ -51,6 +52,69 @@ class OpsSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("PartitionFilters") && plan.contains("lang"),
       s"partition values did not become a PartitionFilter:\n$plan")
+  }
+
+  test("upsertPartitioned: URI-escaping partition value rejected before live data is touched") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertesc").toString + "/t"
+    val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    def listing(sub: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = Seq("lang=en", "lang=de").map(listing)
+    // "pt/BR" escapes to "pt%2FBR" in the staging dir name, so the raw
+    // interpolated name is absent from staging — must fail pre-swap
+    val upd = Seq((3L, "pt/BR", "c")).toDF("id", "lang", "v")
+    val e = intercept[IllegalArgumentException] {
+      Store.upsertPartitioned(spark, dir, upd, "id", "lang")
+    }
+    assert(e.getMessage.contains("URI-escaped"))
+    assert(Seq("lang=en", "lang=de").map(listing) == before, "live partition files changed")
+    assert(!new java.io.File(dir + "__upserting").exists(), "staging dir leaked on failure")
+  }
+
+  test("upsertPartitioned: mid-swap failure deletes no data and is recoverable") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertcrash").toString + "/t"
+    val base = Seq(
+      (1L, "en", "a"), (2L, "de", "b"), (3L, "fr", "c")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    // touch two partitions; inject a crash after the first swap completes
+    val upd = Seq((1L, "en", "A2"), (2L, "de", "B2")).toDF("id", "lang", "v")
+    val e = intercept[java.io.IOException] {
+      Store.upsertPartitioned(spark, dir, upd, "id", "lang", failAfterSwaps = 1)
+    }
+    assert(e.getMessage.contains("no data was deleted"))
+    val staging = dir + "__upserting"
+    val trash = dir + "__upsert_trash"
+    assert(new java.io.File(staging).exists(), "staging must survive for recovery")
+    def rows(path: String): Set[(Long, String)] =
+      if (!new java.io.File(path).exists()) Set.empty
+      else spark.read.parquet(path).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // every OLD byte is still on disk: the swapped partition's old dir moved
+    // to trash, the unswapped ones are untouched in live
+    val onDisk = rows(dir) ++ rows(trash) ++ rows(staging)
+    assert(Set((1L, "a"), (2L, "b"), (3L, "c")).subsetOf(onDisk), s"old bytes lost: $onDisk")
+    // every NEW byte is on disk too (in staging or already live)
+    assert(Set((1L, "A2"), (2L, "B2")).subsetOf(onDisk), s"new bytes lost: $onDisk")
+    // manual recovery = finish the interrupted renames, then drop trash/staging
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("lang=en", "lang=de")) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$d")
+      val stg = new org.apache.hadoop.fs.Path(s"$staging/$d")
+      if (fs.exists(stg)) {
+        if (fs.exists(live)) fs.rename(live, new org.apache.hadoop.fs.Path(s"$trash/$d"))
+        fs.rename(stg, live)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(trash), true)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val got = spark.read.parquet(dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "A2"), (2L, "B2"), (3L, "c")), s"recovered table wrong: $got")
   }
 
   test("dedup: exact clusters group identical texts") {

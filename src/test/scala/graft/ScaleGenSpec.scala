@@ -88,6 +88,20 @@ class ScaleGenSpec extends SparkSpec {
       "zero vector cloned across replicas")
   }
 
+  test("strideOf: clear errors on empty table and non-integral key") {
+    import spark.implicits._
+    val empty = intercept[IllegalArgumentException] {
+      ScaleGen.strideOf(Seq.empty[Long].toDF("id"), "id")
+    }
+    assert(empty.getMessage.contains("no rows"))
+    val wrongType = intercept[IllegalArgumentException] {
+      ScaleGen.strideOf(Seq("a", "b").toDF("id"), "id")
+    }
+    assert(wrongType.getMessage.contains("integral"))
+    // int key widens cleanly (Number path), not just bigint
+    assert(ScaleGen.strideOf(Seq(1, 7, 3).toDF("id"), "id") == 8L)
+  }
+
   test("replica 0 is the source verbatim") {
     val src = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val stride = Tables.documents(spark, sf0001)
