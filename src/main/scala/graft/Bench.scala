@@ -48,22 +48,40 @@ object Bench {
     val ordered = selected.toSeq.sortBy { case (name, _) =>
       (name.startsWith("stream_"), name)
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeAndCount(fn)._1
+    // Probe-pass variant that also reports the query's OUTPUT ROW COUNT
+    // via an Observation riding the same noop-sink execution (a
+    // CollectMetrics node at the plan top — prunes nothing, adds one
+    // long per partition). Counts are the bench's attribution channel:
+    // wall-clock on this host swings up to 4x on identical binaries
+    // (BASELINE.md round-10 note), but a changed count is deterministic
+    // evidence of a changed RESULT — the round-10 generator bug was
+    // caught by a candidate-count anomaly, never by timing. Counts are
+    // captured once (probe pass); refinement reps skip the bookkeeping.
+    def timeAndCount(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       // Consume via the noop sink, not count(): under count() Catalyst
       // prunes unreferenced projections and drops final sorts, so a
       // projection-heavy query (vector scoring, string galleries) would
       // be timed as little more than its scan. noop evaluates every
       // output column of every row and writes nothing.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
+      val obs = org.apache.spark.sql.Observation()
+      val rows =
+        try {
+          fn(spark, sfDir)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          obs.get("rows").asInstanceOf[Long]
+        } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // Iterative ops persist intermediates; drop them so no query is
       // timed against another query's lingering cache blocks.
       spark.catalog.clearCache()
       // a failed query reports -1, never a success-shaped fast time
-      if (ok) dt else -1.0
+      if (rows >= 0) (dt, rows) else (-1.0, -1L)
     }
     // true median; for even counts average the two middle elements
     // (upper-middle alone biases recorded times upward). Any failed rep
@@ -111,7 +129,9 @@ object Bench {
     // round 4, rc=0 round 6).
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(_.toDoubleOption).getOrElse(90.0)
-    val probe = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    val probed = ordered.map { case (name, fn) => name -> timeAndCount(fn) }
+    val probe = probed.map { case (name, (t, _)) => name -> t }
+    val counts = probed.map { case (name, (_, c)) => name -> c }
     val refineStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - refineStart) / 1e9
     // pass B: most-expensive-first so a tight budget refines the
@@ -137,11 +157,13 @@ object Bench {
     val results = ordered.map { case (name, _) => name -> refined(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cs = counts.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sfDir is a filesystem path under our control, but a quote or
     // backslash in it would corrupt all three emission channels' JSON
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counts":$cs,"sf":"$sfJson"}"""
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfJson"}"""
     println(fullLine)
     // Short total-only line LAST: the driver artifact keeps only the
