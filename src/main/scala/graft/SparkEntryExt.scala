@@ -437,10 +437,15 @@ object SparkEntryExt {
     */
   private val ivfCentModels =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
-  private def ivfModel(s: SparkSession, d: String): DataFrame = {
-    val rows = ivfCentModels.computeIfAbsent(d, _ =>
+  private def ivfModel(s: SparkSession, d: String): DataFrame =
+    ivfModelFor(s, d, Tables.embeddings(s, d))
+  /** Memo key generalizes beyond sfDir so the clustered-fixture query
+    * trains (once per JVM) on ITS embeddings under its own key.
+    */
+  private def ivfModelFor(s: SparkSession, key: String, emb: DataFrame): DataFrame = {
+    val rows = ivfCentModels.computeIfAbsent(key, _ =>
       SimilaritySearch.trainedCentroids(
-          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+          emb.filter(col("vec_id") >= 10)
             .withColumnRenamed("vec_id", "point_id"),
           "point_id", "embedding", dim = 64, kCentroids = 16, iters = 2)
         .collect()
@@ -451,15 +456,68 @@ object SparkEntryExt {
 
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long, Array[Double])]]()
-  private def pqModel(s: SparkSession, d: String): DataFrame = {
-    val rows = pqModels.computeIfAbsent(d, _ =>
+  private def pqModel(s: SparkSession, d: String): DataFrame =
+    pqModelFor(s, d, Tables.embeddings(s, d))
+  private def pqModelFor(s: SparkSession, key: String, emb: DataFrame): DataFrame = {
+    val rows = pqModels.computeIfAbsent(key, _ =>
       Pq.trainCodebooks(
-          Tables.embeddings(s, d).filter(col("vec_id") >= 10), "vec_id", "embedding",
+          emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
           dim = 64, m = 8, kCodes = 16, iters = 2)
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray)))
     import s.implicits._
     rows.toSeq.toDF("sub", "cid", "centroid")
+  }
+
+  /** The unified six-path ANN quality table (`sim_recall_all` /
+    * `sim_recall_clustered`): mean recall@3 of every approximate path
+    * against one exact ground truth over the same queries (vec_id < 10),
+    * points (vec_id >= 10) and k. `modelKey` scopes the per-JVM
+    * trained-model memos ([[ivfModelFor]]/[[pqModelFor]]) to the
+    * embedding source so the two queries never share models.
+    */
+  private def recallAllOver(s: SparkSession, emb: DataFrame, modelKey: String): DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+    val pts = emb.filter(col("vec_id") >= 10)
+    val points = pts.withColumnRenamed("vec_id", "point_id")
+    val exact = Knn.knnJoin(queries, points, "vec_id", "embedding",
+        "point_id", "embedding", 3)
+      .select(col("query_id"), col("point_id"))
+    val cb = pqModelFor(s, modelKey, emb)
+    val codes = Pq.encode(pts, "vec_id", "embedding", cb, m = 8, dsub = 8)
+    val bcodes = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m = 8, dsub = 8,
+      SimilaritySearch.signBucket("embedding", 4))
+    val paths: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> SimilaritySearch.ivfTopK(queries, points,
+        "vec_id", "point_id", "embedding", bits = 4, k = 3),
+      "ivf_mp" -> SimilaritySearch.ivfTopKStored(queries,
+        points.withColumn("b", SimilaritySearch.signBucket("embedding", 4)),
+        "vec_id", "point_id", "embedding", "b", bits = 4, k = 3, nprobe = 2),
+      "ivf_trained" -> {
+        val cents = ivfModelFor(s, modelKey, emb)
+        SimilaritySearch.searchAssignedCells(
+          SimilaritySearch.assignPoints(points, "point_id", "embedding", cents),
+          cents, queries, "vec_id", "embedding", nprobe = 4, k = 3)
+      },
+      "pq_adc" -> Pq.adcTopK(queries, "vec_id", "embedding",
+        cb, codes, m = 8, dsub = 8, k = 3),
+      "pq_rerank" -> Pq.adcRerank(queries, "vec_id", "embedding",
+        points.select(col("point_id"), col("embedding")), "point_id",
+        cb, codes, m = 8, dsub = 8, shortlist = 50, k = 3),
+      "ivfpq" -> Pq.ivfpqRerank(queries, "vec_id", "embedding",
+        SimilaritySearch.signBucket("embedding", 4),
+        points.select(col("point_id"), col("embedding")), "point_id",
+        cb, bcodes, m = 8, dsub = 8, shortlist = 20, k = 3))
+    paths.map { case (name, approx) =>
+      SimilaritySearch.recallAtK(exact,
+          approx.select(col("query_id"), col("point_id")),
+          "query_id", "point_id", 3)
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("sum_hits"))
+        .select(lit(name).as("method"),
+          col("n_queries"), col("sum_hits"),
+          round(col("sum_hits").cast("double") / (col("n_queries") * 3), 6)
+            .as("mean_recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("method"))
   }
 
   private def bucketSql(col: String): String =
@@ -643,50 +701,17 @@ object SparkEntryExt {
     // from. One row per method: (method, n_queries, sum_hits,
     // mean_recall). Integer hit counts divide once at the end, so the
     // only float compared is one 6-dp-rounded division per row.
-    "sim_recall_all" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 10)
-      val pts = emb.filter(col("vec_id") >= 10)
-      val points = pts.withColumnRenamed("vec_id", "point_id")
-      val exact = Knn.knnJoin(queries, points, "vec_id", "embedding",
-          "point_id", "embedding", 3)
-        .select(col("query_id"), col("point_id"))
-      val cb = pqModel(s, d)
-      val codes = Pq.encode(pts, "vec_id", "embedding", cb, m = 8, dsub = 8)
-      val bcodes = Pq.encodeBucketed(pts, "vec_id", "embedding", cb, m = 8, dsub = 8,
-        SimilaritySearch.signBucket("embedding", 4))
-      val paths: Seq[(String, DataFrame)] = Seq(
-        "ivf" -> SimilaritySearch.ivfTopK(queries, points,
-          "vec_id", "point_id", "embedding", bits = 4, k = 3),
-        "ivf_mp" -> SimilaritySearch.ivfTopKStored(queries,
-          points.withColumn("b", SimilaritySearch.signBucket("embedding", 4)),
-          "vec_id", "point_id", "embedding", "b", bits = 4, k = 3, nprobe = 2),
-        "ivf_trained" -> {
-          val cents = ivfModel(s, d)
-          SimilaritySearch.searchAssignedCells(
-            SimilaritySearch.assignPoints(points, "point_id", "embedding", cents),
-            cents, queries, "vec_id", "embedding", nprobe = 4, k = 3)
-        },
-        "pq_adc" -> Pq.adcTopK(queries, "vec_id", "embedding",
-          cb, codes, m = 8, dsub = 8, k = 3),
-        "pq_rerank" -> Pq.adcRerank(queries, "vec_id", "embedding",
-          points.select(col("point_id"), col("embedding")), "point_id",
-          cb, codes, m = 8, dsub = 8, shortlist = 50, k = 3),
-        "ivfpq" -> Pq.ivfpqRerank(queries, "vec_id", "embedding",
-          SimilaritySearch.signBucket("embedding", 4),
-          points.select(col("point_id"), col("embedding")), "point_id",
-          cb, bcodes, m = 8, dsub = 8, shortlist = 20, k = 3))
-      paths.map { case (name, approx) =>
-        SimilaritySearch.recallAtK(exact,
-            approx.select(col("query_id"), col("point_id")),
-            "query_id", "point_id", 3)
-          .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("sum_hits"))
-          .select(lit(name).as("method"),
-            col("n_queries"), col("sum_hits"),
-            round(col("sum_hits").cast("double") / (col("n_queries") * 3), 6)
-              .as("mean_recall"))
-      }.reduce(_.unionByName(_)).orderBy(col("method"))
-    }),
+    "sim_recall_all" -> ((s, d) =>
+      recallAllOver(s, Tables.embeddings(s, d), modelKey = d)),
+    // the same six-path quality table over the PLANTED-CLUSTER fixture:
+    // on the noise-dominated harness embeddings recall ranks noise (pure
+    // ADC 0.16), so this is the row where the menu actually measures
+    // index quality — queries' true neighbors are their cluster-mates,
+    // and the paths separate (ordering pinned in SimilaritySpec)
+    "sim_recall_clustered" -> ((s, _) =>
+      recallAllOver(s,
+        Tables.clusteredEmbeddings(s, FixturesDir).select(col("vec_id"), col("embedding")),
+        modelKey = s"fixture:$FixturesDir/clustered_emb.parquet")),
     "sim_neardup" -> ((s, d) =>
       SimilaritySearch.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4)
@@ -1208,6 +1233,55 @@ object SparkEntryExt {
       Retrieval.mmrFromPool(pool, selectK = 3, lambda = MmrLambda)
         .orderBy(col("query_id"), col("sel_rank"))
     }),
+    // nDCG@k with label-match relevance for FOUR retrieval paths over
+    // the same queries (ids < 8, the hybrid family's set) and corpus:
+    // exact kNN (k=5), BM25 (k=5), RRF hybrid (k=5), hybrid+MMR
+    // (pool 8 → select 3, the rag_hybrid_mmr config). One row per
+    // path — the quality axis the fusion knobs (RRF k, MMR λ) tune
+    // against: recall can't see position and MMR's diversity trade is
+    // invisible to it, but nDCG credits every relevant hit by rank.
+    // Each path's nDCG is self-normalized (IDCG from ITS retrieved
+    // set), so the 3-deep MMR row is comparable as "quality of what
+    // the path returns", not penalized for returning fewer hits.
+    "eval_ndcg_paths" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qLab = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      val pLab = emb.select(col("vec_id").as("point_id"), col("label").as("p_label"))
+      def ndcgRow(name: String, hits: DataFrame): DataFrame = {
+        val withRel = hits.join(qLab, "query_id").join(pLab, "point_id")
+          .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
+        Eval.ndcgAtK(withRel, "query_id", "rank", "rel")
+          .agg(count(lit(1)).as("n_queries"), round(avg(col("ndcg")), 6).as("mean_ndcg"))
+          .select(lit(name).as("method"), col("n_queries"), col("mean_ndcg"))
+      }
+      val lex10 = Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10, maxDfFrac = 0.8)
+      val dense10 = Knn.knnJoin(
+          emb.filter(col("vec_id") < 8),
+          emb.select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "embedding", "point_id", "embedding", k = 10)
+        .select(col("query_id"), col("point_id").as("doc_id"), col("rank"))
+      val knn5 = dense10.filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id").as("point_id"))
+      val bm5 = lex10.filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id").as("point_id"))
+      val fused8 = Retrieval.rrfFuse(lex10, dense10, "query_id", "doc_id", "rank", k = 8)
+      val rrf5 = fused8.filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id").as("point_id"))
+      val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      val pool = fused8
+        .withColumn("__rel", round(col("rrf") / max(col("rrf")).over(wq), 6))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .select(col("query_id"), col("doc_id").as("point_id"),
+          col("embedding").as("__pv"), col("__rel"))
+      val mmr3 = Retrieval.mmrFromPool(pool, selectK = 3, lambda = MmrLambda)
+        .select(col("query_id"), col("sel_rank").as("rank"), col("point_id"))
+      Seq(ndcgRow("knn", knn5), ndcgRow("bm25", bm5),
+          ndcgRow("rrf", rrf5), ndcgRow("hybrid_mmr", mmr3))
+        .reduce(_.unionByName(_)).orderBy(col("method"))
+    }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection
     // from the kNN pool — the redundancy filter before context assembly
     "rag_mmr" -> ((s, d) => {
@@ -1494,8 +1568,23 @@ object SparkEntryExt {
          |ORDER BY q.query_id""".stripMargin,
     // six approximate top-3 tables (each mirroring its Spark path step
     // for step), one exact ground truth, per-method hit counts
-    "sim_recall_all" ->
-      s"""WITH exact AS (
+    "sim_recall_all" -> recallAllSql(""),
+    // identical SQL over the clustered fixture: a leading CTE named
+    // `embeddings` SHADOWS the registered harness view (DuckDB resolves
+    // CTE names before catalog names), so every nested helper CTE —
+    // training mirrors included — reads the fixture instead
+    "sim_recall_clustered" -> recallAllSql(
+      s"""embeddings AS (
+         |  SELECT vec_id, embedding
+         |  FROM read_parquet('$FixturesDir/clustered_emb.parquet/*.parquet')),
+         |""".stripMargin)
+  ) ++ oracleSqlRest
+
+  /** Body of the six-path recall oracle; `prefix` prepends (optionally)
+    * a source-shadowing CTE — see `sim_recall_clustered`.
+    */
+  private def recallAllSql(prefix: String): String =
+      s"""WITH ${prefix}exact AS (
          |  SELECT query_id, point_id FROM (
          |    SELECT q.vec_id AS query_id, p.vec_id AS point_id,
          |      CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -1547,7 +1636,21 @@ object SparkEntryExt {
          |      ('pq_adc'), ('pq_rerank'), ('ivfpq')) m(method)
          |CROSS JOIN nq
          |LEFT JOIN hits h ON h.method = m.method
-         |ORDER BY m.method""".stripMargin,
+         |ORDER BY m.method""".stripMargin
+
+  /** The rag_hybrid_mmr oracle statement, shared verbatim with the
+    * MMR path of `eval_ndcg_paths` (embedded there as a subquery).
+    */
+  private lazy val oracleSqlRestMmrHybrid: String =
+    mmrSelectFrom(
+      s"""${hybridCtes(8)},
+         |hp AS (
+         |  SELECT h.query_id, h.doc_id AS point_id, e.embedding AS v,
+         |    round(h.rrf / max(h.rrf) OVER (PARTITION BY h.query_id), 6) AS rel
+         |  FROM hyb h JOIN embeddings e ON e.vec_id = h.doc_id)""".stripMargin)
+
+  /** Remainder of [[oracleSql]] (split around the recallAllSql helper). */
+  private def oracleSqlRest: Map[String, String] = Map(
     "sim_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
@@ -2321,13 +2424,54 @@ object SparkEntryExt {
          |SELECT query_id, rank, doc_id, rrf
          |FROM hyb
          |ORDER BY query_id, rank""".stripMargin,
-    "rag_hybrid_mmr" ->
-      mmrSelectFrom(
-        s"""${hybridCtes(8)},
-           |hp AS (
-           |  SELECT h.query_id, h.doc_id AS point_id, e.embedding AS v,
-           |    round(h.rrf / max(h.rrf) OVER (PARTITION BY h.query_id), 6) AS rel
-           |  FROM hyb h JOIN embeddings e ON e.vec_id = h.doc_id)""".stripMargin),
+    "rag_hybrid_mmr" -> oracleSqlRestMmrHybrid,
+    // four retrieval paths -> label-match relevance -> per-(method,
+    // query) nDCG fold (the eval_ndcg discipline: sequential
+    // list_reduce, never float sum()) -> one mean row per method.
+    // bmr/vr/hyb come from hybridCtes; the MMR path embeds the
+    // rag_hybrid_mmr oracle whole as a subquery (its inner WITH
+    // shadows the outer CTE names — same-name resolution is CTE-first)
+    "eval_ndcg_paths" ->
+      s"""WITH ${hybridCtes(8)},
+         |mmr3 AS (
+         |  SELECT query_id, sel_rank AS rank, point_id
+         |  FROM (${oracleSqlRestMmrHybrid})),
+         |allhits AS (
+         |  SELECT 'knn' AS method, query_id, rank, doc_id AS point_id FROM vr WHERE rank <= 5
+         |  UNION ALL SELECT 'bm25', query_id, rank, doc_id FROM bmr WHERE rank <= 5
+         |  UNION ALL SELECT 'rrf', query_id, rank, doc_id FROM hyb WHERE rank <= 5
+         |  UNION ALL SELECT 'hybrid_mmr', query_id, rank, point_id FROM mmr3),
+         |rel AS (
+         |  SELECT h.method, h.query_id, h.rank,
+         |    CASE WHEN ql.label = pl.label THEN 1 ELSE 0 END AS rel
+         |  FROM allhits h
+         |  JOIN embeddings ql ON ql.vec_id = h.query_id
+         |  JOIN embeddings pl ON pl.vec_id = h.point_id),
+         |per AS (
+         |  SELECT method, query_id,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    list_reduce(
+         |      list_prepend(0.0::DOUBLE,
+         |        list(rel::DOUBLE / log2((rank + 1)::DOUBLE) ORDER BY rank)),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM rel GROUP BY method, query_id),
+         |norm AS (
+         |  SELECT method, query_id, n_rel, dcg,
+         |    CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+         |      list_reduce(
+         |        list_prepend(0.0::DOUBLE,
+         |          list_transform(generate_series(1, n_rel),
+         |            i -> 1.0::DOUBLE / log2((i + 1)::DOUBLE))),
+         |        (a, b) -> a + b)
+         |    END AS idcg
+         |  FROM per)
+         |SELECT method,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)), 6)
+         |    AS mean_ndcg
+         |FROM norm
+         |GROUP BY method
+         |ORDER BY method""".stripMargin,
     "v_knn_filtered" ->
       s"""SELECT q.vec_id AS query_id,
          |  CAST(row_number() OVER (PARTITION BY q.vec_id

@@ -18,6 +18,15 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** The committed planted-cluster embedding fixture
+    * (graft.ClusteredFixture; columns vec_id, cluster, embedding) —
+    * the corpus where ANN recall measures index quality rather than
+    * noise ranking. Lives under the fixtures dir, not sfDir: it is an
+    * evaluation corpus with known structure, not harness data.
+    */
+  def clusteredEmbeddings(spark: SparkSession, fixturesDir: String): DataFrame =
+    spark.read.parquet(s"$fixturesDir/clustered_emb.parquet")
+
   /** `events.ts` arrives in whatever physical flavor the generator chose;
     * normalize every flavor to a session-UTC TIMESTAMP so downstream
     * `unix_micros`/window logic sees one type:
