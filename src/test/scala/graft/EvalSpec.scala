@@ -80,4 +80,16 @@ class EvalSpec extends SparkSpec {
         .select("dcg", "ndcg").first()
     assert(at(1) == at(7), "ndcg must not depend on how rows are partitioned")
   }
+
+  test("eval_ndcg_paths: one row per retrieval path; fusion beats both single paths") {
+    val rows = SparkEntry.queries("eval_ndcg_paths")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set("knn", "bm25", "rrf", "hybrid_mmr"))
+    rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"ndcg out of [0,1]: $rows"))
+    // the quality axis the fusion knobs tune against: RRF of the two
+    // single paths should not fall below BOTH of them (it keeps every
+    // doc either path ranked highly)
+    assert(rows("rrf") >= math.min(rows("knn"), rows("bm25")),
+      s"hybrid below both single paths: $rows")
+  }
 }
