@@ -1038,24 +1038,31 @@ object SparkEntryExt {
         .orderBy(col("doc_id"))
     }),
     // duplication dashboard: cluster-size histogram over seeded copies
-    // (%13 docs twice, %39 docs three times → sizes 1, 2 and 3 all fire)
+    // (%13 docs twice, %39 docs three times → sizes 1, 2 and 3 all
+    // fire). Copies are re-keyed to NEGATIVE ids (-(2·id+1) / -(2·id+2)
+    // for the two tiers — injective, disjoint, and collision-free
+    // against real non-negative ids at ANY corpus size; the round-11
+    // count channel caught the previous fixed +10000/+20000 offsets
+    // colliding with real ids once the corpus passed 10k docs)
     "dedup_profile" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val seeded = docs
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000))
+          .withColumn("doc_id", -(col("doc_id") * 2) - 1))
         .unionByName(docs.filter(col("doc_id") % 39 === 0)
-          .withColumn("doc_id", col("doc_id") + 20000))
+          .withColumn("doc_id", -(col("doc_id") * 2) - 2))
       Dedup.duplicationProfile(seeded, "doc_id", "text")
         .orderBy(col("cluster_size"))
     }),
     // end-to-end curation chain (clean → quality → dedup → sample) in
-    // one lazy plan; re-keyed copies seed the duplicate tier
+    // one lazy plan; re-keyed copies seed the duplicate tier (negative
+    // re-key — see dedup_profile — so the seeding stays collision-free
+    // when the same query runs on inflated corpora)
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val seeded = docs.unionByName(
         docs.filter(col("doc_id") % 13 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000))
+          .withColumn("doc_id", -col("doc_id") - 1))
       Curation.curate(seeded, "doc_id", "text", sep = " the ", minDocs = 3, samplePct = 80)
         .orderBy(col("doc_id"))
     }),
@@ -1733,9 +1740,9 @@ object SparkEntryExt {
       """WITH seeded AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 13 = 0
+        |  SELECT -(doc_id * 2) - 1, text FROM documents WHERE doc_id % 13 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 39 = 0),
+        |  SELECT -(doc_id * 2) - 2, text FROM documents WHERE doc_id % 39 = 0),
         |cl AS (SELECT sha256(text) AS ch, count(*) AS cluster_size
         |       FROM seeded GROUP BY 1)
         |SELECT cluster_size, count(*) AS n_clusters,
@@ -1744,12 +1751,13 @@ object SparkEntryExt {
         |GROUP BY cluster_size
         |ORDER BY cluster_size""".stripMargin,
     // composed curation chain; the duplicate tier is exercised by the
-    // seeded re-keyed copies (doc_id % 13 == 0 re-inserted at +10000)
+    // seeded re-keyed copies (doc_id % 13 == 0 re-inserted at the
+    // collision-free negative re-key -(doc_id)-1)
     "pipeline_curate" ->
       s"""WITH seeded AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+         |  SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
          |${OracleSql.cleanCtes("cl", "seeded")},
          |cq_src AS (SELECT doc_id, clean_text AS text FROM cl_out WHERE n_kept > 0),
          |${OracleSql.qualityCtes("cq", "cq_src")},
