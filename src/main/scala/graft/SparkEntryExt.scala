@@ -1324,6 +1324,32 @@ object SparkEntryExt {
         .filter(col("jaccard") >= 0.5)
       Curation.leakFreeSplit(docs, "doc_id", pairs, iterations = 3, trainPct = 80)
         .orderBy(col("doc_id"))
+    }),
+    // doc-level mean pooling: 8-chunk groups of the vector table pooled
+    // to one vector each via the native VectorMeanAgg — ONE shuffle of
+    // groups x dim doubles (map-side combined), where posexplode + avg
+    // + re-collect would shuffle rows x dim tuples twice
+    "v_mean_pool" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("group_id", floor(col("vec_id") / 8).cast("long"))
+      VectorOps.meanPool(emb, Seq("group_id"), "embedding")
+        .select(col("group_id"), posexplode(col("mean_vec")).as(Seq("dim_idx", "val")))
+        .select(col("group_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("val"), 6).as("val"))
+        .orderBy(col("group_id"), col("dim_idx"))
+    }),
+    // Matryoshka adaptive retrieval: 16-d prefix shortlist (4x
+    // over-retrieve), full 64-d re-rank only on the shortlist
+    "sim_prefix_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.prefixRerankTopK(
+          emb.filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2593,6 +2619,36 @@ object SparkEntryExt {
          |  CASE WHEN ${h32Sql("'split|' || label")} % 100 < 80
          |       THEN 'train' ELSE 'test' END AS split
          |FROM l3
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "v_mean_pool" ->
+      """SELECT CAST(vec_id // 8 AS BIGINT) AS group_id,
+        |  CAST(j - 1 AS BIGINT) AS dim_idx,
+        |  round(avg(embedding[j]::DOUBLE), 6) AS val
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) g
+        |GROUP BY 1, j
+        |ORDER BY group_id, dim_idx""".stripMargin,
+    "sim_prefix_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS pre
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS pre
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sl AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |    q.embedding AS qe, p.embedding AS pe,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.pre", "p.pre")} DESC, p.vec_id) AS prank
+         |  FROM q, p
+         |  QUALIFY prank <= 20)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+         |  point_id,
+         |  round(${sqlCos("qe", "pe")}, 6) AS score
+         |FROM sl
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

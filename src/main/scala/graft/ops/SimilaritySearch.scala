@@ -287,6 +287,59 @@ object SimilaritySearch {
       queries, queryIdCol, vecCol, nprobe, k)
   }
 
+  /** Matryoshka prefix-dimension search: shortlist by scoring only the
+    * FIRST `prefixDim` components of every vector, then rerank the
+    * shortlist at full width — the adaptive-retrieval recipe for
+    * Matryoshka-trained embeddings (Kusupati et al. 2022, NeurIPS:
+    * MRL fronts of the vector carry most of the signal by training),
+    * and a useful cost knob even on non-MRL vectors where leading
+    * components are merely informative. Cost shape at 100 TB: the
+    * corpus-wide scoring pass touches `prefixDim / dim` of the vector
+    * bytes (with Parquet the full array column is still read — the
+    * win is arithmetic + the downstream window state), and the
+    * full-width cosine runs only on `shortlist` rows per query —
+    * Catalyst places it after the shortlist filter, so it is never
+    * evaluated corpus-wide (same lazy-projection discipline as
+    * [[graft.ops.Pq]]'s rerank). Both stages are the broadcast +
+    * WindowGroupLimit shape of [[graft.ops.Knn.knnJoin]]: per-query
+    * state is `shortlist` rows map-side, the point side never
+    * shuffles. With `prefixDim = dim` and `shortlist >=` corpus size
+    * this degrades to exact k-NN (pinned in SimilaritySpec).
+    * Output: `(query_id, rank, point_id, score)` — full-width scores.
+    */
+  def prefixRerankTopK(
+      queries: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      pointIdCol: String,
+      vecCol: String,
+      prefixDim: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim ($prefixDim) must be >= 1")
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) >= 1")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qvec"),
+      slice(col(vecCol), 1, prefixDim).as("__qpre")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__pre_score"), col("point_id").asc)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("point_id").asc)
+    points
+      .select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
+      .crossJoin(q)
+      .withColumn("__pre_score",
+        VectorOps.cosine(col("__qpre"), slice(col("__pvec"), 1, prefixDim)))
+      .withColumn("__prank", row_number().over(wPre))
+      .filter(col("__prank") <= shortlist)
+      .withColumn("score", VectorOps.cosine(col("__qvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(wFull).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("point_id"), col("score"))
+  }
+
   /** Index-quality evaluation: per-query recall@k of an approximate hit
     * table against the exact ground truth (both as (queryCol, pointCol)
     * rows, e.g. [[ivfTrainedTopK]] vs [[graft.ops.Knn.knnJoin]]). This

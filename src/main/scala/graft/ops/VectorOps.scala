@@ -129,6 +129,24 @@ object VectorOps {
         round(min(col("__x")), 6).as("min_x"),
         round(max(col("__x")), 6).as("max_x"))
 
+  /** Mean-pool a vector column per group — chunk/token embeddings down
+    * to ONE vector per document (the sentence-transformers default
+    * pooling; the reference stores one bge-small vector per CHUNK,
+    * `Qdrant/main.py:94`, so any doc-level retrieval/clustering over it
+    * needs exactly this reduction). Backed by the native
+    * [[graft.functions.VectorMeanAgg]] aggregate: one shuffle whose
+    * volume is `groups x dim` doubles with map-side partial
+    * aggregation, where the declarative posexplode + avg + re-collect
+    * form shuffles `rows x dim` tuples TWICE. Output: the group
+    * columns + `mean_vec ARRAY<DOUBLE>` (null for groups whose vectors
+    * are all null). Last-bit addition-order caveat as [[dimStats]] —
+    * round before hashing.
+    */
+  def meanPool(points: DataFrame, groupCols: Seq[String], vecCol: String): DataFrame =
+    points
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.VectorMeanAgg.vecMean(toDoubleArray(col(vecCol))).as("mean_vec"))
+
   /** Sign-random-projection (Johnson–Lindenstrauss) dimension
     * reduction: y[k] = (1/sqrt(outDim)) * sum_i v[i] * s(k, i) with
     * s(k, i) = ±1 from the parity of the portable hash of "k|i" — the

@@ -145,4 +145,37 @@ class SimilaritySpec extends SparkSpec {
       .filter(VectorOps.cosine(col("va"), col("vb")) >= 0.3).count()
     assert(exact == brute)
   }
+
+  test("prefixRerankTopK degrades to exact kNN at full prefix + full shortlist") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    val nPoints = points.count().toInt
+    val exact = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
+      .select("query_id", "rank", "point_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    val degraded = SimilaritySearch.prefixRerankTopK(queries, points,
+        "vec_id", "point_id", "embedding", prefixDim = 64, shortlist = nPoints, k = 5)
+      .select("query_id", "rank", "point_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degraded == exact, "full-prefix full-shortlist must equal exact kNN")
+  }
+
+  test("prefixRerankTopK: scores are full-width; shortlist bounds the candidates") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    val got = SimilaritySearch.prefixRerankTopK(queries, points,
+      "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 5)
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+    // every returned score equals the exact full-width cosine for that pair
+    val full = got.join(points, Seq("point_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .withColumn("expect", VectorOps.cosine(col("qv"), col("embedding")))
+      .filter(abs(col("score") - col("expect")) > lit(1e-12))
+    assert(full.count() == 0, "returned scores must be full-width cosine")
+  }
 }

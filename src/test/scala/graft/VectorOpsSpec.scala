@@ -150,4 +150,51 @@ class VectorOpsSpec extends SparkSpec {
     for (k <- perRow.keySet)
       assert(perRow(k).zip(dist(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 }, s"id $k")
   }
+
+  test("meanPool matches the declarative posexplode+avg form") {
+    val emb = ops.Tables.embeddings(spark, sf0001)
+      .withColumn("g", floor(col("vec_id") / 8).cast("long"))
+    val pooled = VectorOps.meanPool(emb, Seq("g"), "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val naive = emb
+      .select(col("g"), posexplode(VectorOps.toDoubleArray(col("embedding")))
+        .as(Seq("j", "x")))
+      .groupBy("g", "j").agg(avg(col("x")).as("m"))
+      .groupBy("g").agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+      .select(col("g"), transform(col("jm"), e => e.getField("m")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(pooled.keySet == naive.keySet)
+    for (g <- pooled.keySet) {
+      assert(pooled(g).size == naive(g).size, s"group $g width")
+      assert(pooled(g).zip(naive(g)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"group $g values diverge")
+    }
+  }
+
+  test("meanPool is invariant to input partitioning (mod rounding)") {
+    val emb = ops.Tables.embeddings(spark, sf0001)
+      .withColumn("g", floor(col("vec_id") / 8).cast("long"))
+    def pooled(df: org.apache.spark.sql.DataFrame) =
+      VectorOps.meanPool(df, Seq("g"), "embedding")
+        .select(col("g"), transform(col("mean_vec"), x => round(x, 6)).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(pooled(emb) == pooled(emb.repartition(13)))
+  }
+
+  test("meanPool: null vectors skipped; all-null group yields null; width mix fails") {
+    val df = Seq(
+      (1L, Array(1.0f, 3.0f)), (1L, null.asInstanceOf[Array[Float]]),
+      (1L, Array(3.0f, 5.0f)), (2L, null.asInstanceOf[Array[Float]])).toDF("g", "v")
+    val got = VectorOps.meanPool(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq) == Some(Seq(2.0, 4.0)),
+      s"null rows must not dilute the mean: ${got(1L)}")
+    assert(got(2L).isEmpty, "all-null group must be null, not zero-vector")
+    val mixed = Seq((1L, Array(1.0f)), (1L, Array(1.0f, 2.0f))).toDF("g", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      VectorOps.meanPool(mixed, Seq("g"), "v").collect()
+    }
+    assert(e.getMessage.contains("width mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("width mismatch")))
+  }
 }
