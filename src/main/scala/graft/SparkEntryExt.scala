@@ -1263,13 +1263,19 @@ object SparkEntryExt {
           .agg(count(lit(1)).as("n_queries"), round(avg(col("ndcg")), 6).as("mean_ndcg"))
           .select(lit(name).as("method"), col("n_queries"), col("mean_ndcg"))
       }
+      // lineage cut on the two expensive retrieval passes: the 4-way
+      // union re-evaluates each consumer branch's FULL subtree (the
+      // pipeline_mix_pack lesson) — without these, BM25 over the corpus
+      // and the kNN join each run 3x for one 80-row result
       val lex10 = Retrieval.bm25TopK(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10, maxDfFrac = 0.8)
+        .localCheckpoint(false)
       val dense10 = Knn.knnJoin(
           emb.filter(col("vec_id") < 8),
           emb.select(col("vec_id").as("point_id"), col("embedding")),
           "vec_id", "embedding", "point_id", "embedding", k = 10)
         .select(col("query_id"), col("point_id").as("doc_id"), col("rank"))
+        .localCheckpoint(false)
       val knn5 = dense10.filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("doc_id").as("point_id"))
       val bm5 = lex10.filter(col("rank") <= 5)
