@@ -507,7 +507,11 @@ object SparkEntryExt {
       "ivfpq" -> Pq.ivfpqRerank(queries, "vec_id", "embedding",
         SimilaritySearch.signBucket("embedding", 4),
         points.select(col("point_id"), col("embedding")), "point_id",
-        cb, bcodes, m = 8, dsub = 8, shortlist = 20, k = 3))
+        cb, bcodes, m = 8, dsub = 8, shortlist = 20, k = 3),
+      "bq" -> SimilaritySearch.bqRerankTopK(queries, points,
+        "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 3),
+      "prefix" -> SimilaritySearch.prefixRerankTopK(queries, points,
+        "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 3))
     paths.map { case (name, approx) =>
       SimilaritySearch.recallAtK(exact,
           approx.select(col("query_id"), col("point_id")),
@@ -519,6 +523,16 @@ object SparkEntryExt {
             .as("mean_recall"))
     }.reduce(_.unionByName(_)).orderBy(col("method"))
   }
+
+  /** DuckDB mirror of `SimilaritySearch.packSignBits` word `w`: sign
+    * bits of components `[w*32, min(dim, (w+1)*32))` packed into bit
+    * `31 - (i mod 32)` of one BIGINT — 32-bit words, so every sum stays
+    * positive in both engines.
+    */
+  private def bqWordSql(c: String, w: Int, dim: Int): String =
+    (w * 32 until math.min(dim, (w + 1) * 32))
+      .map(i => s"CASE WHEN $c[${i + 1}] > 0 THEN ${1L << (31 - (i % 32))} ELSE 0 END")
+      .mkString("(", " + ", ")::BIGINT")
 
   private def bucketSql(col: String): String =
     s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
@@ -1356,6 +1370,19 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // binary quantization: 1-bit sign signatures (2 longs per 64-d
+    // vector), Hamming shortlist, full-width cosine re-rank
+    "sim_bq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.bqRerankTopK(
+          emb.filter(col("vec_id") < 10),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1654,13 +1681,48 @@ object SparkEntryExt {
          |adc AS (SELECT query_id, point_id FROM (${pqSelect("adc", qMax = 10, k = 3)})),
          |prr AS (SELECT query_id, point_id FROM (${pqSelect("rerank", qMax = 10, k = 3)})),
          |ipq AS (SELECT query_id, point_id FROM (${pqSelect("ivfpq", qMax = 10, k = 3)})),
+         |bqs AS (
+         |  SELECT vec_id, embedding,
+         |    ${bqWordSql("embedding", 0, 64)} AS w0,
+         |    ${bqWordSql("embedding", 1, 64)} AS w1
+         |  FROM embeddings),
+         |bq AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT query_id, point_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |        q.embedding AS qe, p.embedding AS pe,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY bit_count(xor(q.w0, p.w0)) + bit_count(xor(q.w1, p.w1)) ASC,
+         |            p.vec_id ASC) AS hrank
+         |      FROM bqs q, bqs p WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |      QUALIFY hrank <= 20)
+         |    QUALIFY rank <= 3)),
+         |pfx AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT query_id, point_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |        q.embedding AS qe, p.embedding AS pe,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY ${sqlCos("q.embedding[1:16]", "p.embedding[1:16]")} DESC,
+         |            p.vec_id ASC) AS prank
+         |      FROM embeddings q, embeddings p WHERE q.vec_id < 10 AND p.vec_id >= 10
+         |      QUALIFY prank <= 20)
+         |    QUALIFY rank <= 3)),
          |paths AS (
          |  SELECT 'ivf' AS method, query_id, point_id FROM ivf
          |  UNION ALL SELECT 'ivf_mp', query_id, point_id FROM mp
          |  UNION ALL SELECT 'ivf_trained', query_id, point_id FROM trained
          |  UNION ALL SELECT 'pq_adc', query_id, point_id FROM adc
          |  UNION ALL SELECT 'pq_rerank', query_id, point_id FROM prr
-         |  UNION ALL SELECT 'ivfpq', query_id, point_id FROM ipq),
+         |  UNION ALL SELECT 'ivfpq', query_id, point_id FROM ipq
+         |  UNION ALL SELECT 'bq', query_id, point_id FROM bq
+         |  UNION ALL SELECT 'prefix', query_id, point_id FROM pfx),
          |nq AS (SELECT count(DISTINCT query_id) AS n FROM exact),
          |hits AS (
          |  SELECT p.method, count(*) AS sum_hits
@@ -1672,7 +1734,7 @@ object SparkEntryExt {
          |  CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
          |  round(coalesce(h.sum_hits, 0)::DOUBLE / (3 * nq.n), 6) AS mean_recall
          |FROM (VALUES ('ivf'), ('ivf_mp'), ('ivf_trained'),
-         |      ('pq_adc'), ('pq_rerank'), ('ivfpq')) m(method)
+         |      ('pq_adc'), ('pq_rerank'), ('ivfpq'), ('bq'), ('prefix')) m(method)
          |CROSS JOIN nq
          |LEFT JOIN hits h ON h.method = m.method
          |ORDER BY m.method""".stripMargin
@@ -2648,6 +2710,30 @@ object SparkEntryExt {
          |      ORDER BY ${sqlCos("q.pre", "p.pre")} DESC, p.vec_id) AS prank
          |  FROM q, p
          |  QUALIFY prank <= 20)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+         |  point_id,
+         |  round(${sqlCos("qe", "pe")}, 6) AS score
+         |FROM sl
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim_bq_rerank" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${bqWordSql("embedding", 0, 64)} AS w0,
+         |    ${bqWordSql("embedding", 1, 64)} AS w1
+         |  FROM embeddings),
+         |q AS (SELECT * FROM sig WHERE vec_id < 10),
+         |p AS (SELECT * FROM sig WHERE vec_id >= 10),
+         |sl AS (
+         |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+         |    q.embedding AS qe, p.embedding AS pe,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.w0, p.w0)) + bit_count(xor(q.w1, p.w1)) ASC,
+         |        p.vec_id ASC) AS hrank
+         |  FROM q, p
+         |  QUALIFY hrank <= 20)
          |SELECT query_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,

@@ -98,10 +98,11 @@ class SimilaritySpec extends SparkSpec {
     assert(m(99L) == ((99L, true)), s"singleton keeps itself: $m")
   }
 
-  test("sim_recall_all: six methods, every count within [0, k·queries], recall consistent") {
+  test("sim_recall_all: eight methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
-    assert(methods == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank", "ivfpq"))
+    assert(methods == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank", "ivfpq",
+      "bq", "prefix"))
     rows.foreach { r =>
       val (n, hits, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(n == 10L, s"${r.getString(0)}: expected the 10 fixed queries, got $n")
@@ -111,7 +112,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sim_recall_clustered: planted clusters separate the six paths by quality") {
+  test("sim_recall_clustered: planted clusters separate the eight paths by quality") {
     // On the committed fixture (ClusteredFixture: 8 Gaussian clusters,
     // 64-d) a query's true top-3 are cluster-mates, so recall measures
     // what each index preserves of real structure — unlike the
@@ -119,10 +120,15 @@ class SimilaritySpec extends SparkSpec {
     // deterministic (committed parquet + deterministic training), so
     // these bounds only move if an index implementation changes.
     // Measured r11: trained 1.0, rerank 0.967, mp 0.9, sign 0.733,
-    // ivfpq 0.467, pure-ADC 0.1.
+    // prefix 0.667, bq 0.6, ivfpq 0.467, pure-ADC 0.1.
     val rec = SparkEntry.queries("sim_recall_clustered")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    assert(rec.keySet == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank", "ivfpq"))
+    assert(rec.keySet == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank",
+      "ivfpq", "bq", "prefix"))
+    // the 1-bit and prefix-dim compressions both retain far more of the
+    // planted structure than pure ADC (which quantizes distances away)
+    assert(rec("bq") > rec("pq_adc") + 0.3, s"BQ ~ pure ADC: $rec")
+    assert(rec("prefix") > rec("pq_adc") + 0.3, s"prefix ~ pure ADC: $rec")
     // the trained coarse quantizer (16 cells over 8 planted clusters)
     // recovers the structure outright
     assert(rec("ivf_trained") == 1.0, s"trained IVF lost planted structure: $rec")
@@ -160,6 +166,48 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "rank", "point_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(degraded == exact, "full-prefix full-shortlist must equal exact kNN")
+  }
+
+  test("packSignBits/hamming: known patterns; hamming counts exactly the sign flips") {
+    import spark.implicits._
+    // 33 dims forces a second word with a 1-dim tail
+    val a = Array.tabulate(33)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val b = a.clone(); b(0) = -1.0f; b(32) = -a(32) // flip dims 0 and 32 (word 0 and word 1)
+    val df = Seq((a, b)).toDF("a", "b")
+    val sig = df.select(
+      SimilaritySearch.packSignBits(col("a"), 33).as("sa"),
+      SimilaritySearch.packSignBits(col("b"), 33).as("sb"))
+    val row = sig.select(
+      SimilaritySearch.hamming(col("sa"), col("sb")).as("h"),
+      SimilaritySearch.hammingUnrolled(col("sa"), col("sb"), 33).as("hu"),
+      element_at(col("sa"), 1).as("w0"), element_at(col("sa"), 2).as("w1")).first()
+    assert(row.getAs[Long]("h") == 2L, "exactly the two flipped dims must differ")
+    assert(row.getAs[Long]("hu") == 2L, "unrolled hamming must agree with the HOF form")
+    // word 0 of a: alternating 10... from bit 31 down = 0xAAAAAAAA
+    assert(row.getAs[Long]("w0") == 0xAAAAAAAAL)
+    // word 1: only dim 32 (bit 31) set
+    assert(row.getAs[Long]("w1") == 0x80000000L)
+    // self-hamming is zero
+    assert(sig.select(SimilaritySearch.hamming(col("sa"), col("sa"))).first().getLong(0) == 0L)
+  }
+
+  test("bqRerankTopK degrades to exact kNN at full shortlist; scores are full-width") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    val nPoints = points.count().toInt
+    val exact = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
+      .select("query_id", "rank", "point_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    val degraded = SimilaritySearch.bqRerankTopK(queries, points,
+        "vec_id", "point_id", "embedding", dim = 64, shortlist = nPoints, k = 5)
+      .select("query_id", "rank", "point_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degraded == exact, "full-shortlist BQ must equal exact kNN")
+    val got = SimilaritySearch.bqRerankTopK(queries, points,
+      "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 5)
+    assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
   }
 
   test("prefixRerankTopK: scores are full-width; shortlist bounds the candidates") {
