@@ -387,13 +387,15 @@ object SimilaritySearch {
     * the float vector it summarizes — so the corpus-wide pass reads a
     * fraction of the bytes and spends 2 ALU ops per 32 components vs
     * 32 FMAs; materialize the signature at ingest ([[packSignBits]]
-    * is a plain column) and the raw vector column is only read for
-    * the `shortlist` survivors per query (lazy projection after the
-    * filter, the [[prefixRerankTopK]] discipline). Broadcast +
-    * WindowGroupLimit shapes throughout; the point side never
-    * shuffles. Output: `(query_id, rank, point_id, score)` —
-    * full-width cosine scores; shortlist ties broken `(hamming ASC,
-    * point_id ASC)`, final ties `(score DESC, point_id ASC)`.
+    * is a plain column) and the raw vector column is fetched BY ID
+    * for the `shortlist` survivors per query only (phase 2 below, the
+    * [[graft.ops.Pq.adcRerank]] broadcast-join discipline). Broadcast
+    * + WindowGroupLimit shapes for the pair pass; the only point-side
+    * movement is one ~16-byte/row exchange of the signature table
+    * (see the in-body comment for why that boundary is load-bearing).
+    * Output: `(query_id, rank, point_id, score)` — full-width cosine
+    * scores; shortlist ties broken `(hamming ASC, point_id ASC)`,
+    * final ties `(score DESC, point_id ASC)`.
     */
   def bqRerankTopK(
       queries: DataFrame,
@@ -406,21 +408,42 @@ object SimilaritySearch {
       k: Int): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need shortlist ($shortlist) >= k ($k) >= 1")
+    // Phase 1 — Hamming shortlist over the NARROW signature table
+    // (point_id + dim/32 longs; the raw vector column never enters the
+    // pair join). The repartition below the pack projection is
+    // deliberate and load-bearing: whole-stage codegen evaluates a
+    // stream-side projection LAZILY inside the nested-loop join's
+    // inner loop, so without a materialization boundary packSignBits
+    // runs once per PAIR, not per point — measured 48 s vs 6 s for the
+    // same join at the 100x smoke (SCALING.md round 11). The exchange
+    // shuffles only ~16 bytes/row — at any corpus size this is the
+    // cheapest boundary that forces one-pack-per-row; a production
+    // deployment materializes signatures at ingest and skips it.
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"),
-      col(vecCol).as("__qvec"),
       packSignBits(col(vecCol), dim).as("__qsig")))
+    val sigs = points
+      .select(col(pointIdCol).as("point_id"), packSignBits(col(vecCol), dim).as("__psig"))
+      .repartition(col("point_id"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("__ham").asc, col("point_id").asc)
-    val wFull = Window.partitionBy(col("query_id"))
-      .orderBy(desc("score"), col("point_id").asc)
-    points
-      .select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"),
-        packSignBits(col(vecCol), dim).as("__psig"))
-      .crossJoin(q)
+    val shortIds = sigs.crossJoin(q)
       .withColumn("__ham", hammingUnrolled(col("__qsig"), col("__psig"), dim))
       .withColumn("__hrank", row_number().over(wPre))
       .filter(col("__hrank") <= shortlist)
+      .select(col("query_id"), col("point_id"))
+    // Phase 2 — fetch raw vectors BY ID for the shortlist only and
+    // re-rank at full width (the Pq.adcRerank discipline: the wide
+    // column is read for shortlist x queries rows, never corpus-wide).
+    // The shortlist side is queries x shortlist rows — broadcast it so
+    // the point table streams through one hash probe.
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("point_id").asc)
+    points
+      .select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
+      .join(broadcast(shortIds), Seq("point_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qvec"))), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("__qvec"), col("__pvec")))
       .withColumn("rank", row_number().over(wFull).cast("long"))
       .filter(col("rank") <= k)
