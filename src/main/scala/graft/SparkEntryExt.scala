@@ -1383,7 +1383,16 @@ object SparkEntryExt {
         .select(col("query_id"), col("rank"), col("point_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+    // histogram-sketch quantiles: bounded-state mergeable quantile
+    // estimates whose state AND estimates are oracle-hashable
+    "q_hist_quantiles" -> ((s, d) =>
+      Relational.histogramQuantiles(Tables.orders(s, d), "o_orderpriority",
+        "o_totalprice", bins = 64, qs = Seq(0.5, 0.9, 0.99))),
+    // key-skew profile: the diagnostic read before choosing salting /
+    // AQE skew handling — hottest-key share, max/mean, count quantiles
+    "q_skew_diag" -> ((s, d) =>
+      Relational.skewDiagnostics(Tables.events(s, d), "user_id"))
   )
 
   /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
@@ -2741,6 +2750,49 @@ object SparkEntryExt {
          |  round(${sqlCos("qe", "pe")}, 6) AS score
          |FROM sl
          |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hist_quantiles" ->
+      """WITH stats AS (
+        |  SELECT o_orderpriority, min(o_totalprice::DOUBLE) AS lo,
+        |    max(o_totalprice::DOUBLE) AS hi, count(*) AS n,
+        |    (max(o_totalprice::DOUBLE) - min(o_totalprice::DOUBLE)) / 64 AS w
+        |  FROM orders GROUP BY 1),
+        |counts AS (
+        |  SELECT o.o_orderpriority,
+        |    CASE WHEN s.w > 0
+        |      THEN least(floor((o.o_totalprice::DOUBLE - s.lo) / s.w), 63)::BIGINT
+        |      ELSE 0 END AS b,
+        |    count(*) AS c, min(s.lo) AS lo, min(s.w) AS w, min(s.n) AS n
+        |  FROM orders o JOIN stats s USING (o_orderpriority)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |qq AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |hit AS (
+        |  SELECT c.o_orderpriority, q.q, c.n, c.lo, c.w, c.b, c.c, c.cum,
+        |    q.q * c.n AS r,
+        |    row_number() OVER (PARTITION BY c.o_orderpriority, q.q ORDER BY c.b) AS rn
+        |  FROM cum c CROSS JOIN qq q
+        |  WHERE c.cum >= q.q * c.n)
+        |SELECT o_orderpriority, q, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN w > 0 THEN lo + w * (b + (r - (cum - c)) / c)
+        |    ELSE lo END, 6) AS est
+        |FROM hit WHERE rn = 1
+        |ORDER BY o_orderpriority, q""".stripMargin,
+    "q_skew_diag" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_cnt, avg(c) AS mean_raw,
+        |  round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+        |  round(quantile_cont(c, 0.99), 6) AS p99_cnt FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS top10 FROM (
+        |  SELECT c, user_id FROM c ORDER BY c DESC, user_id LIMIT 10))
+        |SELECT n_rows, n_keys, max_cnt, round(mean_raw, 6) AS mean_cnt,
+        |  p50_cnt, p99_cnt,
+        |  round(max_cnt / mean_raw, 6) AS max_over_mean,
+        |  round(max_cnt::DOUBLE / n_rows, 6) AS top1_share,
+        |  round(t.top10::DOUBLE / n_rows, 6) AS top10_share
+        |FROM s, t""".stripMargin
   )
 }

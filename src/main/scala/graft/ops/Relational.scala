@@ -409,4 +409,96 @@ object Relational {
           greatest(col("n").cast("double") * 0.01, lit(2.0))).as("median_within_bound"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Histogram-sketch quantiles: per-group equi-width histogram of
+    * `valCol` (`bins` buckets over the group's own [min, max]), then
+    * quantile estimates by linear interpolation inside the bucket
+    * holding the target rank — the mergeable bounded-state quantile
+    * the sketch family (KMV / Misra-Gries / Bloom / CMS) lacked.
+    * Unlike `approx_percentile` (engine-specific sketch internals —
+    * rows-only checkable) or exact `percentile` (O(distinct values)
+    * state), the histogram estimate is a pure arithmetic function of
+    * the bucket counts, so BOTH the state and the estimates are
+    * deterministic and oracle-hashable, and the error is bounded by
+    * the bucket width by construction. Two passes: per-group range
+    * (one shuffle of `groups` rows), then bucket counts (one shuffle
+    * of `groups x bins` rows, map-side combined) — at 100 TB both
+    * shuffle volumes are index-sized, never data-sized, which is the
+    * point of histogramming instead of sorting.
+    * Output: `(group, q, n, est)` — one row per requested quantile.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    val v = col(valCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("n"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / bins)
+    val bucket = when(col("__w") > 0.0,
+      least(floor((v - col("__lo")) / col("__w")), lit(bins - 1)).cast("long"))
+      .otherwise(lit(0L))
+    // group stats ride the count aggregation as per-group-constant mins
+    // (no second scan/join of `df` for the range pass-through)
+    val counts = df
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("__b", bucket)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"),
+        min(col("__lo")).as("__lo"), min(col("__w")).as("__w"), min(col("n")).as("n"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(wCum))
+    // explode the quantile list against every bucket; the target bucket
+    // for q is the FIRST whose cumulative count reaches rank = q*n
+    val wFirst = Window.partitionBy(col(groupCol), col("q")).orderBy(col("__b"))
+    cum
+      .withColumn("q", explode(lit(qs.toArray)))
+      .withColumn("__rank", col("q") * col("n"))
+      .filter(col("__cum") >= col("__rank"))
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("q"), col("n"),
+        round(when(col("__w") > 0.0,
+            col("__lo") + col("__w") * (col("__b") +
+              (col("__rank") - (col("__cum") - col("__c"))) / col("__c")))
+          .otherwise(col("__lo")), 6).as("est"))
+      .orderBy(col(groupCol), col("q"))
+  }
+
+  /** Key-skew diagnostics: the one-row profile a pipeline reads BEFORE
+    * choosing a skew mitigation (salting / AQE skew-join / isolating
+    * hot keys) — per-key exact counts reduced to the ratios that
+    * matter: how hot is the hottest key vs the mean, and what share of
+    * all rows do the top keys hold. One count aggregation (map-side
+    * combined, shuffle volume = distinct keys) + one tiny reduction
+    * over the per-key counts; nothing here is data-sized after the
+    * first combine, at any corpus size. `p50_cnt`/`p99_cnt` are exact
+    * percentiles over the (distinct-key-sized) count table.
+    */
+  def skewDiagnostics(df: DataFrame, keyCol: String): DataFrame = {
+    // lineage cut: the count table feeds two reductions (summary +
+    // top-10) — without it each branch re-aggregates the full input
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val summary = counts.agg(
+      sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__c")).as("max_cnt"),
+      avg(col("__c")).as("__mean_raw"),
+      round(expr("percentile(__c, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(__c, 0.99)"), 6).as("p99_cnt"))
+    // top-10 via orderBy+limit → TakeOrderedAndProject (distributed
+    // partial top-k) — NOT an unpartitioned rank window
+    val top10 = counts.orderBy(desc("__c"), col(keyCol).asc).limit(10)
+      .agg(sum(col("__c")).as("__top10"))
+    summary.crossJoin(top10)
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("__mean_raw"), 6).as("mean_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt") / col("__mean_raw"), 6).as("max_over_mean"),
+        round(col("max_cnt").cast("double") / col("n_rows"), 6).as("top1_share"),
+        round(col("__top10").cast("double") / col("n_rows"), 6).as("top10_share"))
+  }
 }

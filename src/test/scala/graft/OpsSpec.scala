@@ -579,4 +579,49 @@ class OpsSpec extends SparkSpec {
     val r = back.first()
     assert(r.getString(0) == "line1\nline2" && r.getString(2) == "1319/2512")
   }
+
+  test("histogramQuantiles: estimates within one bucket width of exact quantiles") {
+    val orders = Tables.orders(spark, sf0001)
+    val got = Relational.histogramQuantiles(orders, "o_orderpriority", "o_totalprice",
+        bins = 64, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("p"),
+        ((max(col("o_totalprice")) - min(col("o_totalprice"))) / 64).as("w"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Double](1)
+        Seq(0.5, 0.9, 0.99).zip(ps).map { case (q, p) =>
+          (r.getString(0), q) -> ((p, r.getDouble(2)))
+        }
+      }.toMap
+    assert(got.keySet == exact.keySet)
+    for ((k, est) <- got) {
+      val (p, w) = exact(k)
+      assert(math.abs(est - p) <= w + 1e-6,
+        s"$k: histogram estimate $est further than one bucket width ($w) from exact $p")
+    }
+  }
+
+  test("histogramQuantiles: degenerate group (all values equal) returns that value") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val got = Relational.histogramQuantiles(df, "g", "v", bins = 4, qs = Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(got(("a", 0.5)) == 5.0 && got(("a", 1.0)) == 5.0,
+      s"zero-width group must return its single value: $got")
+    // q=1.0 of group b must reach the max exactly
+    assert(math.abs(got(("b", 1.0)) - 3.0) < 1e-9, s"q=1 must hit max: $got")
+  }
+
+  test("skewDiagnostics: hand-built skew — hot key shares and ratios exact") {
+    // key 1 -> 90 rows, keys 2..11 -> 1 row each: n=100, 11 keys
+    val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val r = Relational.skewDiagnostics(df, "k").first()
+    assert(r.getAs[Long]("n_rows") == 100L && r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("max_cnt") == 90L)
+    assert(r.getAs[Double]("top1_share") == 0.9)
+    // top 10 keys by count = hot key + 9 singletons = 99 rows
+    assert(r.getAs[Double]("top10_share") == 0.99)
+    assert(math.abs(r.getAs[Double]("max_over_mean") - 90.0 / (100.0 / 11)) < 1e-4)
+  }
 }
