@@ -133,6 +133,28 @@ class PlanSpec extends SparkSpec {
       s"the per-query LUT must broadcast into the code join:\n$plan")
   }
 
+  test("BQ search: signature pack is materialized behind an exchange, never inside the pair loop") {
+    // The load-bearing boundary of bqRerankTopK (SCALING.md round 11):
+    // whole-stage codegen evaluates stream-side projections lazily
+    // inside a nested-loop join's inner loop, so WITHOUT an exchange
+    // between packSignBits and the cross join the 64-branch pack runs
+    // once per PAIR (measured 9x at the 100x smoke). Pin: the plan must
+    // carry a hash-partitioning exchange on point_id below the BNLJ,
+    // and the raw vector fetch must be a broadcast hash join (phase 2),
+    // not part of the pair pass.
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = formatted(SimilaritySearch.bqRerankTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10).select(col("vec_id").as("point_id"), col("embedding")),
+      "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 5))
+    assert(plan.contains("hashpartitioning(point_id"),
+      s"signature table not exchanged on point_id — pack would re-run per pair:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"Hamming pair pass must broadcast the query signatures:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist vector fetch must be a broadcast id join:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
