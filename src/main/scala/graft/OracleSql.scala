@@ -53,6 +53,26 @@ object OracleSql {
        |ORDER BY t.term""".stripMargin
   }
 
+  /** The upsert-merge summary both `q_upsert` (batch) and
+    * `stream_upsert` (micro-batched CDC into the partitioned store)
+    * must hash-match — ONE definition, so the two checks cannot drift:
+    * merge-by-key is batch-slicing invariant, which is exactly what
+    * sharing this SQL asserts.
+    */
+  val upsertMergedSummarySql: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |merged AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |  UNION ALL SELECT * FROM updates)
+      |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // Vector math with exact fold-order parity to VectorOps (double cast,
   // sequential left-fold — bit-identical scores pre-rounding).
   def sqlSumSq(a: String): String =

@@ -264,19 +264,7 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
-    "q_upsert" ->
-      """WITH updates AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 10 = 0),
-        |merged AS (
-        |  SELECT * FROM orders
-        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-        |  UNION ALL SELECT * FROM updates)
-        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM merged
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+    "q_upsert" -> OracleSql.upsertMergedSummarySql,
     "v_normalize" ->
       s"""SELECT vec_id, round(norm, 6) AS norm,
          |  round(embedding[1]::DOUBLE / (CASE WHEN norm = 0 THEN 1.0 ELSE norm END), 6)

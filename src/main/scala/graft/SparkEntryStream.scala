@@ -104,7 +104,41 @@ object SparkEntryStream {
     // continuous serving: streamed query vectors answered per
     // micro-batch with the batch kNN against the static corpus; hits
     // over two batches ≡ one batch kNN join
-    "stream_search" -> ((s, d) => runSearchOnce(s, d)))
+    "stream_search" -> ((s, d) => runSearchOnce(s, d)),
+    // CDC into the partitioned lake store: micro-batched updates merged
+    // by key via upsertPartitioned; final table ≡ the one-shot batch
+    // upsert (the SAME oracle SQL as q_upsert — merge-by-key is
+    // batch-slicing invariant over disjoint key sets)
+    "stream_upsert" -> ((s, d) => runUpsertOnce(s, d)))
+
+  /** Drive [[EventStream.upsertStream]]: the orders table is staged as
+    * a store PARTITIONED by `o_orderstatus`, the `q_upsert` update set
+    * (every 10th key, price ×1.1) arrives in TWO micro-batches (split
+    * by key % 20), each merged by [[graft.ops.Store.upsertPartitioned]]
+    * — and the final store must hash-match the one-shot batch upsert.
+    */
+  private def runUpsertOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-ups-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-ups-store").toString + "/orders"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.partitionBy("o_orderstatus").parquet(store)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    updates.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)
+    val q = EventStream.upsertStream(spark, in, updates.schema, store,
+      "o_orderkey", "o_orderstatus")
+    try {
+      EventStream.drainAll(spark, q, in)
+      updates.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
+    spark.read.parquet(store)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Drive [[EventStream.searchStream]]: query vectors vec_id < 10
     * arrive in TWO micro-batches (split at 5) against the static
@@ -245,6 +279,9 @@ object SparkEntryStream {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // literally the q_upsert oracle (single-sourced in OracleSql):
+    // micro-batch slicing must not move the merged table
+    "stream_upsert" -> OracleSql.upsertMergedSummarySql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -412,6 +412,37 @@ object EventStream {
       .start()
   }
 
+  /** CDC-style continuous upsert into a PARTITIONED Parquet store:
+    * each micro-batch of update rows is merged via
+    * [[graft.ops.Store.upsertPartitioned]] — only the partitions a
+    * batch touches are rewritten, untouched partition directories keep
+    * their exact bytes (the OpsSpec byte-for-byte pin), and the swap
+    * is the trash-staged crash-recoverable one. Batch boundaries
+    * cannot change the final table as long as each key arrives once
+    * across the stream (the caller's CDC dedup contract — compose
+    * [[dedupStream]] upstream otherwise): merge-by-key is
+    * order-independent across disjoint key sets, which is the
+    * `stream_upsert` ≡ batch-upsert oracle. A replayed micro-batch
+    * (foreachBatch is at-least-once) re-merges the same keys into the
+    * same values — idempotent, the exactly-once-EFFECT contract. At
+    * scale this is the ingest half of a partitioned lake table: shuffle
+    * volume per batch is O(batch + touched partitions), never
+    * O(table).
+    */
+  def upsertStream(spark: SparkSession, inputDir: String,
+      schema: StructType, storePath: String, keyCol: String,
+      partitionCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Store.upsertPartitioned(batch.sparkSession, storePath,
+          batch, keyCol, partitionCol)
+      }
+      .start()
+  }
+
   /** Incremental Count–Min maintenance: each micro-batch's tokens
     * aggregate into ONE bounded sketch, persisted as
     * `sketch_<batchId>.bin` (write-temp + atomic move; a replayed batch

@@ -54,6 +54,25 @@ class OpsSpec extends SparkSpec {
       s"partition values did not become a PartitionFilter:\n$plan")
   }
 
+  test("upsertPartitioned: replaying the same batch is a no-op on values (stream_upsert contract)") {
+    // foreachBatch is at-least-once: a crash after a partial commit
+    // replays the whole micro-batch, so the streaming CDC path
+    // (EventStream.upsertStream) is only exactly-once-in-EFFECT if
+    // re-merging identical updates converges to the same table
+    val dir = java.nio.file.Files.createTempDirectory("upsertrp").toString + "/t"
+    val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    val upd = Seq((1L, "en", "A2"), (3L, "en", "c")).toDF("id", "lang", "v")
+    Store.upsertPartitioned(spark, dir, upd, "id", "lang")
+    val once = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    Store.upsertPartitioned(spark, dir, upd, "id", "lang")
+    val twice = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(once == twice && once == Set((1L, "A2", "en"), (3L, "c", "en"), (2L, "b", "de")),
+      s"replay must converge: once=$once twice=$twice")
+  }
+
   test("upsertPartitioned: URI-escaping partition value rejected before live data is touched") {
     val dir = java.nio.file.Files.createTempDirectory("upsertesc").toString + "/t"
     val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
