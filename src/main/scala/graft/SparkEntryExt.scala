@@ -1392,7 +1392,20 @@ object SparkEntryExt {
     // key-skew profile: the diagnostic read before choosing salting /
     // AQE skew handling — hottest-key share, max/mean, count quantiles
     "q_skew_diag" -> ((s, d) =>
-      Relational.skewDiagnostics(Tables.events(s, d), "user_id"))
+      Relational.skewDiagnostics(Tables.events(s, d), "user_id")),
+    // sliding-window chunking with overlap (chunk_size=40 tokens,
+    // stride=30 => 10-token overlap) — the RAG-standard splitter
+    "q_chunk_overlap" -> ((s, d) =>
+      Chunker.slidingChunks(Tables.documents(s, d).filter(col("doc_id") < 100),
+          Seq("doc_id"), "text", windowTokens = 40, strideTokens = 30)
+        .select(col("doc_id"), col("win_index"), col("win_start"), col("n_tokens"),
+          Dedup.h32(col("chunk_text")).as("chunk_checksum"))
+        .orderBy(col("doc_id"), col("win_index"))),
+    // length-bucketed inference batching: similar-length docs batched
+    // together; per-batch padding-waste fraction
+    "q_length_batches" -> ((s, d) =>
+      TextAnalysis.lengthBatches(Tables.documents(s, d), "doc_id", "text",
+        batchSize = 32))
   )
 
   /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
@@ -2793,6 +2806,43 @@ object SparkEntryExt {
         |  round(max_cnt / mean_raw, 6) AS max_over_mean,
         |  round(max_cnt::DOUBLE / n_rows, 6) AS top1_share,
         |  round(t.top10::DOUBLE / n_rows, 6) AS top10_share
-        |FROM s, t""".stripMargin
+        |FROM s, t""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 100),
+         |w AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 40 THEN 1
+         |      ELSE ceil((len(t) - 40)::DOUBLE / 30)::BIGINT + 1 END AS nw
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_index,
+         |    CAST((i - 1) * 30 AS BIGINT) AS win_start,
+         |    t[(i - 1) * 30 + 1 : (i - 1) * 30 + 40] AS win
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, nw)) AS i) g)
+         |SELECT doc_id, win_index, win_start,
+         |  CAST(len(win) AS BIGINT) AS n_tokens,
+         |  ${h32Sql("array_to_string(win, ' ')")} AS chunk_checksum
+         |FROM wins
+         |WHERE len(win) > 0
+         |ORDER BY doc_id, win_index""".stripMargin,
+    "q_length_batches" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |b AS (
+         |  SELECT doc_id, n, CAST(length(bin(n)) AS BIGINT) AS len_bucket,
+         |    row_number() OVER (PARTITION BY length(bin(n))
+         |      ORDER BY n, doc_id) AS rn
+         |  FROM t)
+         |SELECT len_bucket, CAST((rn - 1) // 32 AS BIGINT) AS batch_idx,
+         |  count(*) AS n_docs,
+         |  CAST(max(n) AS BIGINT) AS max_tokens,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  round(1.0 - sum(n)::DOUBLE / (count(*) * max(n)), 6) AS pad_frac
+         |FROM b
+         |GROUP BY len_bucket, (rn - 1) // 32
+         |ORDER BY len_bucket, batch_idx""".stripMargin
   )
 }

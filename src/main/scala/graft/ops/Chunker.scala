@@ -54,4 +54,49 @@ object Chunker {
     */
   def dumpLine(page: Column, chunkIndex: Column, text: Column): Column =
     format_string("[Page %s | Chunk %s]\n%s\n", page, chunkIndex, text)
+
+  /** Sliding-window chunking with overlap — the RAG-standard splitter
+    * the reference's separator chunker lacks (every production chunker
+    * offers `chunk_size` + `chunk_overlap`; overlap keeps sentences
+    * that straddle a boundary retrievable from BOTH sides). Windows of
+    * `windowTokens` whitespace tokens start every `strideTokens`
+    * (stride < window ⇒ overlap); the LAST window may be shorter, and
+    * empty windows are dropped — an empty/whitespace-only document
+    * yields no rows, and stride > window can never emit phantom rows. Like [[chunk]] this
+    * is a narrow generator — tokens materialize in their own projection
+    * (HOF lambdas re-evaluate inlined argument subtrees per element),
+    * then one `sequence`+`posexplode`; no shuffle, pipelines over the
+    * scan at any corpus size.
+    * Output: idCols..., `win_index LONG` (0-based), `win_start LONG`
+    * (token offset), `n_tokens LONG`, `chunk_text STRING`.
+    */
+  def slidingChunks(
+      docs: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1,
+      s"need windowTokens ($windowTokens) >= 1 and strideTokens ($strideTokens) >= 1")
+    val toks = filter(split(trim(col(textCol)), " "), t => t =!= "")
+    val nWins = when(col("__len") <= windowTokens, lit(1L))
+      .otherwise(ceil((col("__len") - lit(windowTokens)).cast("double") / strideTokens)
+        .cast("long") + 1L)
+    docs
+      .select(idCols.map(col) :+ toks.as("__t"): _*)
+      .withColumn("__len", size(col("__t")).cast("long"))
+      .withColumn("__w", nWins)
+      .select(idCols.map(col) :+
+        posexplode(transform(sequence(lit(0L), col("__w") - 1),
+          i => struct(
+            (i * strideTokens).as("start"),
+            slice(col("__t"), (i * strideTokens + 1).cast("int"), lit(windowTokens))
+              .as("win")))): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("pos").cast("long").as("win_index"),
+        col("col.start").as("win_start"),
+        size(col("col.win")).cast("long").as("n_tokens"),
+        array_join(col("col.win"), " ").as("chunk_text")): _*)
+      .filter(col("n_tokens") > 0)
+  }
 }

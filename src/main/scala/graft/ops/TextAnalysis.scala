@@ -82,6 +82,42 @@ object TextAnalysis {
         greatest(size(regexTokens(col(textCol))).cast("double"), lit(1.0)), 6)
         .as("chars_per_token"))
 
+  /** Length-bucketed inference batching: group documents of similar
+    * token length into fixed-size batches and report each batch's
+    * padding efficiency — the dynamic-batching prep every transformer
+    * inference/training loop runs (batching by length bounds the
+    * padding waste that random batching pays: a 10-token doc padded to
+    * a 2000-token batch max wastes 99.5% of its rows). Buckets are
+    * power-of-two token-length ranges via `length(bin(n))` —
+    * integer-exact in any engine, no float log2 edge at exact powers —
+    * and ranking is WITHIN a bucket (a partitioned window, never a
+    * global one; at 100 TB the per-bucket rank would shard like
+    * [[packSequences]]' two-phase prefix sum, documented trade).
+    * Output per batch: `(len_bucket, batch_idx, n_docs, max_tokens,
+    * sum_tokens, pad_frac)` where `pad_frac` is the wasted fraction of
+    * the padded token matrix.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize ($batchSize) must be >= 1")
+    val t = docs.select(col(idCol).as("__id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("len_bucket", length(bin(col("n_tokens"))).cast("long"))
+    val w = Window.partitionBy(col("len_bucket"))
+      .orderBy(col("n_tokens").asc, col("__id").asc)
+    t.withColumn("batch_idx", floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("len_bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_frac",
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"), 6))
+      .orderBy(col("len_bucket"), col("batch_idx"))
+  }
+
   /** Per-doc repetition signals — the Gopher/C4-family quality filters
     * that catch degenerate generated/boilerplate text: fraction of the
     * doc taken by its most frequent unigram and bigram, and the

@@ -632,6 +632,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(("b", 1.0)) - 3.0) < 1e-9, s"q=1 must hit max: $got")
   }
 
+  test("lengthBatches: bucket bounds, batch size cap, pad_frac of a known batch") {
+    // lengths 1,2,3 land in buckets 1,2,2; batchSize 2 splits bucket 2
+    // docs (lengths 2,3) into one batch: pad = 1 - 5/(2*3)
+    val df = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBatches(df, "doc_id", "text", batchSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 0L), (2L, 0L), (4L, 0L)), s"buckets wrong: $got")
+    assert(got((2L, 0L)) == ((2L, 3L, 5L, round6(1.0 - 5.0 / 6))), s"batch stats: $got")
+    assert(got((1L, 0L)) == ((1L, 1L, 1L, 0.0)))
+    // every batch is within the size cap
+    assert(got.values.forall(_._1 <= 2L))
+  }
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("skewDiagnostics: hand-built skew — hot key shares and ratios exact") {
     // key 1 -> 90 rows, keys 2..11 -> 1 row each: n=100, 11 keys
     val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
