@@ -144,6 +144,20 @@ object SparkEntry {
         .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
       Eval.ndcgAtK(hits, "query_id", "rank", "rel").orderBy(col("query_id"))
     }),
+    // average precision per query over the same label-relevance kNN
+    // ranking — the third IR axis (position-sensitive, ungraded);
+    // mean over the rows = MAP
+    "eval_map" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val points = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"), col("embedding"), col("label").as("p_label"))
+      val hits = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
+        .join(queries.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+          "query_id")
+        .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
+      Eval.apAtK(hits, "query_id", "rank", "rel").orderBy(col("query_id"))
+    }),
     // §3.2 + §3.3 chained end-to-end IN ONE CHECKED QUERY: retrieval
     // (kNN) → rank-ordered prediction text (retrieval-only L2 ceiling)
     // → Recall@5 / MRR@5 against a stand-in gold (the query document's
@@ -415,6 +429,39 @@ object SparkEntry {
          |SELECT query_id, n_rel, round(dcg, 6) AS dcg,
          |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
          |FROM norm ORDER BY query_id""".stripMargin,
+    "eval_map" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding, label AS q_label
+         |  FROM embeddings WHERE vec_id < 10),
+         |p AS (
+         |  SELECT vec_id AS point_id, embedding, label AS p_label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |hits AS (
+         |  SELECT query_id, rank, q_label, p_label FROM (
+         |    SELECT q.query_id, q.q_label, p.p_label,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.embedding", "p.embedding")} DESC, p.point_id) AS BIGINT)
+         |        AS rank
+         |    FROM q, p
+         |    QUALIFY rank <= 5)),
+         |rel AS (
+         |  SELECT query_id, rank,
+         |    CASE WHEN q_label = p_label THEN 1 ELSE 0 END AS rel
+         |  FROM hits),
+         |terms AS (
+         |  SELECT query_id, rank, rel,
+         |    rel::DOUBLE * (sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+         |      ROWS UNBOUNDED PRECEDING))::DOUBLE / rank AS term
+         |  FROM rel)
+         |SELECT query_id,
+         |  CAST(sum(rel) AS BIGINT) AS n_rel,
+         |  round(CASE WHEN sum(rel) >= 1 THEN
+         |      list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY rank)),
+         |        (a, b) -> a + b) / sum(rel)
+         |    ELSE 0.0 END, 6) AS ap
+         |FROM terms
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
     "eval_macro" ->
       """WITH g AS (
         |  SELECT user_id,

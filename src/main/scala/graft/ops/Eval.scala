@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IR-metrics evaluation — `evaluate_mrr_at_k` (`Qdrant/llm.py:138-163`):
@@ -85,6 +86,37 @@ object Eval {
         round(col("__dcg"), 6).as("dcg"),
         round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0d)), 6)
           .as("ndcg"))
+  }
+
+  /** Average precision at k (per query) — the third standard IR
+    * quality axis next to recall@k (set coverage, position-blind) and
+    * nDCG (graded, log-discounted): AP averages precision AT EACH
+    * relevant position, so it rewards placing every relevant hit
+    * early, not just the first (MRR) or any (recall). AP =
+    * (1/n_rel) Σ_i rel_i · (cum_rel_i / i) over the retrieved ranking;
+    * queries with no relevant hit report 0.0. Numerics: cumulative
+    * hit counts are exact integers from a partitioned window, and the
+    * final sum is a SEQUENTIAL ascending-rank fold (the [[ndcgAtK]]
+    * discipline), so any engine folding the same way is bit-identical
+    * pre-rounding. Output: `(query_id, n_rel, ap)`; mean over queries
+    * = MAP.
+    */
+  def apAtK(hits: DataFrame, queryCol: String, rankCol: String, relCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = hits.select(col(queryCol).as("query_id"),
+        col(rankCol).cast("long").as("r"), col(relCol).cast("long").as("rel"))
+      .withColumn("__term",
+        col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
+          col("r").cast("double"))
+    terms.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sort_array(collect_list(struct(col("r"), col("__term").as("t")))).as("__ps"))
+      .select(col("query_id"), col("n_rel"),
+        round(when(col("n_rel") >= 1,
+            aggregate(col("__ps"), lit(0.0d), (acc, p) => acc + p.getField("t")) /
+              col("n_rel").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("ap"))
   }
 
   /** E8: macro averages; 0.0 on empty input for parity with the

@@ -72,6 +72,28 @@ class EvalSpec extends SparkSpec {
     assert(m(3L) == ((0L, 0.0, 0.0)), s"q3: ${m(3L)}")
   }
 
+  test("AP: hand-computed values, perfect ordering, zero-relevant guard, partition-invariant") {
+    // q1: rel at ranks 1 and 3 → ap = (1/1 + 2/3) / 2 = 0.833333
+    // q2: all relevant in order → ap = 1.0 exactly
+    // q3: nothing relevant → 0.0 (guard, not NaN)
+    // q4: rel only at rank 3 → ap = (1/3) / 1 = 0.333333 (MRR-like tail)
+    val hits = Seq(
+      (1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1),
+      (2L, 1L, 1), (2L, 2L, 1),
+      (3L, 1L, 0), (3L, 2L, 0),
+      (4L, 1L, 0), (4L, 2L, 0), (4L, 3L, 1)).toDF("query_id", "rank", "rel")
+    val m = Eval.apAtK(hits, "query_id", "rank", "rel")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((2L, 0.833333)), s"q1: ${m(1L)}")
+    assert(m(2L) == ((2L, 1.0)), s"q2: ${m(2L)}")
+    assert(m(3L) == ((0L, 0.0)), s"q3: ${m(3L)}")
+    assert(m(4L) == ((1L, 0.333333)), s"q4: ${m(4L)}")
+    def at(parts: Int) =
+      Eval.apAtK(hits.repartition(parts), "query_id", "rank", "rel")
+        .orderBy("query_id").collect().toSeq
+    assert(at(1) == at(7), "ap must not depend on how rows are partitioned")
+  }
+
   test("nDCG is invariant to input partitioning (deterministic fold order)") {
     val hits = Seq((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0))
       .toDF("query_id", "rank", "rel")
