@@ -129,6 +129,53 @@ object VectorOps {
         round(min(col("__x")), 6).as("min_x"),
         round(max(col("__x")), 6).as("max_x"))
 
+  /** Per-dimension distribution DRIFT between two slices of a vector
+    * corpus — the monitor a vector store runs when the encoder, the
+    * upstream corpus, or a migration may have moved the embedding
+    * distribution (drift silently degrades every ANN structure and
+    * every trained quantizer; [[dimStats]] sees one snapshot, this
+    * compares two). Metric: population stability index per dimension —
+    * equi-width histograms over the dimension's pooled range,
+    * Laplace-smoothed shares, PSI_j = Σ_b (pa−pb)·ln(pa/pb) (the
+    * credit-scoring drift standard: <0.1 stable, >0.25 shifted).
+    * Buckets observed in NEITHER slice are skipped (their smoothed
+    * term is near-zero and both engines enumerate the same observed
+    * set, keeping the oracle exact). Shuffle volume after the
+    * posexplode combine is `dim × bins` cells — index-sized at any
+    * corpus size, same shape discipline as [[dimStats]] /
+    * `Relational.histogramQuantiles`. Output: `(dim [1-based], n_a,
+    * n_b, psi)`.
+    */
+  def dimDrift(points: DataFrame, vecCol: String, isB: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val x = points
+      .select(isB.cast("int").as("__s"),
+        posexplode(toDoubleArray(col(vecCol))).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).cast("long").as("dim"), col("__s"), col("__x"))
+    val rng = x.groupBy(col("dim"))
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / bins)
+    val bucket = when(col("__w") > 0.0,
+      least(floor((col("__x") - col("__lo")) / col("__w")), lit(bins - 1)).cast("long"))
+      .otherwise(lit(0L))
+    val w = Window.partitionBy(col("dim"))
+    x.join(broadcast(rng), Seq("dim"))
+      .withColumn("__b", bucket)
+      .groupBy(col("dim"), col("__b"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__nb"))
+      .withColumn("__ta", sum(col("__na")).over(w))
+      .withColumn("__tb", sum(col("__nb")).over(w))
+      .withColumn("__pa", (col("__na") + 1).cast("double") / (col("__ta") + bins).cast("double"))
+      .withColumn("__pb", (col("__nb") + 1).cast("double") / (col("__tb") + bins).cast("double"))
+      .withColumn("__t", (col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")))
+      .groupBy(col("dim"))
+      .agg(min(col("__ta")).as("n_a"), min(col("__tb")).as("n_b"),
+        round(sum(col("__t")), 6).as("psi"))
+      .orderBy(col("dim"))
+  }
+
   /** Mean-pool a vector column per group — chunk/token embeddings down
     * to ONE vector per document (the sentence-transformers default
     * pooling; the reference stores one bge-small vector per CHUNK,

@@ -151,6 +151,29 @@ class VectorOpsSpec extends SparkSpec {
       assert(perRow(k).zip(dist(k)).forall { case (a, b) => math.abs(a - b) < 1e-12 }, s"id $k")
   }
 
+  test("dimDrift: shifted dimension flagged, identical dimension at zero, PSI nonnegative") {
+    // 4 A-vectors and 4 B-vectors: dim 1 shifted by +10 in B, dim 2
+    // identical across slices (same multiset => same buckets => psi 0)
+    val rows = Seq(
+      (0L, Array(0.1f, 5.0f)), (2L, Array(0.2f, 6.0f)),
+      (4L, Array(0.3f, 7.0f)), (6L, Array(0.4f, 8.0f)),
+      (1L, Array(10.1f, 5.0f)), (3L, Array(10.2f, 6.0f)),
+      (5L, Array(10.3f, 7.0f)), (7L, Array(10.4f, 8.0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.dimDrift(rows, "embedding", isB = col("vec_id") % 2 === 1, bins = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L)
+    assert(got(1L)._3 > 1.0, s"a full +10 shift must read as severe drift: ${got(1L)}")
+    assert(got(2L)._3 == 0.0, s"identical per-slice distributions must read 0: ${got(2L)}")
+    assert(got.values.forall(_._3 >= 0.0), "PSI terms are pointwise nonnegative")
+    // harness control: even/odd halves of the same corpus are
+    // same-distribution — every dimension must sit in the stable band
+    val ctrl = VectorOps.dimDrift(ops.Tables.embeddings(spark, sf0001), "embedding",
+        isB = col("vec_id") % 2 === 1, bins = 10)
+      .agg(max(col("psi"))).first().getDouble(0)
+    assert(ctrl < 0.25, s"same-distribution control shows drift: max psi $ctrl")
+  }
+
   test("meanPool matches the declarative posexplode+avg form") {
     val emb = ops.Tables.embeddings(spark, sf0001)
       .withColumn("g", floor(col("vec_id") / 8).cast("long"))
