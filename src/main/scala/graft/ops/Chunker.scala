@@ -78,7 +78,10 @@ object Chunker {
       strideTokens: Int): DataFrame = {
     require(windowTokens >= 1 && strideTokens >= 1,
       s"need windowTokens ($windowTokens) >= 1 and strideTokens ($strideTokens) >= 1")
-    val toks = filter(split(trim(col(textCol)), " "), t => t =!= "")
+    // the ONE shared whitespace tokenizer (mirror of OracleSql.toksSql)
+    // — an inline copy here would silently diverge from oracle parity
+    // if the shared definition ever changed
+    val toks = Dedup.tokens(col(textCol))
     val nWins = when(col("__len") <= windowTokens, lit(1L))
       .otherwise(ceil((col("__len") - lit(windowTokens)).cast("double") / strideTokens)
         .cast("long") + 1L)

@@ -427,12 +427,17 @@ object Relational {
     * point of histogramming instead of sorting.
     * Output: `(group, q, n, est)` — one row per requested quantile.
     */
-  def histogramQuantiles(df: DataFrame, groupCol: String, valCol: String,
+  def histogramQuantiles(df0: DataFrame, groupCol: String, valCol: String,
       bins: Int, qs: Seq[Double]): DataFrame = {
     require(bins >= 2, s"bins ($bins) must be >= 2")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1]: $qs")
     val v = col(valCol).cast("double")
+    // standard quantile semantics: NULL measures are ignored (they
+    // would otherwise count toward n while falling into a NULL bucket
+    // that Spark's window sorts first and DuckDB's sorts last — a
+    // silent cross-engine divergence); groups that are all-NULL vanish
+    val df = df0.filter(v.isNotNull)
     val stats = df.groupBy(col(groupCol))
       .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("n"))
       .withColumn("__w", (col("__hi") - col("__lo")) / bins)

@@ -294,17 +294,19 @@ object SimilaritySearch {
     * MRL fronts of the vector carry most of the signal by training),
     * and a useful cost knob even on non-MRL vectors where leading
     * components are merely informative. Cost shape at 100 TB: the
-    * corpus-wide scoring pass touches `prefixDim / dim` of the vector
-    * bytes (with Parquet the full array column is still read — the
-    * win is arithmetic + the downstream window state), and the
-    * full-width cosine runs only on `shortlist` rows per query —
-    * Catalyst places it after the shortlist filter, so it is never
-    * evaluated corpus-wide (same lazy-projection discipline as
-    * [[graft.ops.Pq]]'s rerank). Both stages are the broadcast +
-    * WindowGroupLimit shape of [[graft.ops.Knn.knnJoin]]: per-query
-    * state is `shortlist` rows map-side, the point side never
-    * shuffles. With `prefixDim = dim` and `shortlist >=` corpus size
+    * corpus-wide pair pass scores a NARROW prefix table (`prefixDim /
+    * dim` of the vector bytes; per-query state is `shortlist` rows
+    * map-side via WindowGroupLimit), and the full-width cosine runs
+    * only on `shortlist` rows per query, fetched by id. With
+    * `prefixDim = dim` and `shortlist >=` corpus size
     * this degrades to exact k-NN (pinned in SimilaritySpec).
+    * Same two-phase shape as [[bqRerankTopK]], for the same measured
+    * reason: whole-stage codegen evaluates stream-side projections
+    * lazily inside the nested-loop join's inner loop, so the prefix
+    * slice must materialize behind a boundary (one exchange of
+    * `prefixDim/dim` of the vector bytes) or it re-slices per PAIR;
+    * raw full-width vectors are then fetched BY ID for the shortlist
+    * only — they never enter the pair join.
     * Output: `(query_id, rank, point_id, score)` — full-width scores.
     */
   def prefixRerankTopK(
@@ -321,19 +323,24 @@ object SimilaritySearch {
       s"need shortlist ($shortlist) >= k ($k) >= 1")
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"),
-      col(vecCol).as("__qvec"),
       slice(col(vecCol), 1, prefixDim).as("__qpre")))
+    val pre = points
+      .select(col(pointIdCol).as("point_id"), slice(col(vecCol), 1, prefixDim).as("__ppre"))
+      .repartition(col("point_id"))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(desc("__pre_score"), col("point_id").asc)
+    val shortIds = pre.crossJoin(q)
+      .withColumn("__pre_score", VectorOps.cosine(col("__qpre"), col("__ppre")))
+      .withColumn("__prank", row_number().over(wPre))
+      .filter(col("__prank") <= shortlist)
+      .select(col("query_id"), col("point_id"))
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("point_id").asc)
     points
       .select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
-      .crossJoin(q)
-      .withColumn("__pre_score",
-        VectorOps.cosine(col("__qpre"), slice(col("__pvec"), 1, prefixDim)))
-      .withColumn("__prank", row_number().over(wPre))
-      .filter(col("__prank") <= shortlist)
+      .join(broadcast(shortIds), Seq("point_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qvec"))), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("__qvec"), col("__pvec")))
       .withColumn("rank", row_number().over(wFull).cast("long"))
       .filter(col("rank") <= k)

@@ -621,6 +621,16 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantiles: NULL measures ignored; all-null group vanishes") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("c", None), ("c", None)).toDF("g", "v")
+    val got = Relational.histogramQuantiles(df, "g", "v", bins = 4, qs = Seq(1.0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // n counts only the two non-null values; q=1 reaches the max
+    assert(got.keySet == Set("a"), s"all-null group must vanish: $got")
+    assert(got("a")._1 == 2L && math.abs(got("a")._2 - 3.0) < 1e-9, s"got $got")
+  }
+
   test("histogramQuantiles: degenerate group (all values equal) returns that value") {
     val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0))
       .toDF("g", "v")
