@@ -73,6 +73,39 @@ object OracleSql {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Per-dimension PSI drift between the even- and odd-id halves of
+    * the embeddings table (mirror of `VectorOps.dimDrift` at bins=10)
+    * — shared by `v_drift` (batch) and `stream_drift` (cumulative
+    * per-micro-batch snapshots): the final streamed snapshot must
+    * hash-match THIS query, one definition for both checks.
+    */
+  val dimDriftSql: String =
+    """WITH x AS (
+      |  SELECT CAST(j AS BIGINT) AS dim, CAST(vec_id % 2 AS INT) AS s,
+      |    embedding[j]::DOUBLE AS x
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) g),
+      |rng AS (
+      |  SELECT dim, min(x) AS lo, max(x) AS hi, (max(x) - min(x)) / 10 AS w
+      |  FROM x GROUP BY dim),
+      |c AS (
+      |  SELECT x.dim,
+      |    CASE WHEN r.w > 0 THEN least(floor((x.x - r.lo) / r.w), 9)::BIGINT
+      |      ELSE 0 END AS b,
+      |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb
+      |  FROM x JOIN rng r USING (dim) GROUP BY 1, 2),
+      |t AS (
+      |  SELECT dim, b, na, nb,
+      |    sum(na) OVER (PARTITION BY dim) AS ta,
+      |    sum(nb) OVER (PARTITION BY dim) AS tb
+      |  FROM c)
+      |SELECT dim, CAST(min(ta) AS BIGINT) AS n_a, CAST(min(tb) AS BIGINT) AS n_b,
+      |  round(sum(((na + 1)::DOUBLE / (ta + 10) - (nb + 1)::DOUBLE / (tb + 10)) *
+      |    ln(((na + 1)::DOUBLE / (ta + 10)) / ((nb + 1)::DOUBLE / (tb + 10)))), 6)
+      |    AS psi
+      |FROM t GROUP BY dim ORDER BY dim""".stripMargin
+
   // Vector math with exact fold-order parity to VectorOps (double cast,
   // sequential left-fold — bit-identical scores pre-rounding).
   def sqlSumSq(a: String): String =

@@ -109,7 +109,34 @@ object SparkEntryStream {
     // by key via upsertPartitioned; final table ≡ the one-shot batch
     // upsert (the SAME oracle SQL as q_upsert — merge-by-key is
     // batch-slicing invariant over disjoint key sets)
-    "stream_upsert" -> ((s, d) => runUpsertOnce(s, d)))
+    "stream_upsert" -> ((s, d) => runUpsertOnce(s, d)),
+    // continuous drift monitoring: per-micro-batch PSI snapshots of
+    // baseline vs streamed-so-far; the final snapshot ≡ the batch
+    // v_drift (the SAME single-sourced oracle SQL)
+    "stream_drift" -> ((s, d) => runDriftOnce(s, d)))
+
+  /** Drive [[EventStream.driftStream]]: even-id vectors are the static
+    * baseline, odd-id vectors stream in TWO micro-batches (split at
+    * vec_id % 4), and the LAST per-batch PSI snapshot — computed over
+    * baseline vs ALL streamed — must hash-match the batch `v_drift`.
+    */
+  private def runDriftOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-drift-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-drift-store").toString
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val baseline = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    odd.filter(col("vec_id") % 4 === 1).write.mode("append").parquet(in)
+    val q = EventStream.driftStream(spark, in, store, baseline)
+    try {
+      EventStream.drainAll(spark, q, in)
+      odd.filter(col("vec_id") % 4 === 3).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
+    spark.read.parquet(s"$store/psi_latest").orderBy(col("dim"))
+  }
 
   /** Drive [[EventStream.upsertStream]]: the orders table is staged as
     * a store PARTITIONED by `o_orderstatus`, the `q_upsert` update set
@@ -282,6 +309,9 @@ object SparkEntryStream {
     // literally the q_upsert oracle (single-sourced in OracleSql):
     // micro-batch slicing must not move the merged table
     "stream_upsert" -> OracleSql.upsertMergedSummarySql,
+    // literally the v_drift oracle: the final cumulative PSI snapshot
+    // must not depend on how the odd half was micro-batched
+    "stream_drift" -> OracleSql.dimDriftSql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

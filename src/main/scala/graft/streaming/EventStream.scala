@@ -443,6 +443,44 @@ object EventStream {
       .start()
   }
 
+  /** Continuous embedding-drift monitoring: vectors arriving in
+    * `inputDir` are accumulated (idempotent per-batch-id dirs, the
+    * [[searchStream]] replay discipline) and each micro-batch
+    * overwrites `storeDir/psi_latest` with the per-dimension PSI of
+    * the STATIC baseline vs everything streamed so far
+    * ([[graft.ops.VectorOps.dimDrift]]) — the ingest-side alarm that
+    * catches an encoder swap or upstream corpus shift while it is
+    * happening, not at the next offline audit. Each snapshot
+    * recomputes over the accumulated vectors (exact, and what the
+    * finite-input oracle checks: the LAST snapshot must equal the
+    * batch `v_drift`); a production monitor would instead MERGE
+    * per-batch histogram cells — dimDrift's state is `dim x bins`
+    * integer counts, a mergeable summary like the CMS path — trading
+    * exactness of the pooled bucket ranges for O(batch) work.
+    */
+  def driftStream(spark: SparkSession, inputDir: String, storeDir: String,
+      baseline: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream.schema(vecSchema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$storeDir/vec_batch_$batchId")
+        val streamed = spark.read.parquet(s"$storeDir/vec_batch_*")
+        val union = baseline.select(col("vec_id"), col("embedding"))
+          .withColumn("__isb", lit(0))
+          .unionByName(streamed.select(col("vec_id"), col("embedding"))
+            .withColumn("__isb", lit(1)))
+        graft.ops.VectorOps.dimDrift(union, "embedding", col("__isb") === 1, bins = 10)
+          .write.mode("overwrite").parquet(s"$storeDir/psi_latest")
+      }
+      .start()
+  }
+
   /** Incremental Count–Min maintenance: each micro-batch's tokens
     * aggregate into ONE bounded sketch, persisted as
     * `sketch_<batchId>.bin` (write-temp + atomic move; a replayed batch
