@@ -1411,7 +1411,16 @@ object SparkEntryExt {
     // production compares snapshot vs snapshot)
     "v_drift" -> ((s, d) =>
       VectorOps.dimDrift(Tables.embeddings(s, d), "embedding",
-        isB = col("vec_id") % 2 === 1, bins = 10))
+        isB = col("vec_id") % 2 === 1, bins = 10)),
+    // membership decontamination: per-candidate-doc fraction of
+    // distinct trigrams already present in the reference corpus
+    "text_ngram_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramCoverage(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
@@ -2850,6 +2859,25 @@ object SparkEntryExt {
          |FROM b
          |GROUP BY len_bucket, (rn - 1) // 32
          |ORDER BY len_bucket, batch_idx""".stripMargin,
-    "v_drift" -> OracleSql.dimDriftSql
+    "v_drift" -> OracleSql.dimDriftSql,
+    "text_ngram_coverage" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(${ngramSql("t", 3)}) AS g
+         |    FROM tl WHERE doc_id % 10 = 0)),
+         |corp AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(${ngramSql("t", 3)}) AS g
+         |    FROM tl WHERE doc_id % 10 <> 0))
+         |SELECT c.doc_id,
+         |  count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN k.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         |  round(sum(CASE WHEN k.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS seen_frac
+         |FROM cand c LEFT JOIN corp k USING (g)
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
   )
 }

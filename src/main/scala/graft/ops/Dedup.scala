@@ -82,6 +82,36 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("sh"))
       .distinct()
 
+  /** Per-document n-gram CONTAMINATION COVERAGE: for each candidate
+    * doc (an eval/benchmark set), the fraction of its DISTINCT word
+    * n-grams already present anywhere in the reference corpus — the
+    * membership decontamination score (the GPT-3-family recipe:
+    * filter/flag eval examples whose n-gram overlap with training data
+    * is high; [[contamination]] finds PAIRWISE near-dups, this scores
+    * per-doc leakage against the corpus as a SET, catching mosaic
+    * contamination no single pair explains). Plan: distinct candidate
+    * (doc, gram) rows left-join the corpus's distinct gram set on the
+    * gram STRING. Measured trade (100x smoke): an [[h32]] join key
+    * (8 bytes/key instead of an n-word string) ran 1.5x SLOWER here —
+    * one md5 per gram on both sides costs more than the key bytes
+    * save on a single host; on a network-bound cluster the hash-key
+    * variant may flip, so the choice is a one-line swap, recorded not
+    * hard-coded. Docs with fewer than `n` tokens have no n-grams and
+    * are absent from the output.
+    * Output: `(doc_id, n_grams, n_seen, seen_frac)`.
+    */
+  def ngramCoverage(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val cand = shingleRows(candidates, idCol, textCol, n)
+    val corp = shingleRows(corpus, idCol, textCol, n).select(col("sh")).distinct()
+    cand.join(corp.withColumn("__hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(col("n_seen").cast("double") / col("n_grams"), 6).as("seen_frac"))
+  }
+
   /** Universal-hash family over a 32-bit base hash: hᵢ(x) = (aᵢ·x + bᵢ)
     * mod p, p prime > 2³². aᵢ < 2²¹ keeps aᵢ·x < 2⁵³ — no BIGINT
     * overflow on either engine. ONE md5 per shingle + 16 multiply-mods

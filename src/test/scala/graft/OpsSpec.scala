@@ -642,6 +642,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(("b", 1.0)) - 3.0) < 1e-9, s"q=1 must hit max: $got")
   }
 
+  test("ngramCoverage: full / zero / partial contamination and the short-doc edge") {
+    val corpus = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "the cat sat on"),       // trigrams all ⊂ corpus → 1.0
+      (2L, "dogs bark at night x"), // fully novel → 0.0
+      (3L, "the cat sat somewhere new here"), // 1 of 4 seen → 0.25
+      (4L, "too short")             // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramCoverage(cands, corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"short doc must be absent: $got")
+    assert(got(1L) == ((2L, 2L, 1.0)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((4L, 1L, 0.25)), s"doc3: ${got(3L)}")
+  }
+
   test("lengthBatches: bucket bounds, batch size cap, pad_frac of a known batch") {
     // lengths 1,2,3 land in buckets 1,2,2; batchSize 2 splits bucket 2
     // docs (lengths 2,3) into one batch: pad = 1 - 5/(2*3)
