@@ -155,6 +155,21 @@ class PlanSpec extends SparkSpec {
       s"shortlist vector fetch must be a broadcast id join:\n$plan")
   }
 
+  test("prefix search: narrow prefix table behind an exchange, vectors fetched by id") {
+    // same boundary contract as the BQ pin above — removing the
+    // repartition would re-slice the prefix once per PAIR in the
+    // nested-loop inner loop (measured 3-5x at the 100x smoke)
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = formatted(SimilaritySearch.prefixRerankTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10).select(col("vec_id").as("point_id"), col("embedding")),
+      "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 5))
+    assert(plan.contains("hashpartitioning(point_id"),
+      s"prefix table not exchanged on point_id — slice would re-run per pair:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("BroadcastHashJoin"),
+      s"expected broadcast pair pass + broadcast id fetch:\n$plan")
+  }
+
   test("single-query top-k plans as TakeOrderedAndProject, not a global sort") {
     val emb = Tables.embeddings(spark, sf0001)
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
