@@ -1420,6 +1420,40 @@ object SparkEntryExt {
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+    // corpus data card: the one-table profile a dataset release ships
+    // (size, token mass, vocabulary, exact-dup rate, quality pass rate)
+    // in long (metric, value) format — each metric is its own bounded
+    // aggregate branch over the corpus; a standing deployment would
+    // compute them off the already-materialized per-doc profiles
+    "pipeline_data_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokStats = docs
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), col("__t"), size(col("__t")).cast("long").as("__n"))
+      val base = tokStats.agg(
+        count(lit(1)).cast("double").as("__nd"),
+        sum(col("__n")).cast("double").as("__tot"),
+        round(avg(col("__n")), 6).as("__mean"))
+      val vocab = tokStats.select(explode(col("__t")).as("__tok"))
+        .agg(countDistinct(col("__tok")).cast("double").as("__v"))
+      val clusters = docs.groupBy(sha2(col("text"), 256).as("__ch"))
+        .agg(count(lit(1)).as("__cs"))
+        .agg(count(lit(1)).cast("double").as("__ncl"))
+      val quality = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+        .agg(round(avg(when(col("reason") === "ok", 1.0).otherwise(0.0)), 6).as("__okf"))
+      base.crossJoin(vocab).crossJoin(clusters).crossJoin(quality)
+        .select(explode(array(
+          struct(lit("n_docs").as("metric"), col("__nd").as("value")),
+          struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
+          struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
+          struct(lit("vocab_size").as("metric"), col("__v").as("value")),
+          struct(lit("dup_doc_frac").as("metric"),
+            round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
+          struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
+          .as("r"))
+        .select(col("r.metric").as("metric"), col("r.value").as("value"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -2878,6 +2912,30 @@ object SparkEntryExt {
          |    AS seen_frac
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
-         |ORDER BY c.doc_id""".stripMargin
+         |ORDER BY c.doc_id""".stripMargin,
+    "pipeline_data_card" ->
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |base AS (
+         |  SELECT count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
+         |    round(avg(len(t)), 6) AS meantok
+         |  FROM tl),
+         |vocab AS (
+         |  SELECT count(DISTINCT tok)::DOUBLE AS v FROM (SELECT unnest(t) AS tok FROM tl)),
+         |cl AS (
+         |  SELECT count(*)::DOUBLE AS ncl FROM (
+         |    SELECT sha256(text) AS ch FROM documents GROUP BY 1)),
+         |${OracleSql.qualityCtes("dc", "documents")},
+         |ok AS (
+         |  SELECT round(avg(CASE WHEN reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
+         |  FROM dc_r)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, nd AS value FROM base
+         |  UNION ALL SELECT 'total_ws_tokens', tot FROM base
+         |  UNION ALL SELECT 'mean_doc_tokens', meantok FROM base
+         |  UNION ALL SELECT 'vocab_size', v FROM vocab
+         |  UNION ALL SELECT 'dup_doc_frac', round(1.0 - cl.ncl / base.nd, 6)
+         |    FROM cl, base
+         |  UNION ALL SELECT 'quality_ok_frac', okf FROM ok)
+         |ORDER BY metric""".stripMargin
   )
 }
