@@ -103,7 +103,13 @@ object Dedup {
   def ngramCoverage(candidates: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val cand = shingleRows(candidates, idCol, textCol, n)
-    val corp = shingleRows(corpus, idCol, textCol, n).select(col("sh")).distinct()
+    // gram-level distinct directly — shingleRows' per-doc (doc_id, sh)
+    // distinct would be a second full shuffle the gram-set membership
+    // test doesn't need
+    val corp = corpus
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(shingles(col("__toks"), n)).as("sh"))
+      .distinct()
     cand.join(corp.withColumn("__hit", lit(1L)), Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

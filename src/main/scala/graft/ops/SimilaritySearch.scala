@@ -334,6 +334,21 @@ object SimilaritySearch {
       .withColumn("__prank", row_number().over(wPre))
       .filter(col("__prank") <= shortlist)
       .select(col("query_id"), col("point_id"))
+    fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
+  }
+
+  /** Shared phase 2 of the two-phase compressed-search shape
+    * ([[prefixRerankTopK]], [[bqRerankTopK]]): fetch raw full-width
+    * vectors BY ID for the shortlisted `(query_id, point_id)` pairs
+    * only (broadcast id joins — the point table streams through one
+    * hash probe, the wide column never enters a pair join), score with
+    * exact cosine, keep top-k per query with the standard
+    * `(score DESC, point_id ASC)` total order. One definition so a fix
+    * to this load-bearing shape cannot land in only one path.
+    */
+  private def fetchAndRerank(shortIds: DataFrame, queries: DataFrame,
+      points: DataFrame, queryIdCol: String, pointIdCol: String,
+      vecCol: String, k: Int): DataFrame = {
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("point_id").asc)
     points
@@ -439,22 +454,8 @@ object SimilaritySearch {
       .withColumn("__hrank", row_number().over(wPre))
       .filter(col("__hrank") <= shortlist)
       .select(col("query_id"), col("point_id"))
-    // Phase 2 — fetch raw vectors BY ID for the shortlist only and
-    // re-rank at full width (the Pq.adcRerank discipline: the wide
-    // column is read for shortlist x queries rows, never corpus-wide).
-    // The shortlist side is queries x shortlist rows — broadcast it so
-    // the point table streams through one hash probe.
-    val wFull = Window.partitionBy(col("query_id"))
-      .orderBy(desc("score"), col("point_id").asc)
-    points
-      .select(col(pointIdCol).as("point_id"), col(vecCol).as("__pvec"))
-      .join(broadcast(shortIds), Seq("point_id"))
-      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
-        col(vecCol).as("__qvec"))), Seq("query_id"))
-      .withColumn("score", VectorOps.cosine(col("__qvec"), col("__pvec")))
-      .withColumn("rank", row_number().over(wFull).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("point_id"), col("score"))
+    // Phase 2 — shared with prefixRerankTopK: [[fetchAndRerank]]
+    fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
   }
 
   /** Index-quality evaluation: per-query recall@k of an approximate hit

@@ -461,6 +461,18 @@ object EventStream {
   def driftStream(spark: SparkSession, inputDir: String, storeDir: String,
       baseline: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
+    // Fail fast on a reused store: this runner has no checkpoint, so a
+    // RESTART re-lists all input as batch 0 while the prior run's
+    // vec_batch_* dirs still sit in storeDir — the cumulative glob
+    // would then union the same vectors twice and report a silently
+    // wrong PSI. A restartable monitor needs a checkpointLocation AND
+    // batch-id-stable input (the indexStream recipe); until then,
+    // refuse the foot-gun instead of corrupting the metric.
+    val existing = new java.io.File(storeDir).listFiles()
+    require(existing == null || !existing.exists(_.getName.startsWith("vec_batch_")),
+      s"driftStream: $storeDir already holds vec_batch_* dirs from a previous " +
+        "run — reusing it would double-count vectors in the cumulative PSI; " +
+        "use a fresh store dir per stream")
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
