@@ -419,6 +419,44 @@ object SparkEntryExt {
         .bucketBy(16, "b").saveAsTable(tbl)
     }
 
+  /** Binary-quantization signature index, materialized at ingest — the
+    * production step [[SimilaritySearch.bqRerankTopKStored]] amortizes:
+    * `sig = packSignBits(embedding, 64)` (2 BIGINTs per 64-d vector,
+    * 16x smaller than the floats) written ONCE next to the point ids.
+    * Layout: `bucketBy(32, point_id)`. Phase 1 has no join key (it is
+    * a broadcast nested-loop scan), so the bucketing is NOT for join
+    * co-location — it pins SCAN parallelism: a bucketed table scans
+    * one task per bucket, where a plain narrow table this small
+    * coalesces into 1–2 byte-sized splits and single-threads the
+    * O(pairs) pass (measured: the un-bucketed prefix index ran 1.8x
+    * SLOWER than the in-plan form at the 100x smoke for exactly this
+    * reason). Production sizes the bucket count to corpus/task-size;
+    * 32 matches the harness parallelism. Zero per-batch pack and zero
+    * point-side exchange either way (BucketingSpec pin).
+    */
+  private def bqSigIndex(s: SparkSession, d: String): String =
+    storedIndexTable("bq_sig_idx", d) { tbl =>
+      Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"),
+          SimilaritySearch.packSignBits(col("embedding"), 64).as("sig"))
+        .write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(32, "point_id").saveAsTable(tbl)
+    }
+
+  /** Matryoshka prefix index (the [[bqSigIndex]] discipline for
+    * [[SimilaritySearch.prefixRerankTopKStored]]): the leading 16 of 64
+    * components stored as their own narrow column — the corpus-wide
+    * prefix pass scans 1/4 of the vector bytes with no per-batch slice.
+    */
+  private def prefixSigIndex(s: SparkSession, d: String): String =
+    storedIndexTable("prefix_idx", d) { tbl =>
+      Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"),
+          slice(col("embedding"), 1, 16).as("pre"))
+        .write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(32, "point_id").saveAsTable(tbl)
+    }
+
   /** One PQ codebook training per (sfDir) per JVM — the model is
     * `m × kCodes` driver-local rows (the storedIndexTable discipline
     * applied to a model instead of a table: production trains
@@ -533,6 +571,59 @@ object SparkEntryExt {
     (w * 32 until math.min(dim, (w + 1) * 32))
       .map(i => s"CASE WHEN $c[${i + 1}] > 0 THEN ${1L << (31 - (i % 32))} ELSE 0 END")
       .mkString("(", " + ", ")::BIGINT")
+
+  /** Shared oracle for `sim_prefix_rerank` AND `sim_prefix_stored`: the
+    * stored index changes the execution layout, not the semantics, so
+    * both check against one SQL (the single-sourcing discipline).
+    */
+  private lazy val prefixRerankSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding, embedding[1:16] AS pre
+       |  FROM embeddings WHERE vec_id < 10),
+       |p AS (
+       |  SELECT vec_id, embedding, embedding[1:16] AS pre
+       |  FROM embeddings WHERE vec_id >= 10),
+       |sl AS (
+       |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+       |    q.embedding AS qe, p.embedding AS pe,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.pre", "p.pre")} DESC, p.vec_id) AS prank
+       |  FROM q, p
+       |  QUALIFY prank <= 20)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+       |  point_id,
+       |  round(${sqlCos("qe", "pe")}, 6) AS score
+       |FROM sl
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared oracle for `sim_bq_rerank` AND `sim_bq_stored`. */
+  private lazy val bqRerankSql: String =
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    ${bqWordSql("embedding", 0, 64)} AS w0,
+       |    ${bqWordSql("embedding", 1, 64)} AS w1
+       |  FROM embeddings),
+       |q AS (SELECT * FROM sig WHERE vec_id < 10),
+       |p AS (SELECT * FROM sig WHERE vec_id >= 10),
+       |sl AS (
+       |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
+       |    q.embedding AS qe, p.embedding AS pe,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(q.w0, p.w0)) + bit_count(xor(q.w1, p.w1)) ASC,
+       |        p.vec_id ASC) AS hrank
+       |  FROM q, p
+       |  QUALIFY hrank <= 20)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+       |  point_id,
+       |  round(${sqlCos("qe", "pe")}, 6) AS score
+       |FROM sl
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   private def bucketSql(col: String): String =
     s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
@@ -1380,6 +1471,40 @@ object SparkEntryExt {
           emb.filter(col("vec_id") >= 10)
             .select(col("vec_id").as("point_id"), col("embedding")),
           "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // BQ search against the STORED signature index: same semantics as
+    // sim_bq_rerank (identical oracle), but phase 1 scans the
+    // ingest-time sig column — no per-batch pack, no point-side
+    // exchange (BucketingSpec pin)
+    "sim_bq_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = bqSigIndex(s, d)
+      SimilaritySearch.bqRerankTopKStored(
+          emb.filter(col("vec_id") < 10),
+          s.table(idx),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "point_id", "embedding", "sig", dim = 64, shortlist = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // Matryoshka search against the STORED prefix index: same
+    // semantics as sim_prefix_rerank (identical oracle), phase 1 scans
+    // the ingest-time 16-d prefix column
+    "sim_prefix_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = prefixSigIndex(s, d)
+      SimilaritySearch.prefixRerankTopKStored(
+          emb.filter(col("vec_id") < 10),
+          s.table(idx),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "point_id", "embedding", "pre",
+          prefixDim = 16, shortlist = 20, k = 5)
         .select(col("query_id"), col("rank"), col("point_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
@@ -2767,52 +2892,12 @@ object SparkEntryExt {
         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) g
         |GROUP BY 1, j
         |ORDER BY group_id, dim_idx""".stripMargin,
-    "sim_prefix_rerank" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, embedding, embedding[1:16] AS pre
-         |  FROM embeddings WHERE vec_id < 10),
-         |p AS (
-         |  SELECT vec_id, embedding, embedding[1:16] AS pre
-         |  FROM embeddings WHERE vec_id >= 10),
-         |sl AS (
-         |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
-         |    q.embedding AS qe, p.embedding AS pe,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.pre", "p.pre")} DESC, p.vec_id) AS prank
-         |  FROM q, p
-         |  QUALIFY prank <= 20)
-         |SELECT query_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
-         |  point_id,
-         |  round(${sqlCos("qe", "pe")}, 6) AS score
-         |FROM sl
-         |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "sim_bq_rerank" ->
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |    ${bqWordSql("embedding", 0, 64)} AS w0,
-         |    ${bqWordSql("embedding", 1, 64)} AS w1
-         |  FROM embeddings),
-         |q AS (SELECT * FROM sig WHERE vec_id < 10),
-         |p AS (SELECT * FROM sig WHERE vec_id >= 10),
-         |sl AS (
-         |  SELECT q.vec_id AS query_id, p.vec_id AS point_id,
-         |    q.embedding AS qe, p.embedding AS pe,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY bit_count(xor(q.w0, p.w0)) + bit_count(xor(q.w1, p.w1)) ASC,
-         |        p.vec_id ASC) AS hrank
-         |  FROM q, p
-         |  QUALIFY hrank <= 20)
-         |SELECT query_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
-         |  point_id,
-         |  round(${sqlCos("qe", "pe")}, 6) AS score
-         |FROM sl
-         |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "sim_prefix_rerank" -> prefixRerankSql,
+    // the stored-index form is an execution-layout change only — same
+    // semantics, same single-sourced oracle
+    "sim_prefix_stored" -> prefixRerankSql,
+    "sim_bq_rerank" -> bqRerankSql,
+    "sim_bq_stored" -> bqRerankSql,
     "q_hist_quantiles" ->
       """WITH stats AS (
         |  SELECT o_orderpriority, min(o_totalprice::DOUBLE) AS lo,

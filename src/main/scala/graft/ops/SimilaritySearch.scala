@@ -458,6 +458,89 @@ object SimilaritySearch {
     fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
   }
 
+  /** [[bqRerankTopK]] against a PRE-MATERIALIZED signature table — the
+    * ingest-time index that method's in-body comment prescribes for a
+    * production deployment. `sigPoints` carries `(pointIdCol, sigCol)`
+    * with `sigCol = packSignBits(vec, dim)` computed ONCE at write time
+    * (a plain column, so any ingest path can emit it); the pair pass
+    * then reads ~16 bytes/row straight off the scan with NO per-batch
+    * pack projection and NO point-side exchange — the per-pair
+    * lazy-projection hazard the in-plan form must fence with a
+    * repartition cannot arise, because a scan attribute is a
+    * materialized value, not a deferred expression (plan-pinned in
+    * BucketingSpec: zero point-side hash exchanges). Phase 2 fetches
+    * raw vectors BY ID from `points` via the shared [[fetchAndRerank]].
+    * Equivalent to [[bqRerankTopK]] row for row (SimilaritySpec pin);
+    * at 100 TB the difference is one 16x-smaller-than-vector column
+    * scan per batch instead of pack + shuffle of the whole corpus.
+    */
+  def bqRerankTopKStored(
+      queries: DataFrame,
+      sigPoints: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      pointIdCol: String,
+      vecCol: String,
+      sigCol: String,
+      dim: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) >= 1")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      packSignBits(col(vecCol), dim).as("__qsig")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ham").asc, col("point_id").asc)
+    val shortIds = sigPoints
+      .select(col(pointIdCol).as("point_id"), col(sigCol).as("__psig"))
+      .crossJoin(q)
+      .withColumn("__ham", hammingUnrolled(col("__qsig"), col("__psig"), dim))
+      .withColumn("__hrank", row_number().over(wPre))
+      .filter(col("__hrank") <= shortlist)
+      .select(col("query_id"), col("point_id"))
+    fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
+  }
+
+  /** [[prefixRerankTopK]] against a PRE-MATERIALIZED prefix table —
+    * the Matryoshka twin of [[bqRerankTopKStored]]: `prePoints` carries
+    * `(pointIdCol, preCol)` with `preCol = slice(vec, 1, prefixDim)`
+    * written at ingest, so the corpus-wide pair pass scans the narrow
+    * prefix column directly (no per-batch slice projection, no
+    * point-side exchange — same plan-pin). `prefixDim` must equal the
+    * stored prefix width (the query side slices its own vectors to
+    * match). Phase 2 is the shared [[fetchAndRerank]] by-id fetch from
+    * the raw `points` table.
+    */
+  def prefixRerankTopKStored(
+      queries: DataFrame,
+      prePoints: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      pointIdCol: String,
+      vecCol: String,
+      preCol: String,
+      prefixDim: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim ($prefixDim) must be >= 1")
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) >= 1")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDim).as("__qpre")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__pre_score"), col("point_id").asc)
+    val shortIds = prePoints
+      .select(col(pointIdCol).as("point_id"), col(preCol).as("__ppre"))
+      .crossJoin(q)
+      .withColumn("__pre_score", VectorOps.cosine(col("__qpre"), col("__ppre")))
+      .withColumn("__prank", row_number().over(wPre))
+      .filter(col("__prank") <= shortlist)
+      .select(col("query_id"), col("point_id"))
+    fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
+  }
+
   /** Index-quality evaluation: per-query recall@k of an approximate hit
     * table against the exact ground truth (both as (queryCol, pointCol)
     * rows, e.g. [[ivfTrainedTopK]] vs [[graft.ops.Knn.knnJoin]]). This

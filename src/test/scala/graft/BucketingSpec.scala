@@ -52,6 +52,36 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stored BQ signature index: zero point-side exchange, rows ≡ in-plan form") {
+    import graft.ops.SimilaritySearch
+    // The stored index replaces BOTH costs the in-plan bqRerankTopK
+    // pays per batch: the packSignBits projection AND the repartition
+    // that fences it out of the pair loop (PlanSpec pins that exchange
+    // as load-bearing for the in-plan form). Against the materialized
+    // sig column neither exists: scan attributes are values, not
+    // deferred expressions, so the plan must carry NO hash exchange on
+    // point_id at all — and the results must match row for row.
+    val stored = SparkEntry.queries("sim_bq_stored")(spark, sf0001)
+    val inPlan = SparkEntry.queries("sim_bq_rerank")(spark, sf0001)
+    assert(stored.collect().toSeq == inPlan.collect().toSeq,
+      "stored-index BQ search must equal the in-plan form row for row")
+    val planStr = stored.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(point_id#".r.findFirstIn(planStr).isEmpty,
+      s"stored signature search must not move the point side:\n$planStr")
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      s"pair pass must stay the broadcast scan shape:\n$planStr")
+  }
+
+  test("stored prefix index: zero point-side exchange, rows ≡ in-plan form") {
+    val stored = SparkEntry.queries("sim_prefix_stored")(spark, sf0001)
+    val inPlan = SparkEntry.queries("sim_prefix_rerank")(spark, sf0001)
+    assert(stored.collect().toSeq == inPlan.collect().toSeq,
+      "stored-index prefix search must equal the in-plan form row for row")
+    val planStr = stored.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(point_id#".r.findFirstIn(planStr).isEmpty,
+      s"stored prefix search must not move the point side:\n$planStr")
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
