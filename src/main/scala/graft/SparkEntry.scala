@@ -146,17 +146,25 @@ object SparkEntry {
     }),
     // average precision per query over the same label-relevance kNN
     // ranking — the third IR axis (position-sensitive, ungraded);
-    // mean over the rows = MAP
+    // mean over the rows = MAP. Normalized the standard way:
+    // min(total relevant in the corpus, k) — the per-query relevant
+    // count is one label-frequency aggregate (index-sized shuffle)
     "eval_map" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
       val points = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("point_id"), col("embedding"), col("label").as("p_label"))
+      val totalRel = queries
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+        .join(points.groupBy(col("p_label")).agg(count(lit(1)).as("total_rel")),
+          col("q_label") === col("p_label"), "left")
+        .select(col("query_id"), col("q_label"),
+          coalesce(col("total_rel"), lit(0L)).as("total_rel"))
       val hits = Knn.knnJoin(queries, points, "vec_id", "embedding", "point_id", "embedding", 5)
-        .join(queries.select(col("vec_id").as("query_id"), col("label").as("q_label")),
-          "query_id")
+        .join(totalRel, "query_id")
         .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
-      Eval.apAtK(hits, "query_id", "rank", "rel").orderBy(col("query_id"))
+      Eval.apAtK(hits, "query_id", "rank", "rel",
+        totalRelCol = Some("total_rel"), k = 5).orderBy(col("query_id"))
     }),
     // §3.2 + §3.3 chained end-to-end IN ONE CHECKED QUERY: retrieval
     // (kNN) → rank-ordered prediction text (retrieval-only L2 ceiling)
@@ -452,16 +460,20 @@ object SparkEntry {
          |  SELECT query_id, rank, rel,
          |    rel::DOUBLE * (sum(rel) OVER (PARTITION BY query_id ORDER BY rank
          |      ROWS UNBOUNDED PRECEDING))::DOUBLE / rank AS term
-         |  FROM rel)
-         |SELECT query_id,
+         |  FROM rel),
+         |tr AS (
+         |  SELECT q.query_id, count(p.point_id) AS total_rel
+         |  FROM q LEFT JOIN p ON q.q_label = p.p_label
+         |  GROUP BY q.query_id)
+         |SELECT t.query_id,
          |  CAST(sum(rel) AS BIGINT) AS n_rel,
          |  round(CASE WHEN sum(rel) >= 1 THEN
          |      list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY rank)),
-         |        (a, b) -> a + b) / sum(rel)
+         |        (a, b) -> a + b) / least(min(total_rel), 5)::DOUBLE
          |    ELSE 0.0 END, 6) AS ap
-         |FROM terms
-         |GROUP BY query_id
-         |ORDER BY query_id""".stripMargin,
+         |FROM terms t JOIN tr ON t.query_id = tr.query_id
+         |GROUP BY t.query_id
+         |ORDER BY t.query_id""".stripMargin,
     "eval_macro" ->
       """WITH g AS (
         |  SELECT user_id,

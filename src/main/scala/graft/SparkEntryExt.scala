@@ -457,6 +457,24 @@ object SparkEntryExt {
         .bucketBy(32, "point_id").saveAsTable(tbl)
     }
 
+  /** Per-doc profile + vocab tables, materialized ONCE per sfDir per
+    * JVM (the [[bqSigIndex]] discipline applied to corpus reporting):
+    * the profile carries the tokenize + quality-cascade results
+    * ([[TextAnalysis.docProfile]]), the `_vocab` side table the
+    * distinct whitespace terms. `pipeline_data_card_inc` then derives
+    * the card from these narrow tables — the ingest-time step that
+    * drops the cascade cost out of every card refresh.
+    */
+  private def docProfileIndex(s: SparkSession, d: String): String =
+    storedIndexTable("doc_profile", d) { tbl =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.docProfile(docs, "doc_id", "text")
+        .write.mode("overwrite").option("path", idxPath(tbl)).saveAsTable(tbl)
+      docs.select(explode(Dedup.tokens(col("text"))).as("term")).distinct()
+        .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
+        .saveAsTable(tbl + "_vocab")
+    }
+
   /** One PQ codebook training per (sfDir) per JVM — the model is
     * `m × kCodes` driver-local rows (the storedIndexTable discipline
     * applied to a model instead of a table: production trains
@@ -1579,6 +1597,14 @@ object SparkEntryExt {
           .as("r"))
         .select(col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("metric"))
+    }),
+    // the data card derived from the STORED per-doc profiles (same six
+    // metrics, same oracle): a card refresh aggregates two narrow
+    // tables — the tokenize passes and the quality cascade were paid
+    // once, at profile-materialization time
+    "pipeline_data_card_inc" -> ((s, d) => {
+      val tbl = docProfileIndex(s, d)
+      TextAnalysis.dataCardFromProfiles(s.table(tbl), s.table(tbl + "_vocab"))
     })
   )
 
@@ -2998,7 +3024,14 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
-    "pipeline_data_card" ->
+    "pipeline_data_card" -> dataCardSql,
+    // profile-backed variant: an execution-layout change (stored
+    // per-doc profiles), same semantics — same single-sourced oracle
+    "pipeline_data_card_inc" -> dataCardSql
+  )
+
+  /** Shared oracle for `pipeline_data_card` AND `pipeline_data_card_inc`. */
+  private lazy val dataCardSql: String =
       s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
          |base AS (
          |  SELECT count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
@@ -3022,5 +3055,4 @@ object SparkEntryExt {
          |    FROM cl, base
          |  UNION ALL SELECT 'quality_ok_frac', okf FROM ok)
          |ORDER BY metric""".stripMargin
-  )
 }

@@ -57,6 +57,33 @@ object SparkEntryStream {
     f.delete(): Unit
   }
 
+  // Pristine partitioned orders store, staged ONCE per sfDir per JVM
+  // (the withStagedEvents discipline applied to stream_upsert's
+  // mutable store): each rep then CLONES it with plain file copies —
+  // no Spark job — so Bench's N reps measure the micro-batched merge,
+  // not N full-table partitioned re-stagings (which dominated the
+  // recorded stream_upsert timings before this).
+  private val stagedUpsertStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pristineOrdersStore(spark: SparkSession, sfDir: String): String =
+    stagedUpsertStores.computeIfAbsent(sfDir, { _ =>
+      val parent = java.nio.file.Files.createTempDirectory("graft-ups-pristine").toString
+      scratchDirs.add(parent)
+      val dir = parent + "/orders"
+      Tables.orders(spark, sfDir).write.partitionBy("o_orderstatus").parquet(dir)
+      dir
+    })
+
+  /** Local-FS recursive copy (the per-rep store clone). */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // incremental tumbling-window agg ≡ the batch q_events_hourly
     "stream_hourly" -> ((s, d) => withStagedEvents(s, d) { dir =>
@@ -150,7 +177,10 @@ object SparkEntryStream {
     scratchDirs.add(in)
     scratchDirs.add(store)
     val orders = Tables.orders(spark, sfDir)
-    orders.write.partitionBy("o_orderstatus").parquet(store)
+    // clone the once-staged pristine store (file copy, no Spark job) —
+    // each rep mutates its own copy, the stage-write is paid once
+    copyTree(java.nio.file.Paths.get(pristineOrdersStore(spark, sfDir)),
+      java.nio.file.Paths.get(store))
     val updates = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 1.1)
     updates.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)

@@ -93,29 +93,52 @@ object Eval {
     * nDCG (graded, log-discounted): AP averages precision AT EACH
     * relevant position, so it rewards placing every relevant hit
     * early, not just the first (MRR) or any (recall). AP =
-    * (1/n_rel) Σ_i rel_i · (cum_rel_i / i) over the retrieved ranking;
-    * queries with no relevant hit report 0.0. Numerics: cumulative
-    * hit counts are exact integers from a partitioned window, and the
-    * final sum is a SEQUENTIAL ascending-rank fold (the [[ndcgAtK]]
-    * discipline), so any engine folding the same way is bit-identical
-    * pre-rounding. Output: `(query_id, n_rel, ap)`; mean over queries
-    * = MAP.
+    * (1/D) Σ_i rel_i · (cum_rel_i / i) over the retrieved ranking;
+    * queries with no relevant hit report 0.0.
+    *
+    * THE NORMALIZER D IS A SEMANTIC CHOICE. With `totalRelCol` (a
+    * per-query-constant column on `hits` holding the TOTAL relevant
+    * count R in the corpus) and the cutoff `k`, D = min(R, k) — the
+    * standard AP@k, which a query retrieving 1 of many relevant docs
+    * cannot max out. WITHOUT it, D = n_rel (relevant hits actually
+    * retrieved within top-k): "precision averaged over the
+    * retrieved-relevant positions" — recall-BLIND (one relevant hit at
+    * rank 1 scores 1.0 regardless of what was missed), useful only
+    * when R is unknowable; prefer the normalized form whenever gold
+    * counts exist.
+    *
+    * Numerics: cumulative hit counts are exact integers from a
+    * partitioned window, and the final sum is a SEQUENTIAL
+    * ascending-rank fold (the [[ndcgAtK]] discipline), so any engine
+    * folding the same way is bit-identical pre-rounding. Output:
+    * `(query_id, n_rel, ap)`; mean over queries = MAP.
     */
-  def apAtK(hits: DataFrame, queryCol: String, rankCol: String, relCol: String): DataFrame = {
+  def apAtK(hits: DataFrame, queryCol: String, rankCol: String, relCol: String,
+      totalRelCol: Option[String] = None, k: Int = 0): DataFrame = {
+    require(totalRelCol.isEmpty || k >= 1,
+      s"apAtK: the cutoff k ($k) must be >= 1 when totalRelCol is given — " +
+        "the standard normalizer is min(total relevant, k)")
     val w = Window.partitionBy(col("query_id")).orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val terms = hits.select(col(queryCol).as("query_id"),
-        col(rankCol).cast("long").as("r"), col(relCol).cast("long").as("rel"))
-      .withColumn("__term",
-        col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
-          col("r").cast("double"))
+    val base = hits.select(col(queryCol).as("query_id") +:
+        col(rankCol).cast("long").as("r") +: col(relCol).cast("long").as("rel") +:
+        totalRelCol.map(c => col(c).cast("long").as("__tr")).toSeq: _*)
+    val terms = base.withColumn("__term",
+      col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
+        col("r").cast("double"))
+    val aggs = sum(col("rel")).as("n_rel") +:
+      sort_array(collect_list(struct(col("r"), col("__term").as("t")))).as("__ps") +:
+      totalRelCol.map(_ => min(col("__tr")).as("__tr")).toSeq
+    val denom = totalRelCol match {
+      case None => col("n_rel").cast("double")
+      case Some(_) => least(col("__tr"), lit(k.toLong)).cast("double")
+    }
     terms.groupBy(col("query_id"))
-      .agg(sum(col("rel")).as("n_rel"),
-        sort_array(collect_list(struct(col("r"), col("__term").as("t")))).as("__ps"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("query_id"), col("n_rel"),
         round(when(col("n_rel") >= 1,
             aggregate(col("__ps"), lit(0.0d), (acc, p) => acc + p.getField("t")) /
-              col("n_rel").cast("double"))
+              denom)
           .otherwise(lit(0.0d)), 6).as("ap"))
   }
 

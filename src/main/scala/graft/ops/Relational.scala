@@ -425,6 +425,17 @@ object Relational {
     * of `groups x bins` rows, map-side combined) — at 100 TB both
     * shuffle volumes are index-sized, never data-sized, which is the
     * point of histogramming instead of sorting.
+    *
+    * CARDINALITY CONTRACT: the per-group stats table is BROADCAST back
+    * onto the data (the explicit hint below), which is what keeps the
+    * data side unshuffled — so `groupCol`'s distinct count must fit
+    * the broadcast budget (collected to the driver once; Spark fails
+    * loudly past `spark.sql.autoBroadcastJoinThreshold`-class limits,
+    * it does not spill). That is the right trade for the dashboard
+    * shape this implements (few groups, huge data). For
+    * data-sized group cardinality, drop the hint so the planner picks
+    * a shuffled join — at that point the groupCol exchange IS
+    * data-sized and histogramming's shuffle advantage is gone anyway.
     * Output: `(group, q, n, est)` — one row per requested quantile.
     */
   def histogramQuantiles(df0: DataFrame, groupCol: String, valCol: String,

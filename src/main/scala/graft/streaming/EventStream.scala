@@ -428,18 +428,30 @@ object EventStream {
     * scale this is the ingest half of a partitioned lake table: shuffle
     * volume per batch is O(batch + touched partitions), never
     * O(table).
+    *
+    * `checkpointLocation` governs RESTART cost, not correctness:
+    * without one, a restarted query re-lists the whole input dir as
+    * batch 0 and re-merges everything — value-idempotent (the OpsSpec
+    * replay pin) but it rewrites every touched partition again, which
+    * at lake scale is a full-ingest replay. With a checkpoint the
+    * restart resumes from the tracked file offset and only unseen
+    * files merge (OpsSpec restart pin). Production passes one; the
+    * in-test runners omit it because each run owns a fresh scratch
+    * input.
     */
   def upsertStream(spark: SparkSession, inputDir: String,
       schema: StructType, storePath: String, keyCol: String,
-      partitionCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      partitionCol: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    spark.readStream.schema(schema).parquet(inputDir)
+    val writer = spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Store.upsertPartitioned(batch.sparkSession, storePath,
           batch, keyCol, partitionCol)
       }
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
   }
 
@@ -467,9 +479,17 @@ object EventStream {
     // would then union the same vectors twice and report a silently
     // wrong PSI. A restartable monitor needs a checkpointLocation AND
     // batch-id-stable input (the indexStream recipe); until then,
-    // refuse the foot-gun instead of corrupting the metric.
-    val existing = new java.io.File(storeDir).listFiles()
-    require(existing == null || !existing.exists(_.getName.startsWith("vec_batch_")),
+    // refuse the foot-gun instead of corrupting the metric. Resolved
+    // via Hadoop FileSystem (not java.io.File, whose listFiles returns
+    // null for any non-local path and would silently WAIVE the guard
+    // on hdfs:// / s3a:// — exactly where a production monitor lives).
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(storePath))
+        fs.globStatus(new org.apache.hadoop.fs.Path(storePath, "vec_batch_*"))
+      else null
+    require(existing == null || existing.isEmpty,
       s"driftStream: $storeDir already holds vec_batch_* dirs from a previous " +
         "run — reusing it would double-count vectors in the cumulative PSI; " +
         "use a fresh store dir per stream")

@@ -73,6 +73,37 @@ class OpsSpec extends SparkSpec {
       s"replay must converge: once=$once twice=$twice")
   }
 
+  test("upsert stream restart: checkpoint resumes past committed batches") {
+    // Without a checkpoint a restarted upsertStream re-lists the whole
+    // input dir as batch 0 — value-idempotent (pin above) but a
+    // full-ingest replay at lake scale. With one, the restart must
+    // plan from the first UNcommitted batch (the indexStream restart
+    // discipline applied to the CDC path).
+    val in = java.nio.file.Files.createTempDirectory("upsrst-in").toString
+    val store = java.nio.file.Files.createTempDirectory("upsrst-st").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("upsrst-ck").toString
+    val base = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(store)
+    val upd = Seq((1L, "en", "A"), (4L, "de", "d")).toDF("id", "lang", "v")
+    upd.filter(col("id") === 1L).write.mode("append").parquet(in)
+    val q1 = EventStream.upsertStream(spark, in, upd.schema, store, "id", "lang",
+      checkpointLocation = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    upd.filter(col("id") === 4L).write.mode("append").parquet(in)
+    val q2 = EventStream.upsertStream(spark, in, upd.schema, store, "id", "lang",
+      checkpointLocation = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val batchIds = q2.recentProgress.map(_.batchId)
+      assert(batchIds.nonEmpty && batchIds.min >= 1,
+        s"restart must resume after q1's committed batch, planned ${batchIds.toSeq}")
+    } finally q2.stop()
+    val rows = spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "A", "en"), (2L, "b", "de"), (3L, "c", "en"), (4L, "d", "de")),
+      s"merged table wrong after restart: $rows")
+  }
+
   test("upsertPartitioned: URI-escaping partition value rejected before live data is touched") {
     val dir = java.nio.file.Files.createTempDirectory("upsertesc").toString + "/t"
     val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
@@ -252,6 +283,17 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(
       Multimodal.withMedia(docs, "doc_id", "text"), dim = 8, frameSize = 64).collect()
     assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+  }
+
+  test("profile-backed data card equals the raw-text card row for row") {
+    // pipeline_data_card_inc derives the card from the STORED per-doc
+    // profile + vocab tables; same six metrics, same oracle — so the
+    // two registry entries must agree exactly on the same corpus
+    val raw = SparkEntry.queries("pipeline_data_card")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val inc = SparkEntry.queries("pipeline_data_card_inc")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(inc == raw, s"profile-backed card diverged:\nraw=$raw\ninc=$inc")
   }
 
   test("streaming: incremental hourly agg equals the batch plan") {
