@@ -234,4 +234,34 @@ object OracleSql {
        |  LEFT JOIN ${name}_cnt c ON d.id = c.id AND d.j = c.b
        |  JOIN ${name}_nrm n ON d.id = n.id
        |  GROUP BY d.id)""".stripMargin
+
+  /** The six-metric corpus data card over `documents` — shared by the
+    * raw-text `pipeline_data_card`, the profile-backed
+    * `pipeline_data_card_inc`, and the streaming `stream_data_card`
+    * (all three are layout/incrementality variants of one semantics).
+    */
+  lazy val dataCardSql: String =
+    s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |base AS (
+       |  SELECT count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
+       |    round(avg(len(t)), 6) AS meantok
+       |  FROM tl),
+       |vocab AS (
+       |  SELECT count(DISTINCT tok)::DOUBLE AS v FROM (SELECT unnest(t) AS tok FROM tl)),
+       |cl AS (
+       |  SELECT count(*)::DOUBLE AS ncl FROM (
+       |    SELECT sha256(text) AS ch FROM documents GROUP BY 1)),
+       |${qualityCtes("dc", "documents")},
+       |ok AS (
+       |  SELECT round(avg(CASE WHEN reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
+       |  FROM dc_r)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, nd AS value FROM base
+       |  UNION ALL SELECT 'total_ws_tokens', tot FROM base
+       |  UNION ALL SELECT 'mean_doc_tokens', meantok FROM base
+       |  UNION ALL SELECT 'vocab_size', v FROM vocab
+       |  UNION ALL SELECT 'dup_doc_frac', round(1.0 - cl.ncl / base.nd, 6)
+       |    FROM cl, base
+       |  UNION ALL SELECT 'quality_ok_frac', okf FROM ok)
+       |ORDER BY metric""".stripMargin
 }

@@ -3024,35 +3024,9 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
-    "pipeline_data_card" -> dataCardSql,
-    // profile-backed variant: an execution-layout change (stored
-    // per-doc profiles), same semantics — same single-sourced oracle
-    "pipeline_data_card_inc" -> dataCardSql
+    // the data card and its layout variants share one semantics — one
+    // SQL, single-sourced in OracleSql (stream_data_card is the third)
+    "pipeline_data_card" -> OracleSql.dataCardSql,
+    "pipeline_data_card_inc" -> OracleSql.dataCardSql
   )
-
-  /** Shared oracle for `pipeline_data_card` AND `pipeline_data_card_inc`. */
-  private lazy val dataCardSql: String =
-      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |base AS (
-         |  SELECT count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
-         |    round(avg(len(t)), 6) AS meantok
-         |  FROM tl),
-         |vocab AS (
-         |  SELECT count(DISTINCT tok)::DOUBLE AS v FROM (SELECT unnest(t) AS tok FROM tl)),
-         |cl AS (
-         |  SELECT count(*)::DOUBLE AS ncl FROM (
-         |    SELECT sha256(text) AS ch FROM documents GROUP BY 1)),
-         |${OracleSql.qualityCtes("dc", "documents")},
-         |ok AS (
-         |  SELECT round(avg(CASE WHEN reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
-         |  FROM dc_r)
-         |SELECT metric, value FROM (
-         |  SELECT 'n_docs' AS metric, nd AS value FROM base
-         |  UNION ALL SELECT 'total_ws_tokens', tot FROM base
-         |  UNION ALL SELECT 'mean_doc_tokens', meantok FROM base
-         |  UNION ALL SELECT 'vocab_size', v FROM vocab
-         |  UNION ALL SELECT 'dup_doc_frac', round(1.0 - cl.ncl / base.nd, 6)
-         |    FROM cl, base
-         |  UNION ALL SELECT 'quality_ok_frac', okf FROM ok)
-         |ORDER BY metric""".stripMargin
 }

@@ -140,7 +140,12 @@ object SparkEntryStream {
     // continuous drift monitoring: per-micro-batch PSI snapshots of
     // baseline vs streamed-so-far; the final snapshot ≡ the batch
     // v_drift (the SAME single-sourced oracle SQL)
-    "stream_drift" -> ((s, d) => runDriftOnce(s, d)))
+    "stream_drift" -> ((s, d) => runDriftOnce(s, d)),
+    // continuous profile maintenance: per-micro-batch doc profiles +
+    // term sets accumulated; the card derived from them ≡ the batch
+    // pipeline_data_card (the SAME single-sourced oracle SQL — its
+    // third consumer, after the raw and profile-backed batch forms)
+    "stream_data_card" -> ((s, d) => runProfileCardOnce(s, d)))
 
   /** Drive [[EventStream.driftStream]]: even-id vectors are the static
     * baseline, odd-id vectors stream in TWO micro-batches (split at
@@ -163,6 +168,30 @@ object SparkEntryStream {
       EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(s"$store/psi_latest").orderBy(col("dim"))
+  }
+
+  /** Drive [[EventStream.profileStream]]: docs arrive in TWO
+    * micro-batches (split at doc_id 250); the card derived from the
+    * accumulated profile + vocab dirs must hash-match the batch
+    * `pipeline_data_card`. Per-doc profiles are batch-local, so the
+    * slicing cannot move any metric.
+    */
+  private def runProfileCardOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-prof-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-prof-store").toString
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
+    val q = EventStream.profileStream(spark, in, store)
+    try {
+      EventStream.drainAll(spark, q, in)
+      docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
+    graft.ops.TextAnalysis.dataCardFromProfiles(
+      spark.read.parquet(s"$store/profile_batch_*"),
+      spark.read.parquet(s"$store/vocab_batch_*").distinct())
   }
 
   /** Drive [[EventStream.upsertStream]]: the orders table is staged as
@@ -342,6 +371,9 @@ object SparkEntryStream {
     // literally the v_drift oracle: the final cumulative PSI snapshot
     // must not depend on how the odd half was micro-batched
     "stream_drift" -> OracleSql.dimDriftSql,
+    // literally the pipeline_data_card oracle: per-doc profiles are
+    // batch-local, so micro-batch slicing cannot move the card
+    "stream_data_card" -> OracleSql.dataCardSql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

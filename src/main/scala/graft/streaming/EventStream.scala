@@ -298,6 +298,42 @@ object EventStream {
       .start()
   }
 
+  /** Continuous per-doc PROFILE maintenance — the ingest half of the
+    * profile-backed data card ([[graft.ops.TextAnalysis.docProfile]] /
+    * `pipeline_data_card_inc`) as a stream: each micro-batch of docs
+    * writes its profiles and its distinct terms to idempotent
+    * per-batch-id dirs (a replayed batch overwrites its OWN dir — the
+    * [[searchStream]] at-least-once discipline), and the card is then
+    * derived from the accumulated tables with the same
+    * [[graft.ops.TextAnalysis.dataCardFromProfiles]] the batch path
+    * uses. Valid because the profile is per-doc (no corpus
+    * dependence), so batch slicing cannot change any profile row;
+    * vocab dirs hold per-BATCH distinct terms, so the reader dedups
+    * the union (a production deployment merges into one vocab table
+    * instead). Oracle: the finite-input card must equal the batch
+    * `pipeline_data_card` — the same single-sourced SQL, third
+    * consumer.
+    */
+  def profileStream(spark: SparkSession, inputDir: String,
+      storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    spark.readStream.schema(docSchema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextAnalysis.docProfile(batch, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$storeDir/profile_batch_$batchId")
+        batch.select(explode(graft.ops.Dedup.tokens(col("text"))).as("term"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$storeDir/vocab_batch_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector SERVING: query vectors arriving in `inputDir`
     * are answered with exact top-k against the static point corpus and
     * the hits appended to `storeDir` — the query half of the serving

@@ -94,6 +94,28 @@ class EvalSpec extends SparkSpec {
     assert(at(1) == at(7), "ap must not depend on how rows are partitioned")
   }
 
+  test("AP@k with total-relevant normalization: retrieving 1 of many cannot score 1.0") {
+    // The ADVICE r11 scenario: a query retrieving exactly one of its
+    // R=10 relevant docs, at rank 1. The un-normalized form (D = n_rel)
+    // reads 1.0 — recall-blind; standard AP@k divides by min(R, k).
+    val hits = Seq(
+      (1L, 1L, 1, 10L), (1L, 2L, 0, 10L), (1L, 3L, 0, 10L),
+      (2L, 1L, 1, 2L), (2L, 2L, 1, 2L), // both of R=2 retrieved in order
+      (3L, 1L, 0, 1L)) // R=1, missed entirely
+      .toDF("query_id", "rank", "rel", "total_rel")
+    val m = Eval.apAtK(hits, "query_id", "rank", "rel",
+        totalRelCol = Some("total_rel"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((1L, 0.2)), s"q1 must score 1/min(10,5) = 0.2: ${m(1L)}")
+    assert(m(2L) == ((2L, 1.0)), s"q2 (perfect) must stay 1.0: ${m(2L)}")
+    assert(m(3L) == ((0L, 0.0)), s"q3 (missed): ${m(3L)}")
+    // and the un-normalized form on q1 reads 1.0 — the documented
+    // recall-blind legacy semantics, preserved behind the default
+    val un = Eval.apAtK(hits.filter($"query_id" === 1L), "query_id", "rank", "rel")
+      .first().getDouble(2)
+    assert(un == 1.0, s"un-normalized AP must stay n_rel-relative: $un")
+  }
+
   test("nDCG is invariant to input partitioning (deterministic fold order)") {
     val hits = Seq((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0))
       .toDF("query_id", "rank", "rel")
