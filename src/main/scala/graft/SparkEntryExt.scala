@@ -457,6 +457,23 @@ object SparkEntryExt {
         .bucketBy(32, "point_id").saveAsTable(tbl)
     }
 
+  /** Composed IVF+BQ stored index: sign bucket (the co-location key —
+    * `bucketBy` serves the probe equi-join with zero point-side
+    * movement) AND packed signature (the cheap pair-pass column) in
+    * ONE table, for [[SimilaritySearch.ivfBqRerankTopK]]. The raw
+    * vector column is deliberately NOT stored here: the pair pass
+    * never reads it, and the rerank fetches it by id from the corpus.
+    */
+  private def ivfBqIndex(s: SparkSession, d: String): String =
+    storedIndexTable("ivf_bq_idx", d) { tbl =>
+      Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("point_id"),
+          SimilaritySearch.signBucket("embedding", 4).as("b"),
+          SimilaritySearch.packSignBits(col("embedding"), 64).as("sig"))
+        .write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(16, "b").saveAsTable(tbl)
+    }
+
   /** Per-doc profile + vocab tables, materialized ONCE per sfDir per
     * JVM (the [[bqSigIndex]] discipline applied to corpus reporting):
     * the profile carries the tokenize + quality-cascade results
@@ -1489,6 +1506,25 @@ object SparkEntryExt {
           emb.filter(col("vec_id") >= 10)
             .select(col("vec_id").as("point_id"), col("embedding")),
           "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("point_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // composed IVF+BQ over ONE stored index (the production recipe):
+    // bucket equi-join prunes to probed cells (point side never moves
+    // — bucketBy), Hamming ranks the survivors off the stored sig,
+    // exact cosine reranks the shortlist fetched by id. hint("merge")
+    // models the batch case where neither side broadcasts.
+    "sim_ivf_bq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = ivfBqIndex(s, d)
+      SimilaritySearch.ivfBqRerankTopK(
+          emb.filter(col("vec_id") < 10).hint("merge"),
+          s.table(idx),
+          emb.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("point_id"), col("embedding")),
+          "vec_id", "point_id", "embedding", "b", "sig",
+          bits = 4, dim = 64, nprobe = 2, shortlist = 20, k = 5)
         .select(col("query_id"), col("rank"), col("point_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
@@ -2924,6 +2960,37 @@ object SparkEntryExt {
     "sim_prefix_stored" -> prefixRerankSql,
     "sim_bq_rerank" -> bqRerankSql,
     "sim_bq_stored" -> bqRerankSql,
+    // composed IVF+BQ: probe buckets (shared mpProbeCtes rule) ∩
+    // Hamming shortlist (shared word packing) → exact rerank
+    "sim_ivf_bq" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+         |    ${bqWordSql("embedding", 0, 64)} AS w0,
+         |    ${bqWordSql("embedding", 1, 64)} AS w1
+         |  FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
+         |${mpProbeCtes("q0")},
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe, w0 AS qw0, w1 AS qw1
+         |       FROM b WHERE vec_id < 10),
+         |p AS (SELECT vec_id AS point_id, embedding AS pe, bucket, w0, w1
+         |      FROM b WHERE vec_id >= 10),
+         |sl AS (
+         |  SELECT pr.query_id, p.point_id, qs.qe, p.pe,
+         |    row_number() OVER (PARTITION BY pr.query_id
+         |      ORDER BY bit_count(xor(qs.qw0, p.w0)) + bit_count(xor(qs.qw1, p.w1)) ASC,
+         |        p.point_id ASC) AS hrank
+         |  FROM probes pr
+         |  JOIN p ON pr.bucket = p.bucket
+         |  JOIN qs ON pr.query_id = qs.query_id
+         |  QUALIFY hrank <= 20)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+         |  point_id,
+         |  round(${sqlCos("qe", "pe")}, 6) AS score
+         |FROM sl
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_hist_quantiles" ->
       """WITH stats AS (
         |  SELECT o_orderpriority, min(o_totalprice::DOUBLE) AS lo,

@@ -89,22 +89,7 @@ object SimilaritySearch {
         "sequences reach exactly the own bucket plus one flip per sign bit")
     val q0 = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
-    val q =
-      if (nprobe == 1) q0.withColumn(bucketCol, signBucket("__qvec", bits))
-      else {
-        // (|component|, flip mask) pairs; array_sort orders structs by
-        // field left-to-right, so ties on the magnitude break
-        // deterministically by mask (oracle mirrors: ORDER BY a, m)
-        val flips = array((0 until bits).map(i =>
-          struct(abs(element_at(col("__qvec"), i + 1)).cast("double").as("a"),
-            lit(1L << (bits - 1 - i)).as("m"))): _*)
-        val own = signBucket("__qvec", bits)
-        val probes = concat(
-          array(own),
-          transform(slice(array_sort(flips), 1, nprobe - 1),
-            s => own.bitwiseXOR(s.getField("m"))))
-        q0.withColumn(bucketCol, explode(probes))
-      }
+    val q = explodeProbes(q0, bucketCol, bits, nprobe)
     val scored = bucketedPoints
       .join(q, bucketCol)
       .withColumn("score", VectorOps.cosine(col("__qvec"), col(vecCol)))
@@ -113,6 +98,84 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(pointIdCol).as("point_id"), col("score"))
+  }
+
+  /** Explode a query frame carrying `__qvec` into one row per probed
+    * bucket as `bucketCol`: the own sign bucket plus the `nprobe - 1`
+    * LEAST-confident single-bit flips (Lv et al. 2007 multi-probe —
+    * see [[ivfTopKStored]]'s scaladoc). (|component|, mask) pairs sort
+    * by magnitude with ties broken by mask via struct `array_sort`
+    * (oracle mirrors: ORDER BY a, m); probed buckets are distinct, so
+    * no downstream pair is scored twice. ONE definition shared by
+    * [[ivfTopKStored]] and [[ivfBqRerankTopK]]; extra columns on the
+    * frame ride along.
+    */
+  private def explodeProbes(q0: DataFrame, bucketCol: String, bits: Int,
+      nprobe: Int): DataFrame =
+    if (nprobe == 1) q0.withColumn(bucketCol, signBucket("__qvec", bits))
+    else {
+      val flips = array((0 until bits).map(i =>
+        struct(abs(element_at(col("__qvec"), i + 1)).cast("double").as("a"),
+          lit(1L << (bits - 1 - i)).as("m"))): _*)
+      val own = signBucket("__qvec", bits)
+      val probes = concat(
+        array(own),
+        transform(slice(array_sort(flips), 1, nprobe - 1),
+          s => own.bitwiseXOR(s.getField("m"))))
+      q0.withColumn(bucketCol, explode(probes))
+    }
+
+  /** Composed IVF + BQ search over ONE stored index — the production
+    * recipe modern vector stores ship as "IVF with binary
+    * quantization": the sign bucket prunes the corpus to the probed
+    * cells (an equi-join the bucketed index serves with zero
+    * point-side movement), the packed signature ranks the survivors
+    * with 2-ALU-op Hamming (no float vector is read in the pair pass),
+    * and exact cosine reranks the `shortlist` finalists fetched BY ID.
+    * Three costs, each paid on the smallest possible set: bucket join
+    * on the index layout, Hamming on cell populations, FMAs on
+    * `shortlist` rows per query. `idxPoints` is the stored table
+    * `(pointIdCol, bucketCol, sigCol)` with `bucketCol = signBucket`
+    * and `sigCol = packSignBits` materialized at ingest, written
+    * `bucketBy(n, bucketCol)` (BucketingSpec pins the single
+    * query-side bucket exchange). Multi-probe (`nprobe`) recovers
+    * recall exactly as in [[ivfTopKStored]] — shared probe rule.
+    * Output: `(query_id, rank, point_id, score)` — exact full-width
+    * scores, standard total order.
+    */
+  def ivfBqRerankTopK(
+      queries: DataFrame,
+      idxPoints: DataFrame,
+      points: DataFrame,
+      queryIdCol: String,
+      pointIdCol: String,
+      vecCol: String,
+      bucketCol: String,
+      sigCol: String,
+      bits: Int,
+      dim: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      s"nprobe ($nprobe) must be in [1, bits + 1 = ${bits + 1}]")
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist ($shortlist) >= k ($k) >= 1")
+    val q0 = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qvec"))
+      .withColumn("__qsig", packSignBits(col("__qvec"), dim))
+    val q = explodeProbes(q0, bucketCol, bits, nprobe)
+      .select(col("query_id"), col("__qsig"), col(bucketCol))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ham").asc, col("point_id").asc)
+    val shortIds = idxPoints
+      .select(col(pointIdCol).as("point_id"), col(bucketCol), col(sigCol).as("__psig"))
+      .join(q, bucketCol)
+      .withColumn("__ham", hammingUnrolled(col("__qsig"), col("__psig"), dim))
+      .withColumn("__hrank", row_number().over(wPre))
+      .filter(col("__hrank") <= shortlist)
+      .select(col("query_id"), col("point_id"))
+    fetchAndRerank(shortIds, queries, points, queryIdCol, pointIdCol, vecCol, k)
   }
 
   /** Deterministic spherical k-means (Lloyd's algorithm, loop-unrolled

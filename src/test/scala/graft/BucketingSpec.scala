@@ -82,6 +82,28 @@ class BucketingSpec extends SparkSpec {
       s"stored prefix search must not move the point side:\n$planStr")
   }
 
+  test("composed IVF+BQ index: one query-side bucket exchange, broadcast rerank fetch") {
+    // Three costs, three shapes, one plan: the probe equi-join reads
+    // the bucketBy layout (ONE b-exchange, the query side), the
+    // Hamming pass reads the stored sig column (no point_id exchange
+    // anywhere), and the phase-2 raw-vector fetch is a broadcast id
+    // join — the wide column never enters the pair pass.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("sim_ivf_bq")(spark, sf0001)
+      assert(df.count() > 0)
+      val planStr = df.queryExecution.executedPlan.toString
+      val bucketExchanges = "Exchange hashpartitioning\\(b#".r.findAllIn(planStr).size
+      assert(bucketExchanges == 1,
+        s"expected only the probe side to exchange on the bucket key:\n$planStr")
+      assert("Exchange hashpartitioning\\(point_id#".r.findFirstIn(planStr).isEmpty,
+        s"the stored index must serve the pair pass without moving points:\n$planStr")
+      assert(planStr.contains("BroadcastHashJoin"),
+        s"phase-2 fetch must stay a broadcast id join:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
