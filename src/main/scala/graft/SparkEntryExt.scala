@@ -464,7 +464,7 @@ object SparkEntryExt {
     * vector column is deliberately NOT stored here: the pair pass
     * never reads it, and the rerank fetches it by id from the corpus.
     */
-  private def ivfBqIndex(s: SparkSession, d: String): String =
+  private[graft] def ivfBqIndex(s: SparkSession, d: String): String =
     storedIndexTable("ivf_bq_idx", d) { tbl =>
       Tables.embeddings(s, d).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("point_id"),
@@ -625,6 +625,41 @@ object SparkEntryExt {
        |      ORDER BY ${sqlCos("q.pre", "p.pre")} DESC, p.vec_id) AS prank
        |  FROM q, p
        |  QUALIFY prank <= 20)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
+       |  point_id,
+       |  round(${sqlCos("qe", "pe")}, 6) AS score
+       |FROM sl
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
+    * streaming serving loop over the same stored index — per-query
+    * purity makes micro-batch slicing invisible, so both check
+    * against one SQL).
+    */
+  private[graft] lazy val ivfBqSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |    ${bqWordSql("embedding", 0, 64)} AS w0,
+       |    ${bqWordSql("embedding", 1, 64)} AS w1
+       |  FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
+       |${mpProbeCtes("q0")},
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe, w0 AS qw0, w1 AS qw1
+       |       FROM b WHERE vec_id < 10),
+       |p AS (SELECT vec_id AS point_id, embedding AS pe, bucket, w0, w1
+       |      FROM b WHERE vec_id >= 10),
+       |sl AS (
+       |  SELECT pr.query_id, p.point_id, qs.qe, p.pe,
+       |    row_number() OVER (PARTITION BY pr.query_id
+       |      ORDER BY bit_count(xor(qs.qw0, p.w0)) + bit_count(xor(qs.qw1, p.w1)) ASC,
+       |        p.point_id ASC) AS hrank
+       |  FROM probes pr
+       |  JOIN p ON pr.bucket = p.bucket
+       |  JOIN qs ON pr.query_id = qs.query_id
+       |  QUALIFY hrank <= 20)
        |SELECT query_id,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
@@ -2962,35 +2997,7 @@ object SparkEntryExt {
     "sim_bq_stored" -> bqRerankSql,
     // composed IVF+BQ: probe buckets (shared mpProbeCtes rule) ∩
     // Hamming shortlist (shared word packing) → exact rerank
-    "sim_ivf_bq" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
-         |    ${bqWordSql("embedding", 0, 64)} AS w0,
-         |    ${bqWordSql("embedding", 1, 64)} AS w1
-         |  FROM embeddings),
-         |q0 AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 10),
-         |${mpProbeCtes("q0")},
-         |qs AS (SELECT vec_id AS query_id, embedding AS qe, w0 AS qw0, w1 AS qw1
-         |       FROM b WHERE vec_id < 10),
-         |p AS (SELECT vec_id AS point_id, embedding AS pe, bucket, w0, w1
-         |      FROM b WHERE vec_id >= 10),
-         |sl AS (
-         |  SELECT pr.query_id, p.point_id, qs.qe, p.pe,
-         |    row_number() OVER (PARTITION BY pr.query_id
-         |      ORDER BY bit_count(xor(qs.qw0, p.w0)) + bit_count(xor(qs.qw1, p.w1)) ASC,
-         |        p.point_id ASC) AS hrank
-         |  FROM probes pr
-         |  JOIN p ON pr.bucket = p.bucket
-         |  JOIN qs ON pr.query_id = qs.query_id
-         |  QUALIFY hrank <= 20)
-         |SELECT query_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS BIGINT) AS rank,
-         |  point_id,
-         |  round(${sqlCos("qe", "pe")}, 6) AS score
-         |FROM sl
-         |QUALIFY rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_bq" -> ivfBqSql,
     "q_hist_quantiles" ->
       """WITH stats AS (
         |  SELECT o_orderpriority, min(o_totalprice::DOUBLE) AS lo,

@@ -145,7 +145,12 @@ object SparkEntryStream {
     // term sets accumulated; the card derived from them ≡ the batch
     // pipeline_data_card (the SAME single-sourced oracle SQL — its
     // third consumer, after the raw and profile-backed batch forms)
-    "stream_data_card" -> ((s, d) => runProfileCardOnce(s, d)))
+    "stream_data_card" -> ((s, d) => runProfileCardOnce(s, d)),
+    // continuous serving from the STORED ANN index: streamed queries
+    // answered per micro-batch by the composed IVF+BQ search; hits
+    // over two batches ≡ the one-shot batch sim_ivf_bq (SAME oracle —
+    // per-query purity makes the slicing invisible)
+    "stream_idx_search" -> ((s, d) => runIndexedSearchOnce(s, d)))
 
   /** Drive [[EventStream.driftStream]]: even-id vectors are the static
     * baseline, odd-id vectors stream in TWO micro-batches (split at
@@ -249,6 +254,36 @@ object SparkEntryStream {
       EventStream.drainAll(spark, q, in)
     } finally q.stop()
     // one directory per micro-batch (idempotent replays) — glob them
+    spark.read.parquet(s"$store/batch_*")
+      .select(col("query_id"), col("rank"), col("point_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Drive [[EventStream.indexedSearchStream]]: query vectors
+    * vec_id < 10 arrive in TWO micro-batches (split at 5) against the
+    * ONE stored IVF+BQ index the batch `sim_ivf_bq` searches (shared
+    * per-JVM build); the accumulated hit store must hash-match that
+    * batch search.
+    */
+  private def runIndexedSearchOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-ixsrch-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-ixsrch-store").toString + "/hits"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val points = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("point_id"), col("embedding"))
+    val idx = spark.table(SparkEntryExt.ivfBqIndex(spark, sfDir))
+    queries.filter(col("vec_id") < 5).write.mode("append").parquet(in)
+    val q = EventStream.indexedSearchStream(spark, in, store, idx, points,
+      bits = 4, dim = 64, nprobe = 2, shortlist = 20, k = 5)
+    try {
+      EventStream.drainAll(spark, q, in)
+      queries.filter(col("vec_id") >= 5).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
     spark.read.parquet(s"$store/batch_*")
       .select(col("query_id"), col("rank"), col("point_id"),
         round(col("score"), 6).as("score"))
@@ -374,6 +409,9 @@ object SparkEntryStream {
     // literally the pipeline_data_card oracle: per-doc profiles are
     // batch-local, so micro-batch slicing cannot move the card
     "stream_data_card" -> OracleSql.dataCardSql,
+    // literally the sim_ivf_bq oracle: per-query purity against the
+    // static index makes the micro-batch slicing invisible
+    "stream_idx_search" -> SparkEntryExt.ivfBqSql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

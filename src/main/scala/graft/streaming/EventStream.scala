@@ -373,6 +373,40 @@ object EventStream {
       .start()
   }
 
+  /** Continuous vector serving AGAINST THE STORED ANN INDEX — the
+    * production shape of [[searchStream]]: streamed query vectors are
+    * answered per micro-batch by the composed IVF+BQ search
+    * ([[graft.ops.SimilaritySearch.ivfBqRerankTopK]]) over the static
+    * pre-built index + corpus, instead of exact brute force. Per-query
+    * purity makes batch slicing invisible: each query's hits depend
+    * only on the static sides, so the accumulated store ≡ the one-shot
+    * batch search (the `sim_ivf_bq` oracle, fourth single-source
+    * consumer pattern). Same idempotent per-batch-id output dirs as
+    * [[searchStream]]. Index/search parameters are the caller's — they
+    * must match how `idxPoints` was built.
+    */
+  def indexedSearchStream(spark: SparkSession, inputDir: String,
+      storeDir: String, idxPoints: DataFrame, points: DataFrame,
+      bits: Int, dim: Int, nprobe: Int, shortlist: Int,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream.schema(qSchema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SimilaritySearch.ivfBqRerankTopK(
+            batch, idxPoints, points,
+            "vec_id", "point_id", "embedding", "b", "sig",
+            bits, dim, nprobe, shortlist, k)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector-index maintenance: the reference's ingestion
     * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
     * new documents arriving in `inputDir` are chunked, hash-embedded,
