@@ -542,7 +542,7 @@ object SparkEntryExt {
     rows.toSeq.toDF("sub", "cid", "centroid")
   }
 
-  /** The unified six-path ANN quality table (`sim_recall_all` /
+  /** The unified nine-path ANN quality table (`sim_recall_all` /
     * `sim_recall_clustered`): mean recall@3 of every approximate path
     * against one exact ground truth over the same queries (vec_id < 10),
     * points (vec_id >= 10) and k. `modelKey` scopes the per-JVM
@@ -584,7 +584,14 @@ object SparkEntryExt {
       "bq" -> SimilaritySearch.bqRerankTopK(queries, points,
         "vec_id", "point_id", "embedding", dim = 64, shortlist = 20, k = 3),
       "prefix" -> SimilaritySearch.prefixRerankTopK(queries, points,
-        "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 3))
+        "vec_id", "point_id", "embedding", prefixDim = 16, shortlist = 20, k = 3),
+      "ivf_bq" -> SimilaritySearch.ivfBqRerankTopK(queries,
+        pts.select(col("vec_id").as("point_id"),
+          SimilaritySearch.signBucket("embedding", 4).as("b"),
+          SimilaritySearch.packSignBits(col("embedding"), 64).as("sig")),
+        points.select(col("point_id"), col("embedding")),
+        "vec_id", "point_id", "embedding", "b", "sig",
+        bits = 4, dim = 64, nprobe = 2, shortlist = 20, k = 3))
     paths.map { case (name, approx) =>
       SimilaritySearch.recallAtK(exact,
           approx.select(col("query_id"), col("point_id")),
@@ -878,7 +885,7 @@ object SparkEntryExt {
     // only float compared is one 6-dp-rounded division per row.
     "sim_recall_all" -> ((s, d) =>
       recallAllOver(s, Tables.embeddings(s, d), modelKey = d)),
-    // the same six-path quality table over the PLANTED-CLUSTER fixture:
+    // the same nine-path quality table over the PLANTED-CLUSTER fixture:
     // on the noise-dominated harness embeddings recall ranks noise (pure
     // ADC 0.16), so this is the row where the menu actually measures
     // index quality — queries' true neighbors are their cluster-mates,
@@ -1925,8 +1932,8 @@ object SparkEntryExt {
          |FROM (SELECT DISTINCT query_id FROM exact) q
          |LEFT JOIN hits h USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
-    // six approximate top-3 tables (each mirroring its Spark path step
-    // for step), one exact ground truth, per-method hit counts
+    // nine approximate top-3 tables (each mirroring its Spark path
+    // step for step), one exact ground truth, per-method hit counts
     "sim_recall_all" -> recallAllSql(""),
     // identical SQL over the clustered fixture: a leading CTE named
     // `embeddings` SHADOWS the registered harness view (DuckDB resolves
@@ -1939,7 +1946,7 @@ object SparkEntryExt {
          |""".stripMargin)
   ) ++ oracleSqlRest
 
-  /** Body of the six-path recall oracle; `prefix` prepends (optionally)
+  /** Body of the nine-path recall oracle; `prefix` prepends (optionally)
     * a source-shadowing CTE — see `sim_recall_clustered`.
     */
   private def recallAllSql(prefix: String): String =
@@ -2007,6 +2014,23 @@ object SparkEntryExt {
          |      FROM embeddings q, embeddings p WHERE q.vec_id < 10 AND p.vec_id >= 10
          |      QUALIFY prank <= 20)
          |    QUALIFY rank <= 3)),
+         |ibq AS (
+         |  SELECT query_id, point_id FROM (
+         |    SELECT query_id, point_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("qe", "pe")} DESC, point_id) AS rank
+         |    FROM (
+         |      SELECT pr.query_id, pm.point_id,
+         |        qb.embedding AS qe, pb.embedding AS pe,
+         |        row_number() OVER (PARTITION BY pr.query_id
+         |          ORDER BY bit_count(xor(qb.w0, pb.w0)) + bit_count(xor(qb.w1, pb.w1)) ASC,
+         |            pm.point_id ASC) AS hrank
+         |      FROM probes pr
+         |      JOIN pm ON pr.bucket = pm.bucket
+         |      JOIN bqs qb ON qb.vec_id = pr.query_id
+         |      JOIN bqs pb ON pb.vec_id = pm.point_id
+         |      QUALIFY hrank <= 20)
+         |    QUALIFY rank <= 3)),
          |paths AS (
          |  SELECT 'ivf' AS method, query_id, point_id FROM ivf
          |  UNION ALL SELECT 'ivf_mp', query_id, point_id FROM mp
@@ -2015,7 +2039,8 @@ object SparkEntryExt {
          |  UNION ALL SELECT 'pq_rerank', query_id, point_id FROM prr
          |  UNION ALL SELECT 'ivfpq', query_id, point_id FROM ipq
          |  UNION ALL SELECT 'bq', query_id, point_id FROM bq
-         |  UNION ALL SELECT 'prefix', query_id, point_id FROM pfx),
+         |  UNION ALL SELECT 'prefix', query_id, point_id FROM pfx
+         |  UNION ALL SELECT 'ivf_bq', query_id, point_id FROM ibq),
          |nq AS (SELECT count(DISTINCT query_id) AS n FROM exact),
          |hits AS (
          |  SELECT p.method, count(*) AS sum_hits
@@ -2027,7 +2052,8 @@ object SparkEntryExt {
          |  CAST(coalesce(h.sum_hits, 0) AS BIGINT) AS sum_hits,
          |  round(coalesce(h.sum_hits, 0)::DOUBLE / (3 * nq.n), 6) AS mean_recall
          |FROM (VALUES ('ivf'), ('ivf_mp'), ('ivf_trained'),
-         |      ('pq_adc'), ('pq_rerank'), ('ivfpq'), ('bq'), ('prefix')) m(method)
+         |      ('pq_adc'), ('pq_rerank'), ('ivfpq'), ('bq'), ('prefix'),
+         |      ('ivf_bq')) m(method)
          |CROSS JOIN nq
          |LEFT JOIN hits h ON h.method = m.method
          |ORDER BY m.method""".stripMargin

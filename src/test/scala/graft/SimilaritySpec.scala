@@ -98,11 +98,11 @@ class SimilaritySpec extends SparkSpec {
     assert(m(99L) == ((99L, true)), s"singleton keeps itself: $m")
   }
 
-  test("sim_recall_all: eight methods, every count within [0, k·queries], recall consistent") {
+  test("sim_recall_all: nine methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
     assert(methods == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank", "ivfpq",
-      "bq", "prefix"))
+      "bq", "prefix", "ivf_bq"))
     rows.foreach { r =>
       val (n, hits, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(n == 10L, s"${r.getString(0)}: expected the 10 fixed queries, got $n")
@@ -112,7 +112,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("sim_recall_clustered: planted clusters separate the eight paths by quality") {
+  test("sim_recall_clustered: planted clusters separate the nine paths by quality") {
     // On the committed fixture (ClusteredFixture: 8 Gaussian clusters,
     // 64-d) a query's true top-3 are cluster-mates, so recall measures
     // what each index preserves of real structure — unlike the
@@ -120,11 +120,14 @@ class SimilaritySpec extends SparkSpec {
     // deterministic (committed parquet + deterministic training), so
     // these bounds only move if an index implementation changes.
     // Measured r11: trained 1.0, rerank 0.967, mp 0.9, sign 0.733,
-    // prefix 0.667, bq 0.6, ivfpq 0.467, pure-ADC 0.1.
+    // prefix 0.667, bq 0.6, ivfpq 0.467, pure-ADC 0.1; r12 adds the
+    // composed ivf_bq at 0.5 — bucket pruning stacked on 1-bit
+    // compression costs recall vs global Hamming, the menu's price tag
+    // for its cheapest serving path.
     val rec = SparkEntry.queries("sim_recall_clustered")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(rec.keySet == Set("ivf", "ivf_mp", "ivf_trained", "pq_adc", "pq_rerank",
-      "ivfpq", "bq", "prefix"))
+      "ivfpq", "bq", "prefix", "ivf_bq"))
     // the 1-bit and prefix-dim compressions both retain far more of the
     // planted structure than pure ADC (which quantizes distances away)
     assert(rec("bq") > rec("pq_adc") + 0.3, s"BQ ~ pure ADC: $rec")
@@ -137,6 +140,11 @@ class SimilaritySpec extends SparkSpec {
     assert(rec("pq_rerank") > rec("pq_adc") + 0.5, s"rerank ~ pure ADC: $rec")
     // multi-probe strictly improves the single-bucket sign path
     assert(rec("ivf_mp") > rec("ivf"), s"multi-probe did not beat single-probe: $rec")
+    // the composed IVF+BQ path pays for its bucket prune in recall:
+    // below global-Hamming BQ, still far above pure ADC (deterministic
+    // fixture — these move only if an index implementation changes)
+    assert(rec("ivf_bq") <= rec("bq") && rec("ivf_bq") > rec("pq_adc") + 0.3,
+      s"composed path out of its measured band: $rec")
     // quality ladder: trained > sign-bucket > pure ADC, with real gaps
     assert(rec("ivf_trained") > rec("ivf") + 0.1 && rec("ivf") > rec("pq_adc") + 0.1,
       s"paths did not separate: $rec")
