@@ -88,12 +88,22 @@ class OpsSpec extends SparkSpec {
     upd.filter(col("id") === 1L).write.mode("append").parquet(in)
     val q1 = EventStream.upsertStream(spark, in, upd.schema, store, "id", "lang",
       checkpointLocation = Some(ckpt))
-    try q1.processAllAvailable() finally q1.stop()
+    // q1 drains against the input ledger (processAllAvailable alone can
+    // return before the source's first listing — drainAll's contract)
+    try EventStream.drainAll(spark, q1, in) finally q1.stop()
     upd.filter(col("id") === 4L).write.mode("append").parquet(in)
     val q2 = EventStream.upsertStream(spark, in, upd.schema, store, "id", "lang",
       checkpointLocation = Some(ckpt))
     try {
+      // the resumed query only sees the ONE new row, so the full-dir
+      // drainAll ledger cannot apply — poll until that row is processed
       q2.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (q2.recentProgress.iterator.map(_.numInputRows).sum < 1 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q2.processAllAvailable()
+      }
       val batchIds = q2.recentProgress.map(_.batchId)
       assert(batchIds.nonEmpty && batchIds.min >= 1,
         s"restart must resume after q1's committed batch, planned ${batchIds.toSeq}")
