@@ -641,6 +641,67 @@ object SparkEntryExt {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Round-unrolled mirror of [[graft.ops.Bpe.trainMerges]] (the
+    * `$ivfTrainedSelect` discipline for a data-dependent training
+    * loop): each round's CTE block counts adjacent pairs over the
+    * previous sequences, takes the `(count DESC, l, r)` argmax as a
+    * 1-row model CTE, and rebuilds the sequences with the canonical
+    * greedy run-selection windows the Spark side uses. Merged token =
+    * `l || chr(1) || r` (= the Spark "" separator).
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH s0 AS (SELECT doc_id, $toksSql AS t FROM documents),\n")
+    for (i <- 1 to rounds) {
+      val prev = s"s${i - 1}"
+      sb.append(
+        s"""pe$i AS (
+           |  SELECT doc_id, i AS p, t[i] AS tok,
+           |    CASE WHEN i < len(t) THEN t[i + 1] END AS nxt
+           |  FROM $prev, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+           |m$i AS (
+           |  SELECT tok AS l, nxt AS r, count(*) AS c
+           |  FROM pe$i WHERE nxt IS NOT NULL
+           |  GROUP BY 1, 2
+           |  ORDER BY c DESC, l, r
+           |  LIMIT 1),
+           |""".stripMargin)
+      if (i < rounds) sb.append(
+        s"""el$i AS (
+           |  SELECT pe.doc_id, pe.p, pe.tok,
+           |    (pe.tok = m.l AND pe.nxt = m.r) AS elig,
+           |    m.l || chr(1) || m.r AS mg,
+           |    sum(CASE WHEN pe.tok = m.l AND pe.nxt = m.r THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY pe.doc_id ORDER BY pe.p) AS eidx
+           |  FROM pe$i pe CROSS JOIN m$i m),
+           |rn$i AS (
+           |  SELECT *, CASE WHEN elig THEN p - eidx END AS runkey
+           |  FROM el$i),
+           |sl$i AS (
+           |  SELECT *, CASE WHEN elig
+           |    THEN row_number() OVER (PARTITION BY doc_id, runkey ORDER BY p) END AS rrn
+           |  FROM rn$i),
+           |sv$i AS (
+           |  SELECT *, coalesce(elig AND rrn % 2 = 1, false) AS sel
+           |  FROM sl$i),
+           |pv$i AS (
+           |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id ORDER BY p), false)
+           |    AS prevsel
+           |  FROM sv$i),
+           |s$i AS (
+           |  SELECT doc_id, list(CASE WHEN sel THEN mg ELSE tok END ORDER BY p) AS t
+           |  FROM pv$i WHERE NOT prevsel
+           |  GROUP BY doc_id),
+           |""".stripMargin)
+    }
+    // strip the trailing comma of the last CTE block, then the union
+    val ctes = sb.toString.stripSuffix(",\n") + "\n"
+    ctes + (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, l AS left_tok, r AS right_tok, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM m$i")
+      .mkString("", "\nUNION ALL ", "\nORDER BY merge_round")
+  }
+
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
     * streaming serving loop over the same stored index — per-query
     * purity makes micro-batch slicing invisible, so both check
@@ -1676,6 +1737,11 @@ object SparkEntryExt {
         .select(col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("metric"))
     }),
+    // BPE merge training: 4 rounds of argmax-pair + canonical greedy
+    // merge — the trained-tokenizer model table (ordered merges)
+    "text_bpe_train" -> ((s, d) =>
+      Bpe.trainMerges(Tables.documents(s, d), "doc_id", "text", rounds = 4)
+        .orderBy(col("merge_round"))),
     // the data card derived from the STORED per-doc profiles (same six
     // metrics, same oracle): a card refresh aggregates two narrow
     // tables — the tokenize passes and the quality cascade were paid
@@ -3124,6 +3190,7 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "text_bpe_train" -> bpeTrainSql(4),
     // the data card and its layout variants share one semantics — one
     // SQL, single-sourced in OracleSql (stream_data_card is the third)
     "pipeline_data_card" -> OracleSql.dataCardSql,

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE TRAINING over word-level token sequences —
+  * the trained-tokenizer step the corpus-prep suite's `text_bpe_pairs`
+  * (adjacent-pair statistics) feeds in a real pipeline: K rounds of
+  * (count adjacent pairs) → (pick the most frequent pair) → (merge
+  * every greedy occurrence), producing the ordered merge table that IS
+  * a BPE tokenizer's model (Sennrich et al. 2016, ACL — word-level
+  * simplification of the byte-level recipe; the reference pipeline has
+  * no tokenizer training, this is north-star §2.9 scope).
+  *
+  * Determinism (oracle contract): the argmax pair breaks ties
+  * `(count DESC, left ASC, right ASC)`; merged tokens are
+  * `left + "\\u0001" + right` (the U+0001 separator keeps merged tokens
+  * distinct from every raw whitespace token, so later rounds can merge
+  * merged tokens unambiguously); merge application is CANONICAL greedy
+  * left-to-right (a run of eligible positions `p, p+1, …` — only
+  * possible when left == right — selects the 1st, 3rd, 5th… of the
+  * run, exactly what sequential scanning does).
+  *
+  * Scale shape: each round is one narrow posexplode + two windows
+  * (both partitioned by doc — never global) + one map-side-combinable
+  * pair count whose shuffle volume is the distinct-pair vocabulary,
+  * plus a 1-ROW collect (the argmax — the model row, the
+  * `trainedCentroids` discipline). The sequence frame is re-used
+  * across K driver-side rounds, so it is eagerly localCheckpoint-ed
+  * per round (the Dedup.clusterLabels lineage-cut rule; plan depth
+  * stays flat in K).
+  */
+object Bpe {
+
+  /** Adjacent-pair frame of a token-array column: one row per
+    * position with its token and successor (`nxt` NULL at the end).
+    */
+  private def pairFrame(seqs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    seqs.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+  }
+
+  /** Apply ONE merge `(left, right) -> merged` canonically greedily to
+    * every sequence: eligible positions (tok = left, next = right)
+    * group into runs of consecutive p (only left == right can produce
+    * a run longer than 1); the 1st, 3rd, … of each run merge, and the
+    * consumed right-hand tokens drop out.
+    */
+  private def applyMerge(seqs: DataFrame, left: String, right: String,
+      merged: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val wRun = Window.partitionBy(col("doc_id"), col("runkey")).orderBy(col("p"))
+    val flagged = pairFrame(seqs)
+      .withColumn("elig", col("tok") === left && col("nxt") === right)
+      // running eligible count; within a run of CONSECUTIVE eligible
+      // positions p - eidx is constant => the run key
+      .withColumn("eidx", sum(when(col("elig"), 1).otherwise(0)).over(w))
+      .withColumn("runkey", when(col("elig"), col("p") - col("eidx")))
+      .withColumn("rrn", when(col("elig"), row_number().over(wRun)))
+      .withColumn("sel", coalesce(col("elig") && col("rrn") % 2 === 1, lit(false)))
+    flagged
+      .withColumn("prevsel", coalesce(lag(col("sel"), 1).over(w), lit(false)))
+      .filter(!col("prevsel")) // the right token of a selected pair is consumed
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("p"),
+          when(col("sel"), lit(merged)).otherwise(col("tok")).as("t")))),
+        x => x.getField("t")).as("toks"))
+  }
+
+  /** Train `rounds` BPE merges over the whitespace tokens of
+    * `docs(textCol)`. Output: `(merge_round, left_tok, right_tok,
+    * pair_count)` — one row per learned merge, `merge_round` 1-based
+    * in learning order; `pair_count` is the pair's frequency BEFORE
+    * that round's merge applies (standard BPE reporting). Fails
+    * loudly if a round finds no adjacent pair (single-token corpus)
+    * rather than silently emitting fewer rows.
+    */
+  def trainMerges(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = pairFrame(seqs)
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc, col("nxt").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"trainMerges: round $round found no adjacent pair — corpus degenerate")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((round.toLong, l, r, c))
+      if (round < rounds)
+        seqs = applyMerge(seqs, l, r, l + "\u0001" + r).localCheckpoint(true)
+    }
+    merges.result().toDF("merge_round", "left_tok", "right_tok", "pair_count")
+  }
+}

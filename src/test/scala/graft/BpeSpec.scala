@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Bpe
+
+/** BPE merge-training edge semantics: canonical greedy run selection
+  * on repeated tokens, cross-round merging of merged tokens, and the
+  * deterministic argmax tie-break.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repeated-token runs merge greedily left-to-right; merges chain across rounds") {
+    // doc 1: "a a a a a" — round 1 must pick (a, a) with count 4 (all
+    // four adjacent pairs, overlapping), and apply it greedily to
+    // [aa, aa, a] (positions 1, 3 consumed — NOT [aa, a, aa] or a
+    // re-merge of the fresh aa tokens).
+    // doc 2: "b c b c" — untouched by round 1; round 2's argmax must
+    // then be (b, c) with count 2, beating doc 1's post-merge pairs
+    // (each count 1).
+    val docs = Seq((1L, "a a a a a"), (2L, "b c b c")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq((1L, "a", "a", 4L), (2L, "b", "c", 2L)),
+      s"merge table wrong: $merges")
+  }
+
+  test("merged tokens stay distinct from raw tokens and merge again deterministically") {
+    // "x x x x" → round 1: (x, x) c=3 → [xx, xx]. Round 2's only pair
+    // is (xx, xx) c=1 — the merged token (with its U+0001 separator)
+    // must be merge-able like any other, and must NOT collide with a
+    // raw token literally spelled "xx" elsewhere in the corpus.
+    val docs = Seq((1L, "x x x x"), (2L, "xx yy")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", rounds = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 2 is a c=1 TIE between (x+sep+x, x+sep+x) and (xx, yy);
+    // the binary tie-break picks the merged pair: U+0001 < 'x'
+    val m = "x\u0001x"
+    assert(merges == Seq((1L, "x", "x", 3L), (2L, m, m, 1L)),
+      s"merge table wrong: $merges")
+  }
+
+  test("degenerate single-token corpus fails loudly") {
+    val docs = Seq((1L, "only"), (2L, "single")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(docs, "doc_id", "text", rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("no adjacent pair"))
+  }
+}
