@@ -641,65 +641,100 @@ object SparkEntryExt {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Round-unrolled mirror of [[graft.ops.Bpe.trainMerges]] (the
-    * `$ivfTrainedSelect` discipline for a data-dependent training
-    * loop): each round's CTE block counts adjacent pairs over the
-    * previous sequences, takes the `(count DESC, l, r)` argmax as a
-    * 1-row model CTE, and rebuilds the sequences with the canonical
-    * greedy run-selection windows the Spark side uses. Merged token =
-    * `l || chr(1) || r` (= the Spark "" separator).
+  /** The canonical-greedy merge-application CTE chain: reads sequence
+    * CTE `src(doc_id, t)` and 1-row model CTE `m(l, r, c)`, emits
+    * `out(doc_id, t)`; `tag` uniquifies the intermediate names. The
+    * run-selection windows mirror [[graft.ops.Bpe.applyMerge]] clause
+    * for clause; merged token = `l || chr(1) || r` (= the Spark
+    * U+0001 separator). Trailing comma included.
     */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeApplyBlockSql(src: String, m: String, out: String,
+      tag: String): String =
+    s"""pe$tag AS (
+       |  SELECT doc_id, i AS p, t[i] AS tok,
+       |    CASE WHEN i < len(t) THEN t[i + 1] END AS nxt
+       |  FROM $src, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+       |el$tag AS (
+       |  SELECT pe.doc_id, pe.p, pe.tok,
+       |    (pe.tok = m.l AND pe.nxt = m.r) AS elig,
+       |    m.l || chr(1) || m.r AS mg,
+       |    sum(CASE WHEN pe.tok = m.l AND pe.nxt = m.r THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY pe.doc_id ORDER BY pe.p) AS eidx
+       |  FROM pe$tag pe CROSS JOIN $m m),
+       |rn$tag AS (
+       |  SELECT *, CASE WHEN elig THEN p - eidx END AS runkey
+       |  FROM el$tag),
+       |sl$tag AS (
+       |  SELECT *, CASE WHEN elig
+       |    THEN row_number() OVER (PARTITION BY doc_id, runkey ORDER BY p) END AS rrn
+       |  FROM rn$tag),
+       |sv$tag AS (
+       |  SELECT *, coalesce(elig AND rrn % 2 = 1, false) AS sel
+       |  FROM sl$tag),
+       |pv$tag AS (
+       |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id ORDER BY p), false)
+       |    AS prevsel
+       |  FROM sv$tag),
+       |$out AS (
+       |  SELECT doc_id, list(CASE WHEN sel THEN mg ELSE tok END ORDER BY p) AS t
+       |  FROM pv$tag WHERE NOT prevsel
+       |  GROUP BY doc_id),
+       |""".stripMargin
+
+  /** Model CTEs of the round-unrolled BPE training loop (the
+    * `$ivfTrainedSelect` discipline for a data-dependent trainer):
+    * sequences `s0..s{rounds-1}` and 1-row argmax models
+    * `m1..m{rounds}` over `documents` under `srcFilter`. Trailing
+    * comma included.
+    */
+  private def bpeModelCtes(rounds: Int, srcFilter: String): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH s0 AS (SELECT doc_id, $toksSql AS t FROM documents),\n")
+    sb.append(s"s0 AS (SELECT doc_id, $toksSql AS t FROM documents$srcFilter),\n")
     for (i <- 1 to rounds) {
-      val prev = s"s${i - 1}"
       sb.append(
-        s"""pe$i AS (
+        s"""pc$i AS (
            |  SELECT doc_id, i AS p, t[i] AS tok,
            |    CASE WHEN i < len(t) THEN t[i + 1] END AS nxt
-           |  FROM $prev, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+           |  FROM s${i - 1}, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
            |m$i AS (
            |  SELECT tok AS l, nxt AS r, count(*) AS c
-           |  FROM pe$i WHERE nxt IS NOT NULL
+           |  FROM pc$i WHERE nxt IS NOT NULL
            |  GROUP BY 1, 2
            |  ORDER BY c DESC, l, r
            |  LIMIT 1),
            |""".stripMargin)
-      if (i < rounds) sb.append(
-        s"""el$i AS (
-           |  SELECT pe.doc_id, pe.p, pe.tok,
-           |    (pe.tok = m.l AND pe.nxt = m.r) AS elig,
-           |    m.l || chr(1) || m.r AS mg,
-           |    sum(CASE WHEN pe.tok = m.l AND pe.nxt = m.r THEN 1 ELSE 0 END)
-           |      OVER (PARTITION BY pe.doc_id ORDER BY pe.p) AS eidx
-           |  FROM pe$i pe CROSS JOIN m$i m),
-           |rn$i AS (
-           |  SELECT *, CASE WHEN elig THEN p - eidx END AS runkey
-           |  FROM el$i),
-           |sl$i AS (
-           |  SELECT *, CASE WHEN elig
-           |    THEN row_number() OVER (PARTITION BY doc_id, runkey ORDER BY p) END AS rrn
-           |  FROM rn$i),
-           |sv$i AS (
-           |  SELECT *, coalesce(elig AND rrn % 2 = 1, false) AS sel
-           |  FROM sl$i),
-           |pv$i AS (
-           |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id ORDER BY p), false)
-           |    AS prevsel
-           |  FROM sv$i),
-           |s$i AS (
-           |  SELECT doc_id, list(CASE WHEN sel THEN mg ELSE tok END ORDER BY p) AS t
-           |  FROM pv$i WHERE NOT prevsel
-           |  GROUP BY doc_id),
-           |""".stripMargin)
+      if (i < rounds)
+        sb.append(bpeApplyBlockSql(s"s${i - 1}", s"m$i", s"s$i", s"t$i"))
     }
-    // strip the trailing comma of the last CTE block, then the union
-    val ctes = sb.toString.stripSuffix(",\n") + "\n"
-    ctes + (1 to rounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_round, l AS left_tok, r AS right_tok, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM m$i")
-      .mkString("", "\nUNION ALL ", "\nORDER BY merge_round")
+    sb.toString
+  }
+
+  /** Round-unrolled mirror of [[graft.ops.Bpe.trainMerges]]: the
+    * learned merge table.
+    */
+  private def bpeTrainSql(rounds: Int): String =
+    "WITH " + bpeModelCtes(rounds, "").stripSuffix(",\n") + "\n" +
+      (1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_round, l AS left_tok, r AS right_tok, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM m$i")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merge_round")
+
+  /** Mirror of [[graft.ops.Bpe.applyMerges]] over held-out docs: the
+    * model trains on `doc_id % 10 <> 0`, all `rounds` merges apply in
+    * learning order to the held-out `doc_id % 10 = 0`, and the output
+    * reports per-doc raw vs BPE token counts.
+    */
+  private def bpeApplySql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH " + bpeModelCtes(rounds, " WHERE doc_id % 10 <> 0"))
+    sb.append(s"a0 AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 10 = 0),\n")
+    for (i <- 1 to rounds)
+      sb.append(bpeApplyBlockSql(s"a${i - 1}", s"m$i", s"a$i", s"x$i"))
+    sb.toString.stripSuffix(",\n") + "\n" +
+      s"""SELECT a0.doc_id, CAST(len(a0.t) AS BIGINT) AS n_raw,
+         |  CAST(len(a$rounds.t) AS BIGINT) AS n_bpe
+         |FROM a0 JOIN a$rounds USING (doc_id)
+         |ORDER BY a0.doc_id""".stripMargin
   }
 
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
@@ -1742,6 +1777,24 @@ object SparkEntryExt {
     "text_bpe_train" -> ((s, d) =>
       Bpe.trainMerges(Tables.documents(s, d), "doc_id", "text", rounds = 4)
         .orderBy(col("merge_round"))),
+    // tokenizer serving half: train the 4-merge model on 90% of docs,
+    // apply it in learning order to the held-out 10%, report per-doc
+    // raw vs BPE token counts (the compression the model buys unseen
+    // text — the train/held-out split is the standard hygiene)
+    "text_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Bpe.trainMerges(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", rounds = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      Bpe.applyMerges(held, "doc_id", "text", model)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"))
+        .join(held.select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_raw")), "doc_id")
+        .select(col("doc_id"), col("n_raw"), col("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     // the data card derived from the STORED per-doc profiles (same six
     // metrics, same oracle): a card refresh aggregates two narrow
     // tables — the tokenize passes and the quality cascade were paid
@@ -3191,6 +3244,7 @@ object SparkEntryExt {
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(4),
+    "text_bpe_apply" -> bpeApplySql(4),
     // the data card and its layout variants share one semantics — one
     // SQL, single-sourced in OracleSql (stream_data_card is the third)
     "pipeline_data_card" -> OracleSql.dataCardSql,

@@ -102,4 +102,18 @@ object Bpe {
     }
     merges.result().toDF("merge_round", "left_tok", "right_tok", "pair_count")
   }
+
+  /** Apply an ORDERED merge list (the [[trainMerges]] model) to new
+    * documents — the tokenizer's serving half: each merge applies
+    * canonically greedily in learning order, merged-token names chain
+    * with the same U+0001 separator, so a later merge whose side is
+    * itself a merged token resolves exactly as it did in training.
+    * Output: `(doc_id, toks)` — the segmented sequences.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))) {
+      case (seqs, (l, r)) => applyMerge(seqs, l, r, l + "\u0001" + r)
+    }
 }
