@@ -108,12 +108,18 @@ object Bpe {
     * canonically greedily in learning order, merged-token names chain
     * with the same U+0001 separator, so a later merge whose side is
     * itself a merged token resolves exactly as it did in training.
-    * Output: `(doc_id, toks)` — the segmented sequences.
+    * Output: `(doc_id, toks)` — the segmented sequences. Plan depth:
+    * each fold layer stacks a posexplode + two windows, so every 8th
+    * merge eagerly localCheckpoints (the [[trainMerges]] per-round
+    * rule, amortized) — a realistically sized model (hundreds of
+    * merges) must not hand Catalyst a hundreds-deep nested plan.
     */
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(
+    merges.zipWithIndex.foldLeft(
       docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))) {
-      case (seqs, (l, r)) => applyMerge(seqs, l, r, l + "\u0001" + r)
+      case (seqs, ((l, r), i)) =>
+        val next = applyMerge(seqs, l, r, l + "\u0001" + r)
+        if ((i + 1) % 8 == 0) next.localCheckpoint(true) else next
     }
 }

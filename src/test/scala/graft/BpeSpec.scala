@@ -1,6 +1,7 @@
 package graft
 
-import graft.ops.Bpe
+import org.apache.spark.sql.functions.col
+import graft.ops.{Bpe, Tables}
 
 /** BPE merge-training edge semantics: canonical greedy run selection
   * on repeated tokens, cross-round merging of merged tokens, and the
@@ -39,6 +40,16 @@ class BpeSpec extends SparkSpec {
     val m = "x\u0001x"
     assert(merges == Seq((1L, "x", "x", 3L), (2L, m, m, 1L)),
       s"merge table wrong: $merges")
+  }
+
+  test("training is invariant to input partitioning") {
+    // the argmax tie-break and the per-doc windows are total orders,
+    // so how rows land in partitions must not move any merge
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    def at(parts: Int) =
+      Bpe.trainMerges(docs.repartition(parts), "doc_id", "text", rounds = 3)
+        .orderBy("merge_round").collect().toSeq
+    assert(at(1) == at(7), "merge table must not depend on partitioning")
   }
 
   test("degenerate single-token corpus fails loudly") {
