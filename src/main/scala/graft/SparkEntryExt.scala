@@ -1772,6 +1772,12 @@ object SparkEntryExt {
         .select(col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("metric"))
     }),
+    // cross-source contamination matrix: for every ordered source
+    // pair, the fraction of a's docs sharing >= 1 distinct trigram
+    // with b — the pre-mixing audit over the corpus's source column
+    "text_contamination_matrix" -> ((s, d) =>
+      Dedup.crossSourceContamination(Tables.documents(s, d),
+        "doc_id", "text", "source", n = 3)),
     // BPE merge training: 4 rounds of argmax-pair + canonical greedy
     // merge — the trained-tokenizer model table (ordered merges)
     "text_bpe_train" -> ((s, d) =>
@@ -3243,6 +3249,24 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "text_contamination_matrix" ->
+      s"""WITH tl AS (SELECT doc_id, source AS src, $toksSql AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, src, g
+         |  FROM (SELECT doc_id, src, unnest(${OracleSql.ngramSql("t", 3)}) AS g FROM tl)),
+         |c AS (SELECT DISTINCT src AS osrc, g FROM g),
+         |h AS (
+         |  SELECT g.src, c.osrc, count(DISTINCT g.doc_id) AS n_contaminated
+         |  FROM g JOIN c ON g.g = c.g AND c.osrc <> g.src
+         |  GROUP BY 1, 2),
+         |t AS (SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY 1),
+         |p AS (SELECT a.src, b.src AS osrc FROM t a CROSS JOIN t b WHERE a.src <> b.src)
+         |SELECT p.src AS src_a, p.osrc AS src_b, CAST(t.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  round(coalesce(h.n_contaminated, 0)::DOUBLE / t.n_docs, 6) AS frac
+         |FROM p JOIN t USING (src)
+         |LEFT JOIN h ON h.src = p.src AND h.osrc = p.osrc
+         |ORDER BY src_a, src_b""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(4),
     "text_bpe_apply" -> bpeApplySql(4),
     // the data card and its layout variants share one semantics — one

@@ -118,6 +118,49 @@ object Dedup {
         round(col("n_seen").cast("double") / col("n_grams"), 6).as("seen_frac"))
   }
 
+  /** Cross-source CONTAMINATION MATRIX — the audit a multi-corpus
+    * mixing run reads before blending datasets: for every ordered
+    * source pair (a, b), the fraction of a's docs sharing at least
+    * one distinct word n-gram with ANY doc of b. [[ngramCoverage]]
+    * scores one candidate set against one corpus; this generalizes to
+    * the all-pairs source matrix WITHOUT all-pairs work: the join is
+    * a gram equi-join of per-doc distinct gram rows against the
+    * per-SOURCE distinct gram set (corpus side ≤ n_sources rows per
+    * gram), so fan-out is bounded by the source count, never by doc
+    * frequency. The source-pair frame is a broadcast cross join of
+    * the (tiny) source list with itself, which also surfaces
+    * zero-contamination pairs explicitly. Docs with fewer than `n`
+    * tokens have no grams and count only in the denominator.
+    * Output: `(src_a, src_b, n_docs, n_contaminated, frac)` —
+    * n_docs = a's total docs, frac rounded 6 dp.
+    */
+  def crossSourceContamination(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("src"),
+        explode(shingles(col("__toks"), n)).as("g"))
+      .distinct()
+    val corpus = grams.select(col("src").as("osrc"), col("g")).distinct()
+    val hits = grams.join(corpus, Seq("g"))
+      .filter(col("osrc") =!= col("src"))
+      .select(col("doc_id"), col("src"), col("osrc")).distinct()
+      .groupBy(col("src"), col("osrc"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val totals = docs.groupBy(col(srcCol).as("src")).agg(count(lit(1)).as("n_docs"))
+    val pairs = totals.select(col("src"))
+      .crossJoin(broadcast(totals.select(col("src").as("osrc"))))
+      .filter(col("src") =!= col("osrc"))
+    pairs.join(totals, "src")
+      .join(hits, Seq("src", "osrc"), "left")
+      .select(col("src").as("src_a"), col("osrc").as("src_b"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_docs"), 6).as("frac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Universal-hash family over a 32-bit base hash: hᵢ(x) = (aᵢ·x + bᵢ)
     * mod p, p prime > 2³². aᵢ < 2²¹ keeps aᵢ·x < 2⁵³ — no BIGINT
     * overflow on either engine. ONE md5 per shingle + 16 multiply-mods
