@@ -52,6 +52,36 @@ class BpeSpec extends SparkSpec {
     assert(at(1) == at(7), "merge table must not depend on partitioning")
   }
 
+  test("applyMerges over >= 8 merges (the checkpointed fold) reproduces training state") {
+    // The every-8th-fold localCheckpoint branch only fires past 7
+    // merges — no registered query reaches it (the checked model is 4
+    // merges), so pin it here: applying the FIRST 8 merges of a
+    // 9-merge model to the training corpus must land in exactly the
+    // state trainMerges itself was in when it picked merge 9 — i.e.
+    // the most frequent adjacent pair of the applied sequences IS the
+    // model's 9th row. A checkpoint that corrupted or reordered the
+    // sequences would move that argmax.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 60)
+    val model = Bpe.trainMerges(docs, "doc_id", "text", rounds = 9)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val applied = Bpe.applyMerges(docs, "doc_id", "text",
+      model.take(8).map { case (l, r, _) => (l, r) }.toSeq)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val top = applied
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc, col("nxt").asc)
+      .first()
+    assert((top.getString(0), top.getString(1), top.getLong(2)) == model(8),
+      s"post-8-merge argmax ${(top.getString(0), top.getString(1), top.getLong(2))} " +
+        s"!= trained merge 9 ${model(8)}")
+  }
+
   test("degenerate single-token corpus fails loudly") {
     val docs = Seq((1L, "only"), (2L, "single")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
