@@ -1772,6 +1772,11 @@ object SparkEntryExt {
         .select(col("r.metric").as("metric"), col("r.value").as("value"))
         .orderBy(col("metric"))
     }),
+    // per-source data cards: the six card metrics grouped by source —
+    // the per-subset profile read next to the contamination matrix
+    // before choosing mixture weights
+    "pipeline_source_cards" -> ((s, d) =>
+      TextAnalysis.sourceCards(Tables.documents(s, d), "doc_id", "text", "source")),
     // cross-source contamination matrix: for every ordered source
     // pair, the fraction of a's docs sharing >= 1 distinct trigram
     // with b — the pre-mixing audit over the corpus's source column
@@ -3249,6 +3254,30 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "pipeline_source_cards" ->
+      s"""WITH tl AS (SELECT source, doc_id, $toksSql AS t, sha256(text) AS ch FROM documents),
+         |base AS (
+         |  SELECT source, count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
+         |    round(avg(len(t)), 6) AS meantok, count(DISTINCT ch)::DOUBLE AS ncl
+         |  FROM tl GROUP BY source),
+         |vocab AS (
+         |  SELECT source, count(DISTINCT tok)::DOUBLE AS v
+         |  FROM (SELECT source, unnest(t) AS tok FROM tl) GROUP BY source),
+         |${OracleSql.qualityCtes("sc", "documents")},
+         |ok AS (
+         |  SELECT d.source,
+         |    round(avg(CASE WHEN r.reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
+         |  FROM sc_r r JOIN documents d ON r.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT base.source, metric, value FROM base
+         |JOIN vocab USING (source)
+         |LEFT JOIN ok USING (source),
+         |LATERAL (VALUES
+         |  ('n_docs', nd), ('total_ws_tokens', tot), ('mean_doc_tokens', meantok),
+         |  ('vocab_size', v),
+         |  ('dup_doc_frac', round(1.0 - ncl / nd, 6)),
+         |  ('quality_ok_frac', okf)) m(metric, value)
+         |ORDER BY base.source, metric""".stripMargin,
     "text_contamination_matrix" ->
       s"""WITH tl AS (SELECT doc_id, source AS src, $toksSql AS t FROM documents),
          |g AS (

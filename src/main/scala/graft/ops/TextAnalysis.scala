@@ -655,6 +655,49 @@ object TextAnalysis {
           .select(col("doc_id"), col("reason"), col("keep")),
         Seq("doc_id"), "left")
 
+  /** Per-SOURCE data cards — the corpus-global card's six metrics
+    * grouped by the source column: the per-subset release profile a
+    * mixing decision reads NEXT TO the cross-source contamination
+    * matrix (which subsets are big/clean/duplicated before choosing
+    * weights). Same aggregate shapes as the global card, all grouped:
+    * shuffle volumes are sources × (metrics | vocab), never
+    * data-sized after the map-side combine. dup_doc_frac is
+    * WITHIN-source (exact duplicates across sources are the
+    * contamination matrix's job). Output: `(source, metric, value)`,
+    * six rows per source.
+    */
+  def sourceCards(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val tok = docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"), sha2(col(textCol), 256).as("__ch"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+    val base = tok.groupBy(col("source")).agg(
+      count(lit(1)).cast("double").as("__nd"),
+      sum(col("__n")).cast("double").as("__tot"),
+      round(avg(col("__n")), 6).as("__mean"),
+      countDistinct(col("__ch")).cast("double").as("__ncl"))
+    val vocab = tok.select(col("source"), explode(col("__t")).as("__tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("__tok")).cast("double").as("__v"))
+    val quality = qualityFilter(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(round(avg(when(col("reason") === "ok", 1.0).otherwise(0.0)), 6).as("__okf"))
+    base.join(vocab, "source").join(quality, Seq("source"), "left")
+      .select(col("source"), explode(array(
+        struct(lit("n_docs").as("metric"), col("__nd").as("value")),
+        struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
+        struct(lit("vocab_size").as("metric"), col("__v").as("value")),
+        struct(lit("dup_doc_frac").as("metric"),
+          round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
+        struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
+        .as("r"))
+      .select(col("source"), col("r.metric").as("metric"), col("r.value").as("value"))
+      .orderBy(col("source"), col("metric"))
+  }
+
   /** The corpus data card derived FROM materialized profiles — same
     * six metrics (and the same oracle) as the raw-text card, but the
     * inputs are the [[docProfile]] table and a distinct-term vocab
