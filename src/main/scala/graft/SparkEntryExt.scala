@@ -1759,18 +1759,8 @@ object SparkEntryExt {
         .agg(count(lit(1)).cast("double").as("__ncl"))
       val quality = TextAnalysis.qualityFilter(docs, "doc_id", "text")
         .agg(round(avg(when(col("reason") === "ok", 1.0).otherwise(0.0)), 6).as("__okf"))
-      base.crossJoin(vocab).crossJoin(clusters).crossJoin(quality)
-        .select(explode(array(
-          struct(lit("n_docs").as("metric"), col("__nd").as("value")),
-          struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
-          struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
-          struct(lit("vocab_size").as("metric"), col("__v").as("value")),
-          struct(lit("dup_doc_frac").as("metric"),
-            round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
-          struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
-          .as("r"))
-        .select(col("r.metric").as("metric"), col("r.value").as("value"))
-        .orderBy(col("metric"))
+      TextAnalysis.cardRows(
+        base.crossJoin(vocab).crossJoin(clusters).crossJoin(quality), Seq.empty)
     }),
     // per-source data cards: the six card metrics grouped by source —
     // the per-subset profile read next to the contamination matrix
@@ -3270,11 +3260,11 @@ object SparkEntryExt {
          |  FROM sc_r r JOIN documents d ON r.doc_id = d.doc_id
          |  GROUP BY d.source)
          |SELECT base.source, metric, value FROM base
-         |JOIN vocab USING (source)
+         |LEFT JOIN vocab USING (source)
          |LEFT JOIN ok USING (source),
          |LATERAL (VALUES
          |  ('n_docs', nd), ('total_ws_tokens', tot), ('mean_doc_tokens', meantok),
-         |  ('vocab_size', v),
+         |  ('vocab_size', coalesce(v, 0.0)),
          |  ('dup_doc_frac', round(1.0 - ncl / nd, 6)),
          |  ('quality_ok_frac', okf)) m(metric, value)
          |ORDER BY base.source, metric""".stripMargin,

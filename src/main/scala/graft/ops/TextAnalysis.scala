@@ -28,15 +28,20 @@ object TextAnalysis {
     val n = size(toks).cast("long")
     val en = stopwordsByLang.toMap.apply("en")
     val stopHits = size(filter(toks, t => t.isin(en: _*))).cast("double")
+    // zero-token guard: under ANSI SQL the per-token ratios would
+    // throw DIVIDE_BY_ZERO on an empty/whitespace-only doc — the
+    // ratios are undefined there, so they go NULL (the reason cascade
+    // fires 'too_short' before ever reading them)
     docs.select(
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       n.as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n.cast("double"), 6)
-        .as("avg_token_len"),
-      round(size(array_distinct(toks)).cast("double") / n.cast("double"), 6).as("type_token_ratio"),
-      round(stopHits / n.cast("double"), 6).as("stopword_ratio"))
+      when(n > 0, round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        n.cast("double"), 6)).as("avg_token_len"),
+      when(n > 0, round(size(array_distinct(toks)).cast("double") / n.cast("double"), 6))
+        .as("type_token_ratio"),
+      when(n > 0, round(stopHits / n.cast("double"), 6)).as("stopword_ratio"))
   }
 
   /** Heuristic language ID: stopword-profile hit-rate per language,
@@ -655,16 +660,43 @@ object TextAnalysis {
           .select(col("doc_id"), col("reason"), col("keep")),
         Seq("doc_id"), "left")
 
+  /** The six-metric long-format pivot every data-card variant shares
+    * (global raw, profile-backed, per-source): `agg` carries the
+    * aggregated internal columns `__nd/__tot/__mean/__v/__ncl/__okf`
+    * plus `keyCols`; output is `(keyCols..., metric, value)` with the
+    * dup formula and metric names defined ONCE, so the card schema
+    * cannot silently diverge between variants.
+    */
+  private[graft] def cardRows(agg: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    agg.select(keys :+ explode(array(
+        struct(lit("n_docs").as("metric"), col("__nd").as("value")),
+        struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
+        struct(lit("vocab_size").as("metric"), col("__v").as("value")),
+        struct(lit("dup_doc_frac").as("metric"),
+          round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
+        struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
+        .as("r"): _*)
+      .select(keys :+ col("r.metric").as("metric") :+ col("r.value").as("value"): _*)
+      .orderBy((keyCols :+ "metric").map(col): _*)
+  }
+
   /** Per-SOURCE data cards — the corpus-global card's six metrics
     * grouped by the source column: the per-subset release profile a
     * mixing decision reads NEXT TO the cross-source contamination
     * matrix (which subsets are big/clean/duplicated before choosing
-    * weights). Same aggregate shapes as the global card, all grouped:
-    * shuffle volumes are sources × (metrics | vocab), never
-    * data-sized after the map-side combine. dup_doc_frac is
+    * weights). Shuffle shape, honestly: the metrics and vocab
+    * branches reduce to sources × (metrics | vocab-terms) after the
+    * map-side combine, but the dup-cluster branch (`countDistinct` of
+    * the content hash) shuffles ~one (source, hash) row per DISTINCT
+    * document — doc-count-sized, exactly like the global card's
+    * cluster count; there is no cheaper exact form. dup_doc_frac is
     * WITHIN-source (exact duplicates across sources are the
-    * contamination matrix's job). Output: `(source, metric, value)`,
-    * six rows per source.
+    * contamination matrix's job). Every source keeps its six rows —
+    * a source whose docs all tokenize empty still reports (vocab 0,
+    * totals 0, NULL quality — no doc reached the cascade).
+    * Output: `(source, metric, value)`, six rows per source.
     */
   def sourceCards(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame = {
@@ -684,18 +716,14 @@ object TextAnalysis {
       .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
       .groupBy(col("source"))
       .agg(round(avg(when(col("reason") === "ok", 1.0).otherwise(0.0)), 6).as("__okf"))
-    base.join(vocab, "source").join(quality, Seq("source"), "left")
-      .select(col("source"), explode(array(
-        struct(lit("n_docs").as("metric"), col("__nd").as("value")),
-        struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
-        struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
-        struct(lit("vocab_size").as("metric"), col("__v").as("value")),
-        struct(lit("dup_doc_frac").as("metric"),
-          round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
-        struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
-        .as("r"))
-      .select(col("source"), col("r.metric").as("metric"), col("r.value").as("value"))
-      .orderBy(col("source"), col("metric"))
+    // vocab joins LEFT: an all-empty-token source emits no vocab rows,
+    // and an inner join would silently erase the whole subset from the
+    // card the mixing decision reads
+    cardRows(
+      base.join(vocab, Seq("source"), "left")
+        .withColumn("__v", coalesce(col("__v"), lit(0.0d)))
+        .join(quality, Seq("source"), "left"),
+      Seq("source"))
   }
 
   /** The corpus data card derived FROM materialized profiles — same
@@ -716,17 +744,6 @@ object TextAnalysis {
       round(avg(when(col("reason") === "ok", 1.0d)
         .when(col("reason").isNotNull, 0.0d)), 6).as("__okf"))
     val v = vocab.agg(count(lit(1)).cast("double").as("__v"))
-    base.crossJoin(v)
-      .select(explode(array(
-        struct(lit("n_docs").as("metric"), col("__nd").as("value")),
-        struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
-        struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
-        struct(lit("vocab_size").as("metric"), col("__v").as("value")),
-        struct(lit("dup_doc_frac").as("metric"),
-          round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
-        struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
-        .as("r"))
-      .select(col("r.metric").as("metric"), col("r.value").as("value"))
-      .orderBy(col("metric"))
+    cardRows(base.crossJoin(v), Seq.empty)
   }
 }

@@ -108,4 +108,30 @@ class CleanSpec extends SparkSpec {
     val out = TextAnalysis.qualityFilter(docs, "doc_id", "text").collect()(0)
     assert(out.getAs[String]("reason") == "low_diversity")
   }
+
+
+  test("sourceCards: duplicates counted within source; empty-token source keeps its rows") {
+    // The gate corpus has zero exact duplicates, so dup_doc_frac is
+    // only vacuously oracle-checked there — pin it on a constructed
+    // frame. Source A: 4 docs, 2 identical => dup 0.25. Source B: 2
+    // distinct docs => 0.0. Source C: one whitespace-only doc — the
+    // vocab LEFT join must keep its six rows (vocab 0, totals 0,
+    // NULL quality: no doc reached the cascade).
+    val long = "the quick brown fox jumps over the lazy dog again and again " * 2
+    val docs = Seq(
+      (1L, "A", long + "one"), (2L, "A", long + "one"),
+      (3L, "A", long + "three"), (4L, "A", long + "four"),
+      (5L, "B", long + "five"), (6L, "B", long + "six"),
+      (7L, "C", "   ")).toDF("doc_id", "source", "text")
+    val rows = graft.ops.TextAnalysis.sourceCards(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows.size == 18, s"expected 3 sources x 6 metrics: ${rows.size}")
+    assert(rows(("A", "dup_doc_frac")) == Some(0.25), s"A dup: ${rows(("A", "dup_doc_frac"))}")
+    assert(rows(("B", "dup_doc_frac")) == Some(0.0))
+    assert(rows(("A", "n_docs")) == Some(4.0) && rows(("B", "n_docs")) == Some(2.0))
+    assert(rows(("C", "n_docs")) == Some(1.0), "empty-token source must keep its rows")
+    assert(rows(("C", "vocab_size")) == Some(0.0) && rows(("C", "total_ws_tokens")) == Some(0.0))
+    assert(rows(("C", "quality_ok_frac")) == None, "no C doc reached the cascade")
+  }
 }
