@@ -674,8 +674,13 @@ object TextAnalysis {
         struct(lit("total_ws_tokens").as("metric"), col("__tot").as("value")),
         struct(lit("mean_doc_tokens").as("metric"), col("__mean").as("value")),
         struct(lit("vocab_size").as("metric"), col("__v").as("value")),
+        // empty-input guard (the qualityStats ANSI lesson): an empty
+        // corpus/profile table aggregates to __nd = 0 and the dup
+        // division would throw DIVIDE_BY_ZERO; the fraction is
+        // undefined there, so it goes NULL and the card stays readable
         struct(lit("dup_doc_frac").as("metric"),
-          round(lit(1.0) - col("__ncl") / col("__nd"), 6).as("value")),
+          when(col("__nd") > 0,
+            round(lit(1.0) - col("__ncl") / col("__nd"), 6)).as("value")),
         struct(lit("quality_ok_frac").as("metric"), col("__okf").as("value"))))
         .as("r"): _*)
       .select(keys :+ col("r.metric").as("metric") :+ col("r.value").as("value"): _*)

@@ -134,4 +134,24 @@ class CleanSpec extends SparkSpec {
     assert(rows(("C", "vocab_size")) == Some(0.0) && rows(("C", "total_ws_tokens")) == Some(0.0))
     assert(rows(("C", "quality_ok_frac")) == None, "no C doc reached the cascade")
   }
+
+
+  test("data card stays readable on an empty corpus (no ANSI divide-by-zero)") {
+    import org.apache.spark.sql.types._
+    val emptyProfiles = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_tokens", LongType),
+        StructField("content_hash", StringType), StructField("reason", StringType),
+        StructField("keep", BooleanType))))
+    val emptyVocab = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("term", StringType))))
+    val rows = graft.ops.TextAnalysis.dataCardFromProfiles(emptyProfiles, emptyVocab)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows.size == 6, s"card must keep its six rows: $rows")
+    assert(rows("n_docs") == Some(0.0) && rows("vocab_size") == Some(0.0))
+    assert(rows("dup_doc_frac") == None, "dup fraction is undefined on zero docs")
+  }
 }
