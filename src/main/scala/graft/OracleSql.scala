@@ -235,6 +235,36 @@ object OracleSql {
        |  JOIN ${name}_nrm n ON d.id = n.id
        |  GROUP BY d.id)""".stripMargin
 
+  /** The per-SOURCE data card (six metrics grouped by source) —
+    * shared by the raw-text `pipeline_source_cards` and the
+    * profile-backed `pipeline_source_cards_inc` (layout variants of
+    * one semantics, the [[dataCardSql]] discipline).
+    */
+  lazy val sourceCardsSql: String =
+    s"""WITH tl AS (SELECT source, doc_id, $toksSql AS t, sha256(text) AS ch FROM documents),
+       |base AS (
+       |  SELECT source, count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
+       |    round(avg(len(t)), 6) AS meantok, count(DISTINCT ch)::DOUBLE AS ncl
+       |  FROM tl GROUP BY source),
+       |vocab AS (
+       |  SELECT source, count(DISTINCT tok)::DOUBLE AS v
+       |  FROM (SELECT source, unnest(t) AS tok FROM tl) GROUP BY source),
+       |${qualityCtes("sc", "documents")},
+       |ok AS (
+       |  SELECT d.source,
+       |    round(avg(CASE WHEN r.reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
+       |  FROM sc_r r JOIN documents d ON r.doc_id = d.doc_id
+       |  GROUP BY d.source)
+       |SELECT base.source, metric, value FROM base
+       |LEFT JOIN vocab USING (source)
+       |LEFT JOIN ok USING (source),
+       |LATERAL (VALUES
+       |  ('n_docs', nd), ('total_ws_tokens', tot), ('mean_doc_tokens', meantok),
+       |  ('vocab_size', coalesce(v, 0.0)),
+       |  ('dup_doc_frac', round(1.0 - ncl / nd, 6)),
+       |  ('quality_ok_frac', okf)) m(metric, value)
+       |ORDER BY base.source, metric""".stripMargin
+
   /** The six-metric corpus data card over `documents` — shared by the
     * raw-text `pipeline_data_card`, the profile-backed
     * `pipeline_data_card_inc`, and the streaming `stream_data_card`

@@ -490,6 +490,13 @@ object SparkEntryExt {
       docs.select(explode(Dedup.tokens(col("text"))).as("term")).distinct()
         .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
         .saveAsTable(tbl + "_vocab")
+      // (source, term) distinct pairs — the per-SOURCE vocab side
+      // table `pipeline_source_cards_inc` reads; same ingest pass,
+      // one extra narrow table
+      docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
+        .distinct()
+        .write.mode("overwrite").option("path", idxPath(tbl + "_srcvocab"))
+        .saveAsTable(tbl + "_srcvocab")
     }
 
   /** One PQ codebook training per (sfDir) per JVM — the model is
@@ -1803,6 +1810,17 @@ object SparkEntryExt {
     "pipeline_data_card_inc" -> ((s, d) => {
       val tbl = docProfileIndex(s, d)
       TextAnalysis.dataCardFromProfiles(s.table(tbl), s.table(tbl + "_vocab"))
+    }),
+    // per-source cards from the SAME stored profiles (plus the
+    // (source, term) side table): the card-refresh economics of
+    // pipeline_data_card_inc extended to the per-subset report — only
+    // the id-sized (doc_id, source) metadata column is read from the
+    // corpus, never the text
+    "pipeline_source_cards_inc" -> ((s, d) => {
+      val tbl = docProfileIndex(s, d)
+      TextAnalysis.sourceCardsFromProfiles(s.table(tbl),
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        s.table(tbl + "_srcvocab"))
     })
   )
 
@@ -3244,30 +3262,10 @@ object SparkEntryExt {
          |FROM cand c LEFT JOIN corp k USING (g)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
-    "pipeline_source_cards" ->
-      s"""WITH tl AS (SELECT source, doc_id, $toksSql AS t, sha256(text) AS ch FROM documents),
-         |base AS (
-         |  SELECT source, count(*)::DOUBLE AS nd, CAST(sum(len(t)) AS DOUBLE) AS tot,
-         |    round(avg(len(t)), 6) AS meantok, count(DISTINCT ch)::DOUBLE AS ncl
-         |  FROM tl GROUP BY source),
-         |vocab AS (
-         |  SELECT source, count(DISTINCT tok)::DOUBLE AS v
-         |  FROM (SELECT source, unnest(t) AS tok FROM tl) GROUP BY source),
-         |${OracleSql.qualityCtes("sc", "documents")},
-         |ok AS (
-         |  SELECT d.source,
-         |    round(avg(CASE WHEN r.reason = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS okf
-         |  FROM sc_r r JOIN documents d ON r.doc_id = d.doc_id
-         |  GROUP BY d.source)
-         |SELECT base.source, metric, value FROM base
-         |LEFT JOIN vocab USING (source)
-         |LEFT JOIN ok USING (source),
-         |LATERAL (VALUES
-         |  ('n_docs', nd), ('total_ws_tokens', tot), ('mean_doc_tokens', meantok),
-         |  ('vocab_size', coalesce(v, 0.0)),
-         |  ('dup_doc_frac', round(1.0 - ncl / nd, 6)),
-         |  ('quality_ok_frac', okf)) m(metric, value)
-         |ORDER BY base.source, metric""".stripMargin,
+    // the per-source card and its profile-backed layout variant share
+    // one semantics — one SQL, single-sourced in OracleSql
+    "pipeline_source_cards" -> OracleSql.sourceCardsSql,
+    "pipeline_source_cards_inc" -> OracleSql.sourceCardsSql,
     "text_contamination_matrix" ->
       s"""WITH tl AS (SELECT doc_id, source AS src, $toksSql AS t FROM documents),
          |g AS (

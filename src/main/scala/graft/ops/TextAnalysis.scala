@@ -751,4 +751,40 @@ object TextAnalysis {
     val v = vocab.agg(count(lit(1)).cast("double").as("__v"))
     cardRows(base.crossJoin(v), Seq.empty)
   }
+
+  /** Per-source cards derived FROM materialized tables — the
+    * [[dataCardFromProfiles]] refresh economics applied to
+    * [[sourceCards]]: `profiles` is the per-doc [[docProfile]] table,
+    * `docSrc` the id-sized `(doc_id, source)` corpus metadata (a
+    * column-pruned scan — no text moves), `srcVocab` a `(source,
+    * term)` distinct-pair table materialized beside the profile at
+    * ingest. The only doc-count-sized shuffles left are the
+    * profile↔source equi-join and the within-source distinct-hash
+    * count — both over narrow id/hash rows; the tokenize passes and
+    * the quality cascade were paid once, at ingest. `countDistinct`
+    * on the vocab side keeps the count exact even when the stored
+    * pair table carries append-batch duplicates (the streaming
+    * accumulation case). Same output contract as [[sourceCards]]:
+    * six rows per source, NULL quality for a source no doc of which
+    * reached the cascade.
+    */
+  def sourceCardsFromProfiles(profiles: DataFrame, docSrc: DataFrame,
+      srcVocab: DataFrame): DataFrame = {
+    val p = profiles.join(docSrc, "doc_id")
+    val base = p.groupBy(col("source")).agg(
+      count(lit(1)).cast("double").as("__nd"),
+      sum(col("n_tokens")).cast("double").as("__tot"),
+      round(avg(col("n_tokens")), 6).as("__mean"),
+      countDistinct(col("content_hash")).cast("double").as("__ncl"),
+      round(avg(when(col("reason") === "ok", 1.0d)
+        .when(col("reason").isNotNull, 0.0d)), 6).as("__okf"))
+    val vocab = srcVocab.groupBy(col("source"))
+      .agg(countDistinct(col("term")).cast("double").as("__v"))
+    // LEFT for the same reason as sourceCards: an all-empty-token
+    // source has no vocab pairs but must keep its six card rows
+    cardRows(
+      base.join(vocab, Seq("source"), "left")
+        .withColumn("__v", coalesce(col("__v"), lit(0.0d))),
+      Seq("source"))
+  }
 }

@@ -306,6 +306,20 @@ class OpsSpec extends SparkSpec {
     assert(inc == raw, s"profile-backed card diverged:\nraw=$raw\ninc=$inc")
   }
 
+  test("profile-backed per-source cards equal the raw-text cards row for row") {
+    // same contract as the global pin above, per source: the stored
+    // profile + (source, term) tables must reproduce sourceCards
+    // exactly (value read null-safely — quality is NULL for a source
+    // no doc of which reached the cascade)
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val raw = rows("pipeline_source_cards")
+    val inc = rows("pipeline_source_cards_inc")
+    assert(raw.nonEmpty && inc == raw,
+      s"profile-backed source cards diverged:\nraw=$raw\ninc=$inc")
+  }
+
   test("streaming: incremental hourly agg equals the batch plan") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     Tables.events(spark, sf0001)
