@@ -181,8 +181,9 @@ object OracleSql {
        |${name}_st AS (
        |  SELECT doc_id,
        |    CAST(len(t) AS BIGINT) AS n_tokens,
-       |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
-       |      (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
+       |    CASE WHEN len(t) = 0 THEN NULL ELSE
+       |      round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+       |        (a, b) -> a + b)::DOUBLE / len(t), 6) END AS avg_token_len,
        |    round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
        |      / len(t), 6) AS stopword_ratio,
        |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio

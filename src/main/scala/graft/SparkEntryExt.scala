@@ -487,16 +487,18 @@ object SparkEntryExt {
       val docs = Tables.documents(s, d)
       TextAnalysis.docProfile(docs, "doc_id", "text")
         .write.mode("overwrite").option("path", idxPath(tbl)).saveAsTable(tbl)
-      docs.select(explode(Dedup.tokens(col("text"))).as("term")).distinct()
-        .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
-        .saveAsTable(tbl + "_vocab")
       // (source, term) distinct pairs — the per-SOURCE vocab side
-      // table `pipeline_source_cards_inc` reads; same ingest pass,
-      // one extra narrow table
+      // table `pipeline_source_cards_inc` reads
       docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
         .distinct()
         .write.mode("overwrite").option("path", idxPath(tbl + "_srcvocab"))
         .saveAsTable(tbl + "_srcvocab")
+      // the global vocab is the pair table's term projection — derive
+      // it from the NARROW stored table rather than paying a second
+      // full-corpus tokenize+explode pass
+      s.table(tbl + "_srcvocab").select(col("term")).distinct()
+        .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
+        .saveAsTable(tbl + "_vocab")
     }
 
   /** One PQ codebook training per (sfDir) per JVM — the model is
@@ -2222,8 +2224,9 @@ object SparkEntryExt {
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-         |  round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
-         |    (a, b) -> a + b)::DOUBLE / len(t), 6) AS avg_token_len,
+         |  CASE WHEN len(t) = 0 THEN NULL ELSE
+         |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
+         |      (a, b) -> a + b)::DOUBLE / len(t), 6) END AS avg_token_len,
          |  round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio,
          |  round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
          |    / len(t), 6) AS stopword_ratio
