@@ -1747,6 +1747,11 @@ object SparkEntryExt {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     }),
+    // exact substring dedup: per doc, maximal token spans whose every
+    // 8-gram repeats in >= 2 distinct docs — the suffix-array-style
+    // substring dedup (Lee et al.) as positional shingles + span merge
+    "dedup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
     // corpus data card: the one-table profile a dataset release ships
     // (size, token mass, vocabulary, exact-dup rate, quality pass rate)
     // in long (metric, value) format — each metric is its own bounded
@@ -3246,6 +3251,30 @@ object SparkEntryExt {
          |GROUP BY len_bucket, (rn - 1) // 32
          |ORDER BY len_bucket, batch_idx""".stripMargin,
     "v_drift" -> OracleSql.dimDriftSql,
+    "dedup_spans" ->
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |gl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |         ${ngramSql("t", 8)} AS gs FROM tl),
+         |pos AS (SELECT doc_id, n_tokens, i - 1 AS pos, gs[i] AS g
+         |        FROM gl, unnest(generate_series(1, len(gs))) AS s(i)),
+         |df AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT doc_id, n_tokens, pos FROM pos JOIN df USING (g)),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |               THEN 0 ELSE 1 END AS nw
+         |        FROM dup),
+         |grp AS (SELECT doc_id, n_tokens, pos,
+         |          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |        FROM isl),
+         |sp AS (SELECT doc_id, n_tokens, grp, min(pos) AS p1, max(pos) AS p2
+         |       FROM grp GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(p2 - p1 + 8) AS BIGINT) AS dup_tokens,
+         |  round(sum(p2 - p1 + 8)::DOUBLE / n_tokens, 6) AS dup_frac
+         |FROM sp GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin,
     "text_ngram_coverage" ->
       s"""WITH tl AS (
          |  SELECT doc_id, $toksSql AS t FROM documents),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators (SURVEY §2.9 / north-star extension):
@@ -116,6 +117,61 @@ object Dedup {
         coalesce(sum(col("__hit")), lit(0L)).as("n_seen"))
       .select(col("doc_id"), col("n_grams"), col("n_seen"),
         round(col("n_seen").cast("double") / col("n_grams"), 6).as("seen_frac"))
+  }
+
+  /** EXACT SUBSTRING dedup spans — per doc, the maximal token spans
+    * whose every covering `n`-gram also appears in at least `minDf`
+    * OTHER documents: the scalable re-expression of suffix-array
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" — their 50-token repeated substrings;
+    * here the span primitive is the n-token shingle). Doc-LEVEL exact
+    * dedup ([[exactClusters]]) misses boilerplate shared INSIDE
+    * otherwise-distinct docs; this finds it, positionally, so a
+    * cleaning pass can cut the spans rather than drop the doc.
+    *
+    * Plan, all linear in shingle rows — never a suffix array and
+    * never all-pairs: (1) positional shingles (`posexplode`, 0-based);
+    * (2) cross-doc gram frequency (`countDistinct(doc_id)` grouped by
+    * the gram STRING — the [[ngramCoverage]] string-key trade), kept
+    * when seen in > `minDf` distinct docs; (3) the doc's duplicated
+    * positions merge into maximal spans by the gaps-and-islands rule
+    * `gap <= n` — two duplicated shingle starts closer than n tokens
+    * have overlapping or adjacent coverage, so each island [p1, p2]
+    * covers exactly `p2 - p1 + n` tokens (no double count, proved by
+    * the overlap bound). Windows are doc-partitioned (never global);
+    * the gram groupBy is the one corpus-sized shuffle. Docs with no
+    * cross-doc span are absent (the clean-corpus common case keeps
+    * the output duplicate-sized, not corpus-sized).
+    * Output: `(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)`.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"n ($n) must be >= 2")
+    require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(shingles(col("__toks"), n)).as(Seq("pos", "g")))
+    val dupGrams = base.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(dupGrams, "g")
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("__grp", sum(col("__new")).over(wCum))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__grp"))
+      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__p2") - col("__p1") + n).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 
   /** Cross-source CONTAMINATION MATRIX — the audit a multi-corpus

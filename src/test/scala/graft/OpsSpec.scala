@@ -207,6 +207,28 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) != got(1L), "unrelated doc separate")
   }
 
+  test("dedup: substring spans merge at gap <= n, within-doc repeats don't qualify") {
+    // n=2 hand-computed fixture:
+    //  A "a b c d e f" / B "a b c x e f" share grams ab(0) bc(1) ef(4)
+    //    → gap 1 merges [0,1], gap 3 > n starts [4,4]:
+    //    2 spans, (1-0+2)+(4-4+2)=5 dup tokens of 6
+    //  E "g h i j" / F "g h w i j": E's shared positions 0 and 2 —
+    //    gap EXACTLY n merges into [0,2] → whole doc (4 of 4);
+    //    F's 0 and 3 — gap 3 stays split → 4 of 5
+    //  G "z z z z z": zz repeats only WITHIN G → df=1 → absent
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x e f"),
+      (3L, "g h i j"), (4L, "g h w i j"),
+      (5L, "z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"doc set: $got")
+    assert(got(1L) == ((6L, 2L, 5L, 0.833333)) && got(2L) == ((6L, 2L, 5L, 0.833333)))
+    assert(got(3L) == ((4L, 1L, 4L, 1.0)), "gap == n must merge into one span")
+    assert(got(4L) == ((5L, 2L, 4L, 0.8)), "gap n+1 must not merge")
+  }
+
   test("contamination: shared trigrams flagged, boilerplate shingle df-capped") {
     val train = Seq(
       (1L, "a b c d e f"),        // trigrams: abc bcd cde def
