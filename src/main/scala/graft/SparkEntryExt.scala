@@ -1747,9 +1747,10 @@ object SparkEntryExt {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     }),
-    // exact substring dedup: per doc, maximal token spans whose every
-    // 8-gram repeats in >= 2 distinct docs — the suffix-array-style
-    // substring dedup (Lee et al.) as positional shingles + span merge
+    // substring dedup spans: per doc, maximal token spans covered by
+    // 8-grams repeating in >= 2 distinct docs — Lee-et-al.-style
+    // substring dedup as positional shingles + span merge (coverage
+    // union, not an exact-substring guarantee; see Dedup.dupSpans)
     "dedup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
     // corpus data card: the one-table profile a dataset release ships

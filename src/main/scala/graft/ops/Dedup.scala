@@ -119,29 +119,49 @@ object Dedup {
         round(col("n_seen").cast("double") / col("n_grams"), 6).as("seen_frac"))
   }
 
-  /** EXACT SUBSTRING dedup spans — per doc, the maximal token spans
-    * whose every covering `n`-gram also appears in at least `minDf`
-    * OTHER documents: the scalable re-expression of suffix-array
+  /** Substring-level dedup spans — per doc, the maximal token spans
+    * in which EVERY TOKEN is covered by some `n`-gram appearing in at
+    * least `minDf` distinct documents (counting the doc itself, so
+    * the default `minDf = 2` means "shared with at least one OTHER
+    * doc"): the scalable shingle re-expression of suffix-array
     * substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" — their 50-token repeated substrings;
-    * here the span primitive is the n-token shingle). Doc-LEVEL exact
+    * here the primitive is the n-token shingle). Doc-LEVEL exact
     * dedup ([[exactClusters]]) misses boilerplate shared INSIDE
     * otherwise-distinct docs; this finds it, positionally, so a
     * cleaning pass can cut the spans rather than drop the doc.
+    *
+    * Semantics, honestly: a span is the UNION of repeated-shingle
+    * coverage, which is weaker than Lee et al.'s exact-substring
+    * guarantee — a gap-merged span's interior n-grams need not repeat
+    * anywhere, and the span AS A WHOLE need not appear verbatim in
+    * any other single doc (its pieces may come from different docs).
+    * Every n consecutive tokens of it starting at a duplicated
+    * shingle position DO appear verbatim elsewhere. A consumer
+    * cutting spans is removing mosaic-duplicated text, not
+    * necessarily one contiguous copy.
     *
     * Plan, all linear in shingle rows — never a suffix array and
     * never all-pairs: (1) positional shingles (`posexplode`, 0-based);
     * (2) cross-doc gram frequency (`countDistinct(doc_id)` grouped by
     * the gram STRING — the [[ngramCoverage]] string-key trade), kept
-    * when seen in > `minDf` distinct docs; (3) the doc's duplicated
-    * positions merge into maximal spans by the gaps-and-islands rule
+    * at `>= minDf` distinct docs; (3) the doc's duplicated positions
+    * merge into maximal spans by the gaps-and-islands rule
     * `gap <= n` — two duplicated shingle starts closer than n tokens
     * have overlapping or adjacent coverage, so each island [p1, p2]
     * covers exactly `p2 - p1 + n` tokens (no double count, proved by
-    * the overlap bound). Windows are doc-partitioned (never global);
-    * the gram groupBy is the one corpus-sized shuffle. Docs with no
-    * cross-doc span are absent (the clean-corpus common case keeps
-    * the output duplicate-sized, not corpus-sized).
+    * the overlap bound). Windows are doc-partitioned (never global).
+    * Shuffle shape: the `base` shingle subtree is evaluated TWICE
+    * (under the gram groupBy and under the join-back — the two
+    * exchanges project different columns, so ReuseExchange cannot
+    * share them), and when the duplicated-gram set outgrows the
+    * broadcast budget the join-back adds a second gram-keyed shuffle
+    * of the positional rows. Recompute is the chosen trade (the repo
+    * persist rule): the gram rows are wider than the text they come
+    * from, so persisting `base` trades a narrow scan+codegen pass for
+    * corpus-sized cache memory. Docs with no cross-doc span are
+    * absent (the clean-corpus common case keeps the output
+    * duplicate-sized, not corpus-sized).
     * Output: `(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)`.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
