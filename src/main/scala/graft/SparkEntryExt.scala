@@ -1753,6 +1753,11 @@ object SparkEntryExt {
     // union, not an exact-substring guarantee; see Dedup.dupSpans)
     "dedup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
+    // remove-all span cutting: every doc minus its duplicated token
+    // ranges — the strict (well-defined) variant of keep-one-copy
+    // substring dedup; what survives is the corpus's unique content
+    "dedup_spans_cut" -> ((s, d) =>
+      Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
     // corpus data card: the one-table profile a dataset release ships
     // (size, token mass, vocabulary, exact-dup rate, quality pass rate)
     // in long (metric, value) format — each metric is its own bounded
@@ -1839,6 +1844,32 @@ object SparkEntryExt {
     * `text_bm25` (k=5) and the hybrid fusion (k=10). Ends at CTE
     * `bmr(query_id, doc_id, score, rank)`.
     */
+  /** Shared CTE chain for the substring-dedup pair: positional
+    * n-gram shingles → cross-doc df filter → gap≤n island merge.
+    * Ends at `sp(doc_id, n_tokens, p1, p2)` (token coverage
+    * `p1 .. p2 + n - 1`) with `tl(doc_id, t)` still in scope for the
+    * cut query's token re-read. One definition, two consumers
+    * (`dedup_spans`, `dedup_spans_cut`) — the dataCardSql discipline.
+    */
+  private def dupSpanCtes(n: Int): String =
+    s"""tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |gl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |         ${ngramSql("t", n)} AS gs FROM tl),
+       |pos AS (SELECT doc_id, n_tokens, i - 1 AS pos, gs[i] AS g
+       |        FROM gl, unnest(generate_series(1, len(gs))) AS s(i)),
+       |df AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |dup AS (SELECT doc_id, n_tokens, pos FROM pos JOIN df USING (g)),
+       |isl AS (SELECT doc_id, n_tokens, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |               THEN 0 ELSE 1 END AS nw
+       |        FROM dup),
+       |grp AS (SELECT doc_id, n_tokens, pos,
+       |          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM isl),
+       |sp AS (SELECT doc_id, n_tokens, grp, min(pos) AS p1, max(pos) AS p2
+       |       FROM grp GROUP BY 1, 2, 3)""".stripMargin
+
   private def bm25Ctes(k: Int): String =
     s"""tok25 AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
        |tf25 AS (SELECT doc_id, term, count(*) AS tf FROM tok25 GROUP BY 1, 2),
@@ -3253,29 +3284,28 @@ object SparkEntryExt {
          |ORDER BY len_bucket, batch_idx""".stripMargin,
     "v_drift" -> OracleSql.dimDriftSql,
     "dedup_spans" ->
-      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |gl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         |         ${ngramSql("t", 8)} AS gs FROM tl),
-         |pos AS (SELECT doc_id, n_tokens, i - 1 AS pos, gs[i] AS g
-         |        FROM gl, unnest(generate_series(1, len(gs))) AS s(i)),
-         |df AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-         |dup AS (SELECT doc_id, n_tokens, pos FROM pos JOIN df USING (g)),
-         |isl AS (SELECT doc_id, n_tokens, pos,
-         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-         |               THEN 0 ELSE 1 END AS nw
-         |        FROM dup),
-         |grp AS (SELECT doc_id, n_tokens, pos,
-         |          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-         |        FROM isl),
-         |sp AS (SELECT doc_id, n_tokens, grp, min(pos) AS p1, max(pos) AS p2
-         |       FROM grp GROUP BY 1, 2, 3)
+      s"""WITH ${dupSpanCtes(8)}
          |SELECT doc_id, n_tokens,
          |  CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(p2 - p1 + 8) AS BIGINT) AS dup_tokens,
          |  round(sum(p2 - p1 + 8)::DOUBLE / n_tokens, 6) AS dup_frac
          |FROM sp GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin,
+    "dedup_spans_cut" ->
+      s"""WITH ${dupSpanCtes(8)},
+         |tpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+         |         FROM tl, unnest(generate_series(1, len(t))) AS s(i)),
+         |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tpos tp
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.p1 AND sp.p2 + 7)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM tl d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "text_ngram_coverage" ->
       s"""WITH tl AS (
          |  SELECT doc_id, $toksSql AS t FROM documents),

@@ -165,7 +165,22 @@ object Dedup {
     * Output: `(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)`.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2): DataFrame =
+    dupSpanRows(docs, idCol, textCol, n, minDf)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__p2") - col("__p1") + n).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+
+  /** The span rows behind [[dupSpans]] / [[cutDupSpans]]: one row per
+    * merged island, `(doc_id, n_tokens, __p1, __p2)` — the island
+    * covers token positions `__p1 .. __p2 + n - 1`.
+    */
+  private[graft] def dupSpanRows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDf: Int): DataFrame = {
     require(n >= 2, s"n ($n) must be >= 2")
     require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
     val base = docs
@@ -185,12 +200,42 @@ object Dedup {
       .withColumn("__grp", sum(col("__new")).over(wCum))
       .groupBy(col("doc_id"), col("n_tokens"), col("__grp"))
       .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("__p2") - col("__p1") + n).as("dup_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
-        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("dup_frac"))
+  }
+
+  /** REMOVE-ALL span cutting — every doc's text with its
+    * [[dupSpans]]-covered token ranges deleted: what survives is the
+    * corpus's unique content. This is deliberately the strict variant
+    * of Lee et al.'s keep-one-copy dedup: keep-one needs a cross-doc
+    * identity for each span (undefined for mosaic coverage unions),
+    * whereas remove-all is well-defined and is the right call when
+    * the repeated text is boilerplate that should vanish entirely —
+    * the token-level complement of [[TextAnalysis.removeBoilerplate]]
+    * (which cuts repeated PARAGRAPHS). Docs with no duplicated span
+    * pass through whole; a doc that is entirely duplicated text comes
+    * back empty (the caller drops or keeps it by `n_kept`).
+    *
+    * Plan: [[dupSpanRows]] (duplicate-sized) aggregates to one small
+    * span ARRAY per affected doc, equi-joined (LEFT) back to the
+    * corpus on doc_id; the cut itself is a positional `filter` lambda
+    * over the token array — narrow, no explode, no second corpus
+    * shuffle. Output: `(doc_id, n_tokens, n_kept, clean_text)`.
+    */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDf: Int = 2): DataFrame = {
+    val spans = dupSpanRows(docs, idCol, textCol, n, minDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("__p1"), col("__p2"))).as("__spans"))
+    val noSpans = array().cast("array<struct<__p1:long,__p2:long>>")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), noSpans))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s("__p1") && i.cast("long") <= s("__p2") + (n - 1))))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

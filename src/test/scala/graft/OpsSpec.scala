@@ -229,6 +229,24 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == ((5L, 2L, 4L, 0.8)), "gap n+1 must not merge")
   }
 
+  test("dedup: span cut removes covered ranges, keeps unique tokens and clean docs whole") {
+    // same n=2 fixture as the spans test; hand-computed survivors:
+    //  A covers 0-2 and 4-5 → only pos 3 'd' survives; B → 'x';
+    //  E is one whole-doc span → empty; F covers 0-1 and 3-4 → 'w';
+    //  G has no cross-doc span → passes through whole
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x e f"),
+      (3L, "g h i j"), (4L, "g h w i j"),
+      (5L, "z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.cutDupSpans(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "every doc keeps a row")
+    assert(got(1L) == ((6L, 1L, "d")) && got(2L) == ((6L, 1L, "x")))
+    assert(got(3L) == ((4L, 0L, "")), "fully-duplicated doc comes back empty")
+    assert(got(4L) == ((5L, 1L, "w")))
+    assert(got(5L) == ((5L, 5L, "z z z z z")), "span-free doc passes through whole")
+  }
+
   test("contamination: shared trigrams flagged, boilerplate shingle df-capped") {
     val train = Seq(
       (1L, "a b c d e f"),        // trigrams: abc bcd cde def
