@@ -1752,12 +1752,12 @@ object SparkEntryExt {
     // substring dedup as positional shingles + span merge (coverage
     // union, not an exact-substring guarantee; see Dedup.dupSpans)
     "dedup_spans" -> ((s, d) =>
-      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
+      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = spanN)),
     // remove-all span cutting: every doc minus its duplicated token
     // ranges — the strict (well-defined) variant of keep-one-copy
     // substring dedup; what survives is the corpus's unique content
     "dedup_spans_cut" -> ((s, d) =>
-      Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
+      Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text", n = spanN)),
     // corpus data card: the one-table profile a dataset release ships
     // (size, token mass, vocabulary, exact-dup rate, quality pass rate)
     // in long (metric, value) format — each metric is its own bounded
@@ -1837,13 +1837,6 @@ object SparkEntryExt {
     })
   )
 
-  /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
-    * (postings → doc lengths folded from postings → df → one-row
-    * corpus stats → distinct query terms of docs 0..7 → df-capped
-    * idf weights → scored → ranked-on-rounded-score top-k). Shared by
-    * `text_bm25` (k=5) and the hybrid fusion (k=10). Ends at CTE
-    * `bmr(query_id, doc_id, score, rank)`.
-    */
   /** Shared CTE chain for the substring-dedup pair: positional
     * n-gram shingles → cross-doc df filter → gap≤n island merge.
     * Ends at `sp(doc_id, n_tokens, p1, p2)` (token coverage
@@ -1851,6 +1844,13 @@ object SparkEntryExt {
     * cut query's token re-read. One definition, two consumers
     * (`dedup_spans`, `dedup_spans_cut`) — the dataCardSql discipline.
     */
+  /** Shingle width for the `dedup_spans` pair — ONE definition feeds
+    * the Spark registry entries, the CTE chain, and every coverage
+    * constant in the consuming SQL, so the width cannot drift between
+    * engine and oracle.
+    */
+  private val spanN = 8
+
   private def dupSpanCtes(n: Int): String =
     s"""tl AS (SELECT doc_id, $toksSql AS t FROM documents),
        |gl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -1870,6 +1870,13 @@ object SparkEntryExt {
        |sp AS (SELECT doc_id, n_tokens, grp, min(pos) AS p1, max(pos) AS p2
        |       FROM grp GROUP BY 1, 2, 3)""".stripMargin
 
+  /** BM25 CTE chain mirroring Retrieval.bm25TopK step for step
+    * (postings → doc lengths folded from postings → df → one-row
+    * corpus stats → distinct query terms of docs 0..7 → df-capped
+    * idf weights → scored → ranked-on-rounded-score top-k). Shared by
+    * `text_bm25` (k=5) and the hybrid fusion (k=10). Ends at CTE
+    * `bmr(query_id, doc_id, score, rank)`.
+    */
   private def bm25Ctes(k: Int): String =
     s"""tok25 AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
        |tf25 AS (SELECT doc_id, term, count(*) AS tf FROM tok25 GROUP BY 1, 2),
@@ -3284,20 +3291,21 @@ object SparkEntryExt {
          |ORDER BY len_bucket, batch_idx""".stripMargin,
     "v_drift" -> OracleSql.dimDriftSql,
     "dedup_spans" ->
-      s"""WITH ${dupSpanCtes(8)}
+      s"""WITH ${dupSpanCtes(spanN)}
          |SELECT doc_id, n_tokens,
          |  CAST(count(*) AS BIGINT) AS n_spans,
-         |  CAST(sum(p2 - p1 + 8) AS BIGINT) AS dup_tokens,
-         |  round(sum(p2 - p1 + 8)::DOUBLE / n_tokens, 6) AS dup_frac
+         |  CAST(sum(p2 - p1 + $spanN) AS BIGINT) AS dup_tokens,
+         |  round(sum(p2 - p1 + $spanN)::DOUBLE / n_tokens, 6) AS dup_frac
          |FROM sp GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin,
     "dedup_spans_cut" ->
-      s"""WITH ${dupSpanCtes(8)},
+      s"""WITH ${dupSpanCtes(spanN)},
          |tpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
          |         FROM tl, unnest(generate_series(1, len(t))) AS s(i)),
          |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tpos tp
          |         WHERE NOT EXISTS (SELECT 1 FROM sp
-         |           WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.p1 AND sp.p2 + 7)),
+         |           WHERE sp.doc_id = tp.doc_id
+         |             AND tp.p BETWEEN sp.p1 AND sp.p2 + ${spanN - 1})),
          |agg AS (SELECT doc_id, count(*) AS n_kept,
          |          string_agg(tok, ' ' ORDER BY p) AS clean_text
          |        FROM keep GROUP BY doc_id)
