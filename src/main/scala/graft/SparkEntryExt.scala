@@ -474,6 +474,23 @@ object SparkEntryExt {
         .bucketBy(16, "b").saveAsTable(tbl)
     }
 
+  /** Corpus gram-df table for incremental substring dedup,
+    * materialized ONCE per sfDir per JVM: `Dedup.gramDf` over the
+    * standing corpus (doc_id % 10 =!= 3 — the `dedup_incremental`
+    * split), written `bucketBy(16, "g")` so each new batch's probe
+    * join reads the corpus-sized side with its distribution already
+    * on disk — only the batch-gram side exchanges (BucketingSpec
+    * pin). A production pipeline appends/merges new batches' counts
+    * into this table after flagging them.
+    */
+  private def spanGramIndex(s: SparkSession, d: String): String =
+    storedIndexTable("span_gram_df", d) { tbl =>
+      Dedup.gramDf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3),
+          "doc_id", "text", n = spanN)
+        .write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(16, "g").saveAsTable(tbl)
+    }
+
   /** Per-doc profile + vocab tables, materialized ONCE per sfDir per
     * JVM (the [[bqSigIndex]] discipline applied to corpus reporting):
     * the profile carries the tokenize + quality-cascade results
@@ -1777,6 +1794,14 @@ object SparkEntryExt {
     // substring dedup; what survives is the corpus's unique content
     "dedup_spans_cut" -> ((s, d) =>
       Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text", n = spanN)),
+    // incremental substring dedup: the NEW batch (doc_id % 10 == 3,
+    // the dedup_incremental split) flagged against the STORED corpus
+    // gram-df index — batch-sized work per increment; equals the full
+    // dupSpans restricted to batch ids (OpsSpec pin)
+    "dedup_spans_inc" -> ((s, d) =>
+      Dedup.dupSpansIncremental(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3),
+        s.table(spanGramIndex(s, d)), "doc_id", "text", n = spanN)),
     // corpus data card: the one-table profile a dataset release ships
     // (size, token mass, vocabulary, exact-dup rate, quality pass rate)
     // in long (metric, value) format — each metric is its own bounded
@@ -3313,6 +3338,17 @@ object SparkEntryExt {
          |  CAST(sum(p2 - p1 + $spanN) AS BIGINT) AS dup_tokens,
          |  round(sum(p2 - p1 + $spanN)::DOUBLE / n_tokens, 6) AS dup_frac
          |FROM sp GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin,
+    // incremental == full restricted to the batch (disjoint id sets:
+    // corpus df + batch df = combined df) — same CTE chain, one WHERE
+    "dedup_spans_inc" ->
+      s"""WITH ${dupSpanCtes(spanN)}
+         |SELECT doc_id, n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(p2 - p1 + $spanN) AS BIGINT) AS dup_tokens,
+         |  round(sum(p2 - p1 + $spanN)::DOUBLE / n_tokens, 6) AS dup_frac
+         |FROM sp WHERE doc_id % 10 = 3
+         |GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin,
     "dedup_spans_cut" ->
       s"""WITH ${dupSpanCtes(spanN)},

@@ -166,7 +166,13 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minDf: Int = 2): DataFrame =
-    dupSpanRows(docs, idCol, textCol, n, minDf)
+    spanSummary(dupSpanRows(docs, idCol, textCol, n, minDf), n)
+
+  /** Shared tail of [[dupSpans]] / [[dupSpansIncremental]]: island
+    * rows → per-doc `(n_spans, dup_tokens, dup_frac)`.
+    */
+  private def spanSummary(islands: DataFrame, n: Int): DataFrame =
+    islands
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("__p2") - col("__p1") + n).as("dup_tokens"))
@@ -174,6 +180,31 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
           .as("dup_frac"))
       .orderBy(col("doc_id"))
+
+  /** Shared island merge: duplicated positional rows
+    * `(doc_id, n_tokens, pos)` → merged islands under the `gap <= n`
+    * rule, `(doc_id, n_tokens, __p1, __p2)`.
+    */
+  private def mergeIslands(dup: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("__grp", sum(col("__new")).over(wCum))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__grp"))
+      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+  }
+
+  /** Positional n-gram rows `(doc_id, n_tokens, pos, g)` — the base
+    * both span variants explode once per consumer.
+    */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(shingles(col("__toks"), n)).as(Seq("pos", "g")))
 
   /** The span rows behind [[dupSpans]] / [[cutDupSpans]]: one row per
     * merged island, `(doc_id, n_tokens, __p1, __p2)` — the island
@@ -183,23 +214,51 @@ object Dedup {
       textCol: String, n: Int, minDf: Int): DataFrame = {
     require(n >= 2, s"n ($n) must be >= 2")
     require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
-    val base = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        posexplode(shingles(col("__toks"), n)).as(Seq("pos", "g")))
+    val base = spanBase(docs, idCol, textCol, n)
     val dupGrams = base.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("g"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(dupGrams, "g")
-      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
-      .withColumn("__new",
-        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
-      .withColumn("__grp", sum(col("__new")).over(wCum))
-      .groupBy(col("doc_id"), col("n_tokens"), col("__grp"))
-      .agg(min(col("pos")).as("__p1"), max(col("pos")).as("__p2"))
+    mergeIslands(base.join(dupGrams, "g"), n)
+  }
+
+  /** Corpus gram document frequencies — the STORED side of
+    * [[dupSpansIncremental]]: one row per distinct n-gram with the
+    * count of distinct docs containing it. A standing deployment
+    * materializes this at ingest (`bucketBy` on `g` so per-batch
+    * probes never re-shuffle it) and appends/merges new batches'
+    * counts.
+    */
+  def gramDf(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    corpus.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** INCREMENTAL substring-dedup spans — [[dupSpans]] semantics for a
+    * NEW batch against a standing corpus, without touching corpus
+    * text: per new doc, the spans covered by n-grams seen in >=
+    * `minDf` distinct docs of corpus ∪ batch. Provided corpus and
+    * batch doc ids are disjoint, output equals `dupSpans(corpus ∪
+    * batch)` restricted to batch ids (pinned in OpsSpec) — but the
+    * per-increment bill is batch-sized: positional shingles of the
+    * BATCH only, one batch-gram `countDistinct`, and a LEFT probe of
+    * the stored [[gramDf]] table (bucketBy(g) ⇒ the corpus-sized side
+    * reads with its join distribution on disk, only batch grams
+    * exchange). Island merge and output schema are [[dupSpanRows]]'s.
+    */
+  def dupSpansIncremental(newDocs: DataFrame, corpusGramDf: DataFrame,
+      idCol: String, textCol: String, n: Int, minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"n ($n) must be >= 2")
+    require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
+    val base = spanBase(newDocs, idCol, textCol, n)
+    val dupGrams = base.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("__bdf"))
+      .join(corpusGramDf.select(col("g"), col("df").as("__cdf")), Seq("g"), "left")
+      .filter(coalesce(col("__cdf"), lit(0L)) + col("__bdf") >= minDf)
+      .select(col("g"))
+    spanSummary(mergeIslands(base.join(dupGrams, "g"), n), n)
   }
 
   /** REMOVE-ALL span cutting — every doc's text with its

@@ -104,6 +104,27 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stored gram-df index: the corpus-sized side never re-shuffles per batch") {
+    // dedup_spans_inc probes the bucketBy(16, g) gram-df table; only
+    // the batch-gram side may exchange on g. Pin via the stored scan's
+    // own expression id: any shuffle of the stored side would appear
+    // as an Exchange keyed on THAT g attribute.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("dedup_spans_inc")(spark, sf0001)
+      assert(df.count() > 0)
+      val planStr = df.queryExecution.executedPlan.toString
+      val scan = "graft_span_gram_df\\S*\\[g#(\\d+),".r.findFirstMatchIn(planStr)
+      assert(scan.isDefined, s"stored gram-df scan missing:\n$planStr")
+      val gid = scan.get.group(1)
+      assert(planStr.contains("Bucketed: true"),
+        s"stored gram-df scan must read bucketed:\n$planStr")
+      assert(!planStr.contains(s"Exchange hashpartitioning(g#$gid"),
+        s"stored gram-df side must not re-shuffle (g#$gid):\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")

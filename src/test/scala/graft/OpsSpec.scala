@@ -247,6 +247,25 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, 5L, "z z z z z")), "span-free doc passes through whole")
   }
 
+  test("dedup: incremental spans equal the full run restricted to the batch") {
+    // disjoint corpus/batch id sets ⇒ corpus df + batch df = combined
+    // df, so the incremental form must reproduce dupSpans(corpus ∪
+    // batch) for batch docs exactly — on real data, not a toy fixture
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val inc = rows(graft.ops.Dedup.dupSpansIncremental(
+      batch, graft.ops.Dedup.gramDf(corpus, "doc_id", "text", 8),
+      "doc_id", "text", n = 8))
+    val full = rows(graft.ops.Dedup.dupSpans(docs, "doc_id", "text", n = 8)
+      .filter(col("doc_id") % 10 === 3))
+    assert(inc.nonEmpty, "fixture must exercise at least one batch span doc")
+    assert(inc == full, s"incremental diverged:\ninc=$inc\nfull=$full")
+  }
+
   test("contamination: shared trigrams flagged, boilerplate shingle df-capped") {
     val train = Seq(
       (1L, "a b c d e f"),        // trigrams: abc bcd cde def
