@@ -235,6 +235,11 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("__toks"), n)).as("g"))
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
+      // the shingle width rides along as a constant column so
+      // [[dupSpansIncremental]] can REFUSE a mismatched index instead
+      // of silently under-flagging (a 7-gram table probed with 8-gram
+      // keys matches nothing and looks like a clean corpus)
+      .withColumn("n", lit(n))
 
   /** INCREMENTAL substring-dedup spans — [[dupSpans]] semantics for a
     * NEW batch against a standing corpus, without touching corpus
@@ -246,12 +251,22 @@ object Dedup {
     * BATCH only, one batch-gram `countDistinct`, and a LEFT probe of
     * the stored [[gramDf]] table (bucketBy(g) ⇒ the corpus-sized side
     * reads with its join distribution on disk, only batch grams
-    * exchange). Island merge and output schema are [[dupSpanRows]]'s.
+    * exchange). The island merge is [[dupSpanRows]]'s; the output
+    * schema is [[dupSpans]]' `(doc_id, n_tokens, n_spans, dup_tokens,
+    * dup_frac)`. The stored table must come from [[gramDf]] with the
+    * SAME `n`: its `n` column is checked up front (one `limit(1)`
+    * read) and a mismatch raises rather than silently matching
+    * nothing and reporting a clean corpus.
     */
   def dupSpansIncremental(newDocs: DataFrame, corpusGramDf: DataFrame,
       idCol: String, textCol: String, n: Int, minDf: Int = 2): DataFrame = {
     require(n >= 2, s"n ($n) must be >= 2")
     require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
+    corpusGramDf.select(col("n")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == n,
+        s"stored gramDf was built with n=${r.getInt(0)}, probed with n=$n — " +
+          "gram keys would match nothing and every corpus dup would be missed")
+    }
     val base = spanBase(newDocs, idCol, textCol, n)
     val dupGrams = base.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("__bdf"))

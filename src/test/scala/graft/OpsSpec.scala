@@ -266,6 +266,17 @@ class OpsSpec extends SparkSpec {
     assert(inc == full, s"incremental diverged:\ninc=$inc\nfull=$full")
   }
 
+  test("dedup: incremental spans refuse a gram index built with a different n") {
+    // a 2-gram table probed with 3-gram keys matches nothing and would
+    // silently report a clean corpus — the n column makes it raise
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.gramDf(docs, "doc_id", "text", n = 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.dupSpansIncremental(docs, idx, "doc_id", "text", n = 3)
+    }
+    assert(e.getMessage.contains("built with n=2"), e.getMessage)
+  }
+
   test("contamination: shared trigrams flagged, boilerplate shingle df-capped") {
     val train = Seq(
       (1L, "a b c d e f"),        // trigrams: abc bcd cde def
