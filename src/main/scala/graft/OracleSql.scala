@@ -185,8 +185,8 @@ object OracleSql {
        |      round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
        |        (a, b) -> a + b)::DOUBLE / len(t), 6) END AS avg_token_len,
        |    round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
-       |      / len(t), 6) AS stopword_ratio,
-       |    round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio
+       |      / nullif(len(t), 0), 6) AS stopword_ratio,
+       |    round(len(list_distinct(t))::DOUBLE / nullif(len(t), 0), 6) AS type_token_ratio
        |  FROM ${name}_tl),
        |${name}_u AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac FROM (
        |  SELECT doc_id, g, count(*) AS c

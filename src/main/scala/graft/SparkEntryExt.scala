@@ -1878,20 +1878,21 @@ object SparkEntryExt {
     })
   )
 
-  /** Shared CTE chain for the substring-dedup pair: positional
-    * n-gram shingles → cross-doc df filter → gap≤n island merge.
-    * Ends at `sp(doc_id, n_tokens, p1, p2)` (token coverage
-    * `p1 .. p2 + n - 1`) with `tl(doc_id, t)` still in scope for the
-    * cut query's token re-read. One definition, two consumers
-    * (`dedup_spans`, `dedup_spans_cut`) — the dataCardSql discipline.
-    */
-  /** Shingle width for the `dedup_spans` pair — ONE definition feeds
-    * the Spark registry entries, the CTE chain, and every coverage
-    * constant in the consuming SQL, so the width cannot drift between
-    * engine and oracle.
+  /** Shingle width for the `dedup_spans` family — ONE definition
+    * feeds the Spark registry entries, the CTE chain, and every
+    * coverage constant in the consuming SQL, so the width cannot
+    * drift between engine and oracle.
     */
   private val spanN = 8
 
+  /** Shared CTE chain for the substring-dedup family: positional
+    * n-gram shingles → cross-doc df filter → gap≤n island merge.
+    * Ends at `sp(doc_id, n_tokens, p1, p2)` (token coverage
+    * `p1 .. p2 + n - 1`) with `tl(doc_id, t)` still in scope for the
+    * cut query's token re-read. One definition, three consumers
+    * (`dedup_spans`, `dedup_spans_cut`, `dedup_spans_inc`) — the
+    * dataCardSql discipline.
+    */
   private def dupSpanCtes(n: Int): String =
     s"""tl AS (SELECT doc_id, $toksSql AS t FROM documents),
        |gl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -2312,9 +2313,9 @@ object SparkEntryExt {
          |  CASE WHEN len(t) = 0 THEN NULL ELSE
          |    round(list_reduce(list_transform(t, x -> CAST(length(x) AS BIGINT)),
          |      (a, b) -> a + b)::DOUBLE / len(t), 6) END AS avg_token_len,
-         |  round(len(list_distinct(t))::DOUBLE / len(t), 6) AS type_token_ratio,
+         |  round(len(list_distinct(t))::DOUBLE / nullif(len(t), 0), 6) AS type_token_ratio,
          |  round(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
-         |    / len(t), 6) AS stopword_ratio
+         |    / nullif(len(t), 0), 6) AS stopword_ratio
          |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "text_langid" ->

@@ -120,7 +120,9 @@ class BucketingSpec extends SparkSpec {
       val gid = scan.get.group(1)
       assert(planStr.contains("Bucketed: true"),
         s"stored gram-df scan must read bucketed:\n$planStr")
-      assert(!planStr.contains(s"Exchange hashpartitioning(g#$gid"),
+      // non-digit boundary after the id: g#57 must not match g#578
+      val storedExchange = s"Exchange hashpartitioning\\(g#$gid\\D".r
+      assert(storedExchange.findFirstIn(planStr).isEmpty,
         s"stored gram-df side must not re-shuffle (g#$gid):\n$planStr")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
