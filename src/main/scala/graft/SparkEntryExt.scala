@@ -40,13 +40,17 @@ object SparkEntryExt {
     * candidate pairs from 5k docs at sf0.1); trigrams isolate the ~244
     * genuinely near-duplicate pairs at ~10,000× less verify work.
     */
-  /** Unrolled deterministic k-means (2 Lloyd iterations, centroids
-    * rounded to 6 dp each update, stale-cell rule) + multi-probe IVF
-    * search — mirrors SimilaritySearch.ivfTrainedTopK step for step. A
-    * standalone SELECT so `sim_recall_eval` can embed it as a derived
-    * table as well as `sim_ivf_trained` using it directly.
+  /** Unrolled deterministic k-means training (2 Lloyd iterations,
+    * centroids rounded to 6 dp each update, stale-cell rule) — mirrors
+    * SimilaritySearch.trainedCentroids/assignPoints step for step. A
+    * CTE list (no leading WITH) ending at `ap(pid, v, cid)` (the
+    * trained point assignment) with `c2(cid, c)` (the trained
+    * centroids) and `qs(pid, v)` (the held-out query rows) still in
+    * scope — ONE definition of the trainer, shared by the trained-IVF
+    * search oracle and the prototypicality-prune oracle so the Lloyd
+    * unroll cannot drift between them (the dataCardSql discipline).
     */
-  private lazy val ivfTrainedSelect: String = {
+  private lazy val ivfTrainCtes: String = {
     def assignCte(src: String, cents: String): String =
       s"""SELECT pid, v, cid FROM (
          |  SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
@@ -60,7 +64,7 @@ object SparkEntryExt {
          |    SELECT cid, j, round(avg(v[j]), 6) AS m
          |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j) g
          |    GROUP BY cid, j) GROUP BY cid) u ON p.cid = u.cid""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |pts AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id >= 10),
        |qs AS (SELECT vec_id AS pid, v FROM emb WHERE vec_id < 10),
@@ -71,7 +75,16 @@ object SparkEntryExt {
        |c1 AS (${updateCte("a1", "c0")}),
        |a2 AS (${assignCte("pts", "c1")}),
        |c2 AS (${updateCte("a2", "c1")}),
-       |ap AS (${assignCte("pts", "c2")}),
+       |ap AS (${assignCte("pts", "c2")})""".stripMargin
+  }
+
+  /** Trained k-means + multi-probe IVF search — mirrors
+    * SimilaritySearch.ivfTrainedTopK. A standalone SELECT so
+    * `sim_recall_eval` can embed it as a derived table as well as
+    * `sim_ivf_trained` using it directly.
+    */
+  private lazy val ivfTrainedSelect: String = {
+    s"""WITH $ivfTrainCtes,
        |qp AS (
        |  SELECT pid AS qid, v AS qv, cid FROM (
        |    SELECT pid, v, cid, row_number() OVER (PARTITION BY pid ORDER BY s DESC, cid) AS rn
@@ -1389,6 +1402,12 @@ object SparkEntryExt {
       Curation.curate(seeded, "doc_id", "text", sep = " the ", minDocs = 3, samplePct = 80)
         .orderBy(col("doc_id"))
     }),
+    // DSIR importance resampling: keep the quarter of non-English docs
+    // whose hashed-unigram+bigram profile scores highest under the
+    // English-docs-as-target vs raw-pool log-likelihood ratio
+    "pipeline_dsir" -> ((s, d) =>
+      Curation.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
     "text_quality_adaptive" -> ((s, d) =>
@@ -1408,6 +1427,16 @@ object SparkEntryExt {
       SimilaritySearch.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4, iterations = 3)
         .orderBy(col("id"))),
+    // Sorscher-et-al. prototypicality pruning: keep the hardest half of
+    // every trained cluster (cosine-to-own-centroid ascending). Reuses
+    // the memoized trained-IVF centroid model — the quantizer is ONE
+    // per-corpus artifact shared by search and curation
+    "sim_proto_prune" -> ((s, d) =>
+      SimilaritySearch.prototypicalityPrune(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "point_id"),
+          "point_id", "embedding", ivfModel(s, d), keepFrac = 0.5)
+        .orderBy(col("cid"), col("rank"))),
     // BM25 keyword retrieval (self-retrieval: the first 8 docs query the
     // corpus with their own text) — the lexical half of hybrid search.
     // maxDfFrac = 0.8, not the 0.5 default: the synthetic corpus is word
@@ -2135,6 +2164,23 @@ object SparkEntryExt {
          |  round(${sqlCos("v", "dq")}, 6) AS cos_recon
          |FROM d ORDER BY vec_id""".stripMargin,
     "sim_ivf_trained" -> ivfTrainedSelect,
+    // prototypicality prune: the shared trained-k-means chain scores
+    // every point against its own centroid; keep-hardest-half per cell
+    "sim_proto_prune" ->
+      s"""WITH $ivfTrainCtes,
+         |scored AS (
+         |  SELECT ap.cid, ap.pid AS point_id, ${sqlCos("ap.v", "c.c")} AS score
+         |  FROM ap JOIN c2 c ON ap.cid = c.cid),
+         |ranked AS (
+         |  SELECT cid, point_id, score,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY score, point_id) AS BIGINT)
+         |      AS rank
+         |  FROM scored)
+         |SELECT cid, point_id, cluster_n, rank, round(score, 6) AS score
+         |FROM ranked
+         |WHERE rank <= greatest(1, CAST(floor(cluster_n * 0.5) AS BIGINT))
+         |ORDER BY cid, rank""".stripMargin,
     // stored composition is semantics-identical to the in-plan trained
     // search (same training, probes, scoring, parameters) — one oracle
     "sim_ivf_trained_batch" -> ivfTrainedSelect,
@@ -2390,6 +2436,39 @@ object SparkEntryExt {
         |FROM cl
         |GROUP BY cluster_size
         |ORDER BY cluster_size""".stripMargin,
+    // DSIR selection: hashed unigram+bigram cell counts (one pass,
+    // conditional sums), 6-dp-rounded log-ratio model, per-candidate
+    // weighted sum, deterministic top-quarter by (logw DESC, doc_id)
+    "pipeline_dsir" ->
+      s"""WITH tl AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS t FROM documents),
+         |gr AS (
+         |  SELECT doc_id, tgt, ${h32Sql("g")} % 256 AS b
+         |  FROM (SELECT doc_id, tgt, unnest(list_concat(t, ${ngramSql("t", 2)})) AS g
+         |        FROM tl)),
+         |bc AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM gr GROUP BY 1),
+         |tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM bc),
+         |m AS (
+         |  SELECT b, round(ln((ct + 1.0) / (tt + 256.0))
+         |    - ln((cr + 1.0) / (tr + 256.0)), 6) AS lr
+         |  FROM bc, tot),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM gr WHERE NOT tgt GROUP BY 1, 2),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    sum(c::DOUBLE * lr) AS logw
+         |  FROM db JOIN m USING (b) GROUP BY 1),
+         |cnt AS (SELECT count(*) AS n FROM w),
+         |sel AS (
+         |  SELECT doc_id, n_grams, logw,
+         |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+         |  FROM w)
+         |SELECT doc_id, n_grams, round(logw, 6) AS logw
+         |FROM sel, cnt
+         |WHERE rn <= greatest(1, CAST(floor(n * 0.25) AS BIGINT))
+         |ORDER BY doc_id""".stripMargin,
     // composed curation chain; the duplicate tier is exercised by the
     // seeded re-keyed copies (doc_id % 13 == 0 re-inserted at the
     // collision-free negative re-key -(doc_id)-1)

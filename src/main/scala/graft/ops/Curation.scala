@@ -179,4 +179,78 @@ object Curation {
             < trainPct, lit("train"))
           .otherwise(lit("test")).as("split"))
   }
+
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023, NeurIPS, arXiv:2302.03169): select the raw-pool documents
+    * whose hashed-n-gram profile looks most like a TARGET corpus.
+    * Features are unigrams + bigrams (with multiplicity) hashed into
+    * `buckets` cells; both corpora fit a Laplace-smoothed bag-of-grams
+    * model over the cells, and each candidate doc scores
+    * `logw = Σ_grams (ln p_target(cell) − ln p_raw(cell))` — the
+    * log importance weight of the doc under target vs raw. The top
+    * `keepFrac` of candidates by weight is kept (the paper's
+    * deterministic top-k heuristic; its Gumbel-noise resampling is the
+    * same computation plus per-doc noise, a one-line variant).
+    *
+    * `isTarget` marks the target rows of `docs`; every NON-target row
+    * with at least one token is a selection candidate (zero-token docs
+    * have no features and are dropped, documented). The per-cell
+    * log-ratio is rounded to 6 dp BEFORE the per-doc weighted sum, so
+    * the model — like the PQ codebooks and IVF centroids — is a
+    * quantized artifact both engines agree on bit-for-bit.
+    *
+    * Scale shape: ONE gram explode + hash pass, aggregated straight to
+    * per-doc cell counts `(doc_id, cell, c)` — ≤ `buckets` rows per doc
+    * (the per-doc FEATURE VECTOR a production DSIR run stores at
+    * ingest). That table is lazily lineage-cut (the [[curate]]
+    * fan-out discipline) because BOTH corpus models and candidate
+    * weights derive from it — without the cut, Catalyst pushes each
+    * branch's predicates below the shared aggregate and the
+    * explode+md5 pass (the 100× cost driver: hundreds of millions of
+    * md5 calls) runs twice. Cell counts then collapse to the
+    * `buckets`-row broadcast model via conditional sums — one pass for
+    * both corpora — and candidate weights need one more doc_id
+    * aggregation. The weight table (one compact row per candidate) is
+    * lineage-cut eagerly — two consumers: the candidate count that
+    * sizes the selection, and the top-k itself. Selection is
+    * `TakeOrderedAndProject` (per-partition top-k, no global sort);
+    * the count is a 1-row driver scalar, O(1) like the model collects.
+    * Output: `(doc_id, n_grams, logw)` ordered by doc_id.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, buckets: Int, keepFrac: Double): DataFrame = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac ($keepFrac) must be in (0, 1]")
+    // tokens materialize in their own projection (the shingles contract)
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+    val cells = base
+      .select(col("doc_id"), col("__t"),
+        explode(concat(col("__toks"), Dedup.shingles(col("__toks"), 2))).as("g"))
+      .select(col("doc_id"), col("__t"),
+        pmod(Dedup.h32(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("__t"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cellCounts = cells.groupBy(col("b")).agg(
+      sum(when(col("__t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("__t"), 0L).otherwise(col("c"))).as("cr"))
+    val totals = broadcast(cellCounts.agg(
+      sum(col("ct")).cast("double").as("__tt"), sum(col("cr")).cast("double").as("__tr")))
+    val model = cellCounts.crossJoin(totals)
+      .select(col("b"), round(
+        log((col("ct") + 1.0) / (col("__tt") + buckets.toDouble)) -
+          log((col("cr") + 1.0) / (col("__tr") + buckets.toDouble)), 6).as("lr"))
+    val weights = cells.filter(!col("__t"))
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
+      .localCheckpoint(true)
+    val n = weights.count()
+    val k = math.max(1L, math.floor(n * keepFrac).toLong)
+    require(k <= Int.MaxValue, s"selection size $k exceeds limit()'s range; shard first")
+    weights.orderBy(desc("logw"), col("doc_id")).limit(k.toInt)
+      .select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -350,6 +350,49 @@ object SimilaritySearch {
       queries, queryIdCol, vecCol, nprobe, k)
   }
 
+  /** Per-cluster prototypicality pruning — the data-pruning recipe of
+    * Sorscher et al. 2022 (NeurIPS, "Beyond neural scaling laws"):
+    * cluster the embedding space, score each point by its cosine to its
+    * own cluster centroid (the PROTOTYPICALITY of the example), and
+    * keep only the `keepFrac` HARDEST (least prototypical) examples of
+    * each cluster — with abundant data, easy/prototypical examples are
+    * the ones worth dropping. Dropping per CLUSTER rather than globally
+    * preserves coverage: no region of the embedding space is emptied
+    * just because its examples are all easy.
+    *
+    * Scale shape: centroid assignment is a broadcast nested-loop over
+    * the k-row centroid table (map-side, no shuffle); the per-cluster
+    * count + rank windows share ONE exchange on `cid`. At this fixture
+    * k = 16, so the window stage has 16 partitions — at 100 TB the
+    * quantizer is trained with k ~ sqrt(N) (tens of thousands of
+    * cells, the same knob the IVF index turns), which is exactly what
+    * re-balances these windows; a keep-hardest THRESHOLD (per-cluster
+    * score quantile, broadcast back) is the approximate fallback if
+    * even that leaves a mega-cluster.
+    *
+    * Ties (same score within a cluster) break by point id, so the kept
+    * set is a total function of the input. `cluster_n` counts the
+    * cluster BEFORE pruning; `greatest(1, floor(n * keepFrac))` keeps
+    * at least one example per non-empty cluster.
+    * Output: `(cid, point_id, cluster_n, rank, score)` — rank 1 is the
+    * hardest example of its cluster.
+    */
+  def prototypicalityPrune(points: DataFrame, pointIdCol: String, vecCol: String,
+      cents: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac ($keepFrac) must be in (0, 1]")
+    val wc = Window.partitionBy(col("cid"))
+    val wr = Window.partitionBy(col("cid")).orderBy(col("score"), col("point_id"))
+    assignPoints(points, pointIdCol, vecCol, cents)
+      .join(broadcast(cents), "cid")
+      .withColumn("score", VectorOps.cosine(col("__pv"), col("centroid")))
+      .withColumn("cluster_n", count(lit(1)).over(wc))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <=
+        greatest(lit(1L), floor(col("cluster_n") * keepFrac).cast("long")))
+      .select(col("cid"), col("point_id"), col("cluster_n"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Matryoshka prefix-dimension search: shortlist by scoring only the
     * FIRST `prefixDim` components of every vector, then rerank the
     * shortlist at full width — the adaptive-retrieval recipe for

@@ -778,6 +778,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(("b", 1.0)) - 3.0) < 1e-9, s"q=1 must hit max: $got")
   }
 
+  test("dsirSelect: target-like candidates outscore disjoint ones; zero-token docs drop") {
+    val docs = Seq(
+      (1L, "apple banana", "en"), (2L, "apple cherry", "en"),   // target
+      (10L, "apple banana", "de"),                              // identical profile
+      (11L, "apple zebra", "de"),                               // mixed
+      (12L, "zebra yak xray", "de"),                            // disjoint
+      (13L, "", "de")                                           // no features
+    ).toDF("doc_id", "text", "lang")
+    def run(frac: Double) = Curation
+      .dsirSelect(docs, "doc_id", "text", col("lang") === "en",
+        buckets = 1024, keepFrac = frac)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val all = run(1.0)
+    // zero-token candidate has no grams and is not a candidate at all
+    assert(all.keySet == Set(10L, 11L, 12L), s"candidates: $all")
+    assert(all(10L)._1 == 3L && all(12L)._1 == 5L,
+      s"unigrams + bigrams with multiplicity: $all")
+    // importance ordering: identical-to-target > mixed > disjoint, with
+    // the sign flipping from target-like to raw-like
+    assert(all(10L)._2 > all(11L)._2 && all(11L)._2 > all(12L)._2,
+      s"weight ordering: $all")
+    assert(all(10L)._2 > 0.0 && all(12L)._2 < 0.0, s"weight signs: $all")
+    // keepFrac = 0.5 of 3 candidates -> floor(1.5) = 1 kept: the top one
+    assert(run(0.5).keySet == Set(10L), s"top-fraction selection: ${run(0.5)}")
+  }
+
   test("ngramCoverage: full / zero / partial contamination and the short-doc edge") {
     val corpus = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
     val cands = Seq(

@@ -98,6 +98,33 @@ class SimilaritySpec extends SparkSpec {
     assert(m(99L) == ((99L, true)), s"singleton keeps itself: $m")
   }
 
+  test("prototypicalityPrune: keeps the hardest keepFrac per cluster, singleton survives") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // cluster 0 (centroid →): ids 1..3 at 0°/20°/40°; cluster 1 (centroid ↑):
+    // ids 4..5 at 90°/80°; cluster 2 (centroid ←): lone id 6 at 180°
+    val pts = Seq(1L -> v(0), 2L -> v(20), 3L -> v(40),
+      4L -> v(90), 5L -> v(80), 6L -> v(180)).toDF("point_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0), 2L -> Array(-1.0, 0.0))
+      .toDF("cid", "centroid")
+    val kept = SimilaritySearch
+      .prototypicalityPrune(pts, "point_id", "embedding", cents, keepFrac = 0.5)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3)))).toMap
+    // keep-hardest: the farthest-from-centroid member of each cluster, and
+    // the singleton survives floor(1·0.5) = 0 via the keep-at-least-one rule
+    assert(kept.keySet == Set(3L, 5L, 6L), s"hardest-per-cluster kept: $kept")
+    assert(kept(3L) == ((0L, 3L, 1L)) && kept(5L) == ((1L, 2L, 1L)) &&
+      kept(6L) == ((2L, 1L, 1L)), s"(cid, cluster_n, rank) per survivor: $kept")
+    // keepFrac = 1 keeps everything, ranked hardest-first within cluster
+    val all = SimilaritySearch
+      .prototypicalityPrune(pts, "point_id", "embedding", cents, keepFrac = 1.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(all == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 1L, 6L -> 1L),
+      s"full keep ranks hardest-first: $all")
+  }
+
   test("sim_recall_all: nine methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
