@@ -1437,6 +1437,14 @@ object SparkEntryExt {
             .withColumnRenamed("vec_id", "point_id"),
           "point_id", "embedding", ivfModel(s, d), keepFrac = 0.5)
         .orderBy(col("cid"), col("rank"))),
+    // cluster data-map cards: k-row per-cell report (population, corpus
+    // share, cohesion, representative) over the same trained quantizer
+    "sim_cluster_cards" -> ((s, d) =>
+      SimilaritySearch.clusterCards(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "point_id"),
+          "point_id", "embedding", ivfModel(s, d))
+        .orderBy(col("cid"))),
     // BM25 keyword retrieval (self-retrieval: the first 8 docs query the
     // corpus with their own text) — the lexical half of hybrid search.
     // maxDfFrac = 0.8, not the 0.5 default: the synthetic corpus is word
@@ -2181,6 +2189,31 @@ object SparkEntryExt {
          |FROM ranked
          |WHERE rank <= greatest(1, CAST(floor(cluster_n * 0.5) AS BIGINT))
          |ORDER BY cid, rank""".stripMargin,
+    // cluster data-map cards: same trained chain + cosine-to-centroid
+    // scores as sim_proto_prune, reduced to one row per cell
+    "sim_cluster_cards" ->
+      s"""WITH $ivfTrainCtes,
+         |scored AS (
+         |  SELECT ap.cid, ap.pid AS point_id, ${sqlCos("ap.v", "c.c")} AS score
+         |  FROM ap JOIN c2 c ON ap.cid = c.cid),
+         |agg AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS cluster_n,
+         |    avg(score) AS mean_s, min(score) AS min_s
+         |  FROM scored GROUP BY cid),
+         |rep AS (
+         |  SELECT cid, point_id, score FROM (
+         |    SELECT cid, point_id, score,
+         |      row_number() OVER (PARTITION BY cid ORDER BY score DESC, point_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |tot AS (SELECT count(*)::DOUBLE AS n FROM scored)
+         |SELECT a.cid, a.cluster_n,
+         |  round(a.cluster_n / t.n, 6) AS corpus_frac,
+         |  r.point_id AS representative,
+         |  round(r.score, 6) AS rep_score,
+         |  round(a.mean_s, 6) AS mean_score,
+         |  round(a.min_s, 6) AS min_score
+         |FROM agg a JOIN rep r USING (cid) CROSS JOIN tot t
+         |ORDER BY a.cid""".stripMargin,
     // stored composition is semantics-identical to the in-plan trained
     // search (same training, probes, scoring, parameters) — one oracle
     "sim_ivf_trained_batch" -> ivfTrainedSelect,

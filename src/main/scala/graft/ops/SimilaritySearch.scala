@@ -377,6 +377,46 @@ object SimilaritySearch {
     * Output: `(cid, point_id, cluster_n, rank, score)` — rank 1 is the
     * hardest example of its cluster.
     */
+  /** Cluster data-map cards — the per-cluster report curation
+    * decisions read (the embedding-space analog of the corpus data
+    * card; the lens SemDeDup-style analyses and cluster-balanced
+    * sampling start from): for every trained cell, its population and
+    * corpus share, its cohesion (mean/min cosine of members to the
+    * centroid — a low mean names a junk-drawer cell whose "semantic
+    * dedup" would merge unrelated docs), and its most prototypical
+    * member as the human-inspectable representative (max cosine, ties
+    * to the lowest point id).
+    *
+    * Scale shape: broadcast centroid assignment (map-side), then ONE
+    * `cid` exchange shared by the count/avg/min/rank windows; the
+    * 1-row corpus total rides the plan as a broadcast aggregate.
+    * Output is k rows — the whole card is driver-readable at any
+    * corpus size. Output: `(cid, cluster_n, corpus_frac,
+    * representative, rep_score, mean_score, min_score)`.
+    */
+  def clusterCards(points: DataFrame, pointIdCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+    val wr = Window.partitionBy(col("cid")).orderBy(desc("score"), col("point_id"))
+    val scored = assignPoints(points, pointIdCol, vecCol, cents)
+      .join(broadcast(cents), "cid")
+      .withColumn("score", VectorOps.cosine(col("__pv"), col("centroid")))
+    val total = broadcast(scored.agg(count(lit(1)).cast("double").as("__n")))
+    scored
+      .withColumn("cluster_n", count(lit(1)).over(w))
+      .withColumn("__mean", avg(col("score")).over(w))
+      .withColumn("__min", min(col("score")).over(w))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .crossJoin(total)
+      .select(col("cid"), col("cluster_n"),
+        round(col("cluster_n") / col("__n"), 6).as("corpus_frac"),
+        col("point_id").as("representative"),
+        round(col("score"), 6).as("rep_score"),
+        round(col("__mean"), 6).as("mean_score"),
+        round(col("__min"), 6).as("min_score"))
+  }
+
   def prototypicalityPrune(points: DataFrame, pointIdCol: String, vecCol: String,
       cents: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac ($keepFrac) must be in (0, 1]")

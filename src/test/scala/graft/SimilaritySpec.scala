@@ -125,6 +125,37 @@ class SimilaritySpec extends SparkSpec {
       s"full keep ranks hardest-first: $all")
   }
 
+  test("clusterCards: one row per cell — population, share, cohesion, representative") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // same geometry as the prune test: cluster 0 spread (0°/20°/40°),
+    // cluster 1 tight (90°/80°), cluster 2 a singleton at 180°
+    val pts = Seq(1L -> v(0), 2L -> v(20), 3L -> v(40),
+      4L -> v(90), 5L -> v(80), 6L -> v(180)).toDF("point_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0), 2L -> Array(-1.0, 0.0))
+      .toDF("cid", "centroid")
+    val cards = SimilaritySearch
+      .clusterCards(pts, "point_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(cards.keySet == Set(0L, 1L, 2L), s"one card per non-empty cell: $cards")
+    // cluster 0: n=3, half the corpus, rep = the on-axis point 1
+    val (n0, f0, rep0, rs0, m0, mn0) = cards(0L)
+    assert(n0 == 3L && f0 == 0.5 && rep0 == 1L && rs0 == 1.0)
+    assert(math.abs(m0 - 0.901912) < 1e-5 && math.abs(mn0 - 0.766044) < 1e-5,
+      s"spread cell mean/min cohesion: $cards")
+    // cluster 1 is tighter than cluster 0 — the ordering the card exists to expose
+    val (n1, f1, rep1, _, m1, mn1) = cards(1L)
+    assert(n1 == 2L && f1 == 0.333333 && rep1 == 4L)
+    assert(m1 > m0 && mn1 > mn0, s"tight cell scores above spread cell: $cards")
+    // singleton: cohesion degenerate at its own score
+    val (n2, f2, rep2, rs2, m2, mn2) = cards(2L)
+    assert(n2 == 1L && f2 == 0.166667 && rep2 == 6L && rs2 == 1.0 && m2 == rs2 && mn2 == rs2)
+  }
+
   test("sim_recall_all: nine methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
