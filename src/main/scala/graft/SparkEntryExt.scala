@@ -1445,6 +1445,14 @@ object SparkEntryExt {
             .withColumnRenamed("vec_id", "point_id"),
           "point_id", "embedding", ivfModel(s, d))
         .orderBy(col("cid"))),
+    // cluster-balanced sample: cap every cell at 20, deterministic
+    // hash-ordered draw within the cell (flattens cluster dominance)
+    "sim_cluster_sample" -> ((s, d) =>
+      SimilaritySearch.clusterBalancedSample(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "point_id"),
+          "point_id", "embedding", ivfModel(s, d), perCell = 20)
+        .orderBy(col("cid"), col("rank"))),
     // BM25 keyword retrieval (self-retrieval: the first 8 docs query the
     // corpus with their own text) — the lexical half of hybrid search.
     // maxDfFrac = 0.8, not the 0.5 default: the synthetic corpus is word
@@ -2214,6 +2222,18 @@ object SparkEntryExt {
          |  round(a.min_s, 6) AS min_score
          |FROM agg a JOIN rep r USING (cid) CROSS JOIN tot t
          |ORDER BY a.cid""".stripMargin,
+    // cluster-balanced sample: the assignment chain only — within-cell
+    // order is the portable 32-bit hash, not the cosine score
+    "sim_cluster_sample" ->
+      s"""WITH $ivfTrainCtes,
+         |r AS (
+         |  SELECT cid, pid AS point_id,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY ${h32Sql("pid::VARCHAR")}, pid) AS BIGINT) AS rank
+         |  FROM ap)
+         |SELECT cid, point_id, cluster_n, rank FROM r
+         |WHERE rank <= 20 ORDER BY cid, rank""".stripMargin,
     // stored composition is semantics-identical to the in-plan trained
     // search (same training, probes, scoring, parameters) — one oracle
     "sim_ivf_trained_batch" -> ivfTrainedSelect,

@@ -417,6 +417,36 @@ object SimilaritySearch {
         round(col("__min"), 6).as("min_score"))
   }
 
+  /** Cluster-balanced sampling — cap every trained cell at `perCell`
+    * members (the flattening step cluster-aware curation applies after
+    * reading the [[clusterCards]] report): within a cell the kept set
+    * is a deterministic pseudo-random draw (ordered by the portable
+    * 32-bit md5 hash of the id, ties to the id), NOT by
+    * prototypicality — a balanced sample wants an unbiased slice of
+    * each cluster, where [[prototypicalityPrune]] deliberately keeps
+    * the hardest. Cells smaller than the cap pass through whole.
+    *
+    * Scale shape: broadcast centroid assignment (map-side), then ONE
+    * `cid` exchange shared by the count and rank windows. Skew-safe by
+    * construction at the output — no cell emits more than `perCell`
+    * rows — while the window over a degenerate giant cell is the same
+    * single-partition bill every per-cell operator here pays; the
+    * production knob is k ~ √N centroids, which bounds expected cell
+    * size. Output: `(cid, point_id, cluster_n, rank)`, rank ≤ perCell.
+    */
+  def clusterBalancedSample(points: DataFrame, pointIdCol: String, vecCol: String,
+      cents: DataFrame, perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell ($perCell) must be positive")
+    val w = Window.partitionBy(col("cid"))
+    val wr = Window.partitionBy(col("cid"))
+      .orderBy(Dedup.h32(col("point_id").cast("string")), col("point_id"))
+    assignPoints(points, pointIdCol, vecCol, cents)
+      .withColumn("cluster_n", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= perCell)
+      .select(col("cid"), col("point_id"), col("cluster_n"), col("rank").cast("long"))
+  }
+
   def prototypicalityPrune(points: DataFrame, pointIdCol: String, vecCol: String,
       cents: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac ($keepFrac) must be in (0, 1]")

@@ -156,6 +156,32 @@ class SimilaritySpec extends SparkSpec {
     assert(n2 == 1L && f2 == 0.166667 && rep2 == 6L && rs2 == 1.0 && m2 == rs2 && mn2 == rs2)
   }
 
+  test("clusterBalancedSample: caps each cell, small cells pass whole, deterministic") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val pts = Seq(1L -> v(0), 2L -> v(20), 3L -> v(40),
+      4L -> v(90), 5L -> v(80), 6L -> v(180)).toDF("point_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0), 2L -> Array(-1.0, 0.0))
+      .toDF("cid", "centroid")
+    def run() = SimilaritySearch
+      .clusterBalancedSample(pts, "point_id", "embedding", cents, perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    // the size-3 cell is capped at 2, the size-2 and singleton cells pass whole
+    val perCell = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell == Map(0L -> 2, 1L -> 2, 2L -> 1), s"cap per cell: ${got.toSeq}")
+    assert(got.forall(r => r._4 >= 1 && r._4 <= 2), s"ranks within cap: ${got.toSeq}")
+    assert(got.filter(_._1 == 0L).forall(r => r._3 == 3L && Set(1L, 2L, 3L)(r._2)),
+      s"capped cell reports full population and draws from its members: ${got.toSeq}")
+    assert(got.toSet == run().toSet, "hash-ordered draw is deterministic")
+    // a cap above every cell size keeps the whole corpus
+    val all = SimilaritySearch
+      .clusterBalancedSample(pts, "point_id", "embedding", cents, perCell = 10)
+    assert(all.count() == 6L)
+  }
+
   test("sim_recall_all: nine methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
