@@ -1076,6 +1076,10 @@ object SparkEntryExt {
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // corpus-level n-gram diversity card: distinct-n ratios + Shannon
+    // entropy per n — the corpus-wide complement of per-doc TTR
+    "text_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d), "text", maxN = 3)),
     // C4-style boilerplate removal: segments (split on ' the ') shared
     // by >= 3 docs are dropped; docs re-assembled in original order
     "text_clean" -> ((s, d) =>
@@ -2451,6 +2455,25 @@ object SparkEntryExt {
          |    AS chars_per_token
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    // one gram pass tagged by n on both sides; entropy via the
+    // shuffle-free decomposition H = (ln N - sum(c ln c)/N) / ln 2
+    "text_diversity" ->
+      s"""WITH tl AS (SELECT $toksSql AS t FROM documents),
+         |g AS (
+         |  SELECT 1 AS n, unnest(${ngramSql("t", 1)}) AS gram FROM tl
+         |  UNION ALL SELECT 2 AS n, unnest(${ngramSql("t", 2)}) AS gram FROM tl
+         |  UNION ALL SELECT 3 AS n, unnest(${ngramSql("t", 3)}) AS gram FROM tl),
+         |c AS (SELECT n, gram, count(*) AS c FROM g GROUP BY n, gram),
+         |a AS (
+         |  SELECT n, CAST(sum(c) AS BIGINT) AS total_grams,
+         |    CAST(count(*) AS BIGINT) AS distinct_grams,
+         |    sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc
+         |  FROM c GROUP BY n)
+         |SELECT CAST(n AS BIGINT) AS n, total_grams, distinct_grams,
+         |  round(distinct_grams::DOUBLE / total_grams, 6) AS distinct_ratio,
+         |  round((ln(total_grams::DOUBLE) - sclc / total_grams) / ln(2), 6)
+         |    AS entropy_bits
+         |FROM a ORDER BY n""".stripMargin,
     "text_repetition" ->
       s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
          |u AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM (

@@ -787,4 +787,51 @@ object TextAnalysis {
         .withColumn("__v", coalesce(col("__v"), lit(0.0d))),
       Seq("source"))
   }
+
+  /** Corpus n-gram diversity card — one row per n ∈ 1..`maxN`: total
+    * and distinct gram counts, the distinct ratio (corpus-level
+    * type–token ratio; the per-doc TTR in [[qualityStats]] can look
+    * healthy while the CORPUS repeats whole templates — this is the
+    * metric that catches it), and the Shannon entropy of the n-gram
+    * distribution in bits (low unigram entropy = a few terms dominate;
+    * falling entropy across snapshots = the corpus is templating up —
+    * the distinct-n / self-repetition diagnostics of Li et al. 2016,
+    * arXiv:1510.03055).
+    *
+    * Entropy uses the shuffle-free decomposition
+    * `H = (ln N − Σ c·ln c / N) / ln 2` so the per-gram pass emits
+    * only counts — no second pass to normalize by the total.
+    *
+    * Scale shape: ONE token pass explodes all n sizes together
+    * (tagged structs, so the corpus is read and tokenized once), one
+    * `(n, gram)` count aggregate — partial map-side combine does the
+    * heavy lifting; the distinct-gram space, not the corpus, sizes the
+    * shuffle — then a `maxN`-row reduce. Output rows: `maxN`.
+    */
+  def ngramDiversity(docs: DataFrame, textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN ($maxN) must be >= 1")
+    val grams = docs
+      .select(Dedup.tokens(col(textCol)).as("__toks"))
+      .select(explode(flatten(array((1 to maxN).map(n =>
+        transform(Dedup.shingles(col("__toks"), n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+    grams
+      .groupBy(col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(
+        sum(col("c")).as("__total"),
+        count(lit(1)).as("distinct_grams"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__sclc"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("__total").cast("long").as("total_grams"),
+        col("distinct_grams").cast("long").as("distinct_grams"),
+        round(col("distinct_grams").cast("double") / col("__total"), 6)
+          .as("distinct_ratio"),
+        round(
+          (log(col("__total").cast("double")) - col("__sclc") / col("__total")) /
+            lit(math.log(2.0)), 6).as("entropy_bits"))
+      .orderBy(col("n"))
+  }
 }

@@ -848,4 +848,24 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("top10_share") == 0.99)
     assert(math.abs(r.getAs[Double]("max_over_mean") - 90.0 / (100.0 / 11)) < 1e-4)
   }
+
+  test("ngramDiversity: hand-computed counts, ratios, entropy; short docs skip high n") {
+    val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramDiversity(docs, "text", maxN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // unigrams: 5 tokens, {a:3, b:2} — H = ln5 − (3ln3+2ln2)/5, in bits
+    assert(got(1L) == ((5L, 2L, 0.4, 0.970951)), s"unigram row: $got")
+    // bigrams: {"a a":1, "a b":2}; doc 2 contributes its single bigram
+    assert(got(2L) == ((3L, 2L, 0.666667, 0.918296)), s"bigram row: $got")
+    // trigrams: only doc 1 is long enough — a 1-gram distribution has H=0
+    assert(got(3L) == ((1L, 1L, 1.0, 0.0)), s"trigram row: $got")
+    // a corpus of one repeated token: zero diversity at n=1
+    val mono = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.ngramDiversity(mono, "text", maxN = 1).first()
+    assert(m1.getLong(1) == 4L && m1.getLong(2) == 1L && m1.getDouble(4) == 0.0)
+    // all-empty corpus: no gram groups, no rows
+    val empty = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.ngramDiversity(empty, "text", maxN = 2).count() == 0L)
+  }
 }
