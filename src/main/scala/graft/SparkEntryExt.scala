@@ -1457,6 +1457,14 @@ object SparkEntryExt {
             .withColumnRenamed("vec_id", "point_id"),
           "point_id", "embedding", ivfModel(s, d), perCell = 20)
         .orderBy(col("cid"), col("rank"))),
+    // per-cell outliers: flag members whose cosine-to-centroid z-score
+    // within their own cell is <= -1.5 (quantized stats, exact set)
+    "sim_cluster_outliers" -> ((s, d) =>
+      SimilaritySearch.clusterOutliers(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "point_id"),
+          "point_id", "embedding", ivfModel(s, d), zThresh = 1.5)
+        .orderBy(col("cid"), col("point_id"))),
     // BM25 keyword retrieval (self-retrieval: the first 8 docs query the
     // corpus with their own text) — the lexical half of hybrid search.
     // maxDfFrac = 0.8, not the 0.5 default: the synthetic corpus is word
@@ -2238,6 +2246,27 @@ object SparkEntryExt {
          |  FROM ap)
          |SELECT cid, point_id, cluster_n, rank FROM r
          |WHERE rank <= 20 ORDER BY cid, rank""".stripMargin,
+    // per-cell outliers: score/mean/std each quantized to 6 dp BEFORE
+    // the z division (DSIR model discipline), so the flagged SET is
+    // bit-identical across engines, not just the displayed numbers
+    "sim_cluster_outliers" ->
+      s"""WITH $ivfTrainCtes,
+         |scored AS (
+         |  SELECT ap.cid, ap.pid AS point_id,
+         |    round(${sqlCos("ap.v", "c.c")}, 6) AS score
+         |  FROM ap JOIN c2 c ON ap.cid = c.cid),
+         |st AS (
+         |  SELECT cid, point_id, score,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n,
+         |    round(avg(score) OVER (PARTITION BY cid), 6) AS cell_mean,
+         |    round(stddev_samp(score) OVER (PARTITION BY cid), 6) AS cell_std
+         |  FROM scored)
+         |SELECT cid, point_id, cluster_n, score, cell_mean, cell_std,
+         |  round((score - cell_mean) / cell_std, 4) AS z
+         |FROM st
+         |WHERE cluster_n >= 4 AND cell_std > 0
+         |  AND (score - cell_mean) / cell_std <= -1.5
+         |ORDER BY cid, point_id""".stripMargin,
     // stored composition is semantics-identical to the in-plan trained
     // search (same training, probes, scoring, parameters) — one oracle
     "sim_ivf_trained_batch" -> ivfTrainedSelect,

@@ -463,6 +463,52 @@ object SimilaritySearch {
         round(col("score"), 6).as("score"))
   }
 
+  /** Per-cell embedding outliers — flag points that sit unusually FAR
+    * from their own cluster's centroid RELATIVE TO THEIR CELL PEERS
+    * (z-score of the cosine-to-centroid within the cell ≤ −`zThresh`).
+    * This is the noise/off-topic lens of the cluster data map: where
+    * [[prototypicalityPrune]] keeps the hardest examples and
+    * [[clusterCards]] reports cohesion, this names the individual docs
+    * a curation pass should INSPECT — mislabeled, boilerplate-wrapped,
+    * or genuinely out-of-distribution members (the pre-dedup outlier
+    * sweep of D4, Tirumala et al. 2023, arXiv:2308.12284). A per-cell
+    * z beats a global score cutoff because loose cells (low mean
+    * cohesion) would otherwise flood the flag list while tight cells
+    * hide their one bad member.
+    *
+    * Determinism across engines: the score, the cell mean, and the
+    * cell stddev are each quantized to 6 dp BEFORE the z division (the
+    * DSIR per-cell log-ratio discipline) — the threshold compare then
+    * runs on bit-identical doubles in Spark and the SQL oracle, so the
+    * flagged SET is exactly reproducible, not just the displayed
+    * numbers. Cells with fewer than `minN` members or zero stddev
+    * (singletons, duplicates) never flag — a z-score over 2 points is
+    * noise, documented rather than guessed at.
+    *
+    * Scale shape: broadcast centroid assignment (map-side), then ONE
+    * `cid` exchange shared by the count/avg/stddev windows — the
+    * [[clusterCards]] plan with a filter instead of a rank. Output is
+    * the flagged rows only: `(cid, point_id, cluster_n, score,
+    * cell_mean, cell_std, z)`.
+    */
+  def clusterOutliers(points: DataFrame, pointIdCol: String, vecCol: String,
+      cents: DataFrame, zThresh: Double = 2.0, minN: Int = 4): DataFrame = {
+    require(zThresh > 0.0, s"zThresh ($zThresh) must be positive")
+    require(minN >= 2, s"minN ($minN) must be >= 2 — a z-score needs peers")
+    val w = Window.partitionBy(col("cid"))
+    assignPoints(points, pointIdCol, vecCol, cents)
+      .join(broadcast(cents), "cid")
+      .withColumn("score", round(VectorOps.cosine(col("__pv"), col("centroid")), 6))
+      .withColumn("cluster_n", count(lit(1)).over(w))
+      .withColumn("cell_mean", round(avg(col("score")).over(w), 6))
+      .withColumn("cell_std", round(stddev_samp(col("score")).over(w), 6))
+      .filter(col("cluster_n") >= minN && col("cell_std") > 0.0)
+      .withColumn("__z", (col("score") - col("cell_mean")) / col("cell_std"))
+      .filter(col("__z") <= -zThresh)
+      .select(col("cid"), col("point_id"), col("cluster_n"), col("score"),
+        col("cell_mean"), col("cell_std"), round(col("__z"), 4).as("z"))
+  }
+
   /** Matryoshka prefix-dimension search: shortlist by scoring only the
     * FIRST `prefixDim` components of every vector, then rerank the
     * shortlist at full width — the adaptive-retrieval recipe for

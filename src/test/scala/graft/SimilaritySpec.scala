@@ -182,6 +182,55 @@ class SimilaritySpec extends SparkSpec {
     assert(all.count() == 6L)
   }
 
+  test("clusterOutliers: flags the far member, respects minN / zero-std / threshold guards") {
+    import spark.implicits._
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // cell 0: five tight members (0°..8°) + one at 40° (still NEAREST to the
+    // (1,0) centroid — assignment is by nearest, so an outlier can sit at most
+    // 45° off with 90°-spaced centroids; the z-score is scale-invariant, so
+    // relative spread is what flags it): z ≈ −2.04. Note sample-std caps |z|
+    // at (n−1)/√n, so a z ≤ −2 flag needs n ≥ 6. cell 1: four tight members,
+    // no outlier (n=4 caps |z| at 1.5 anyway); cell 2: three members with one
+    // relatively far — below minN=4, must never flag; cell 3: four IDENTICAL
+    // vectors — zero std, must never flag (and never divide by zero)
+    val pts = Seq(
+      1L -> v(0), 2L -> v(2), 3L -> v(4), 4L -> v(6), 5L -> v(8), 6L -> v(40),
+      7L -> v(90), 8L -> v(92), 9L -> v(88), 10L -> v(91),
+      11L -> v(180), 12L -> v(182), 13L -> v(150),
+      14L -> v(270), 15L -> v(270), 16L -> v(270), 17L -> v(270)
+    ).toDF("point_id", "embedding")
+    val cents = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),
+      2L -> Array(-1.0, 0.0), 3L -> Array(0.0, -1.0)).toDF("cid", "centroid")
+    val got = SimilaritySearch
+      .clusterOutliers(pts, "point_id", "embedding", cents, zThresh = 2.0, minN = 4)
+      .collect()
+    assert(got.length == 1, s"exactly the one planted outlier: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 6L && r.getLong(2) == 6L,
+      s"(cid, point_id, cluster_n): ${got.toSeq}")
+    assert(math.abs(r.getDouble(6) - (-2.0398)) < 1e-3, s"z value: ${got.toSeq}")
+    // the same cell stats must agree with a hand recomputation from the output
+    assert(math.abs(r.getDouble(3) - 0.766044) < 1e-5 &&
+      math.abs(r.getDouble(4) - 0.957965) < 1e-5, s"(score, cell_mean): ${got.toSeq}")
+    // a threshold above the cell's max reachable |z| flags nothing
+    assert(SimilaritySearch
+      .clusterOutliers(pts, "point_id", "embedding", cents, zThresh = 3.0, minN = 4)
+      .count() == 0L)
+    // minN guard, isolated: at zThresh=1.0 the n=3 cell's far member (id 13,
+    // z ≈ −1.155) flags only once minN admits its cell — nothing else changes
+    def ids(z: Double, n: Int) = SimilaritySearch
+      .clusterOutliers(pts, "point_id", "embedding", cents, zThresh = z, minN = n)
+      .collect().map(_.getLong(1)).toSet
+    assert(ids(1.0, 4) == Set(6L), s"minN=4 silences the n=3 cell")
+    assert(ids(1.0, 3) == Set(6L, 13L), s"minN=3 admits it")
+    // determinism: the flagged set is a total function of the input
+    assert(SimilaritySearch
+      .clusterOutliers(pts, "point_id", "embedding", cents, zThresh = 2.0, minN = 4)
+      .collect().toSeq == got.toSeq)
+  }
+
   test("sim_recall_all: nine methods, every count within [0, k·queries], recall consistent") {
     val rows = SparkEntry.queries("sim_recall_all")(spark, sf0001).collect()
     val methods = rows.map(_.getString(0)).toSet
