@@ -1582,6 +1582,18 @@ object SparkEntryExt {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // point deletion, both Qdrant selectors composed: an id batch
+    // (doc_id % 9 == 0) then a filter (n_chars < 200); the per-lang
+    // summary proves exactly the complement survived
+    "q_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val byIds = Store.deletePoints(docs,
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")), "doc_id")
+      Store.deleteByFilter(byIds, col("n_chars") < 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))
+    }),
     // hard-negative mining: per anchor, the top-scoring points of a
     // DIFFERENT label — contrastive-training pairs from the same
     // broadcast kNN shape
@@ -3380,6 +3392,15 @@ object SparkEntryExt {
         |  n_chars
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // delete = survive both selectors: NOT in the id batch AND NOT
+    // matching the filter (a NULL predicate keeps the row — the
+    // coalesce(…, false) selector semantics; n_chars is non-null here)
+    "q_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id % 9 <> 0 AND NOT coalesce(n_chars < 200, false)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "v_hard_negatives" ->
       s"""SELECT q.vec_id AS query_id,
          |  CAST(row_number() OVER (PARTITION BY q.vec_id

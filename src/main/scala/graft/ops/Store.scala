@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Storage lifecycle semantics of the reference's collection ops
@@ -94,8 +94,22 @@ object Store {
         fs.delete(new Path(staging), true)
         throw e
     }
-    // Phase 2 — swap. On failure we deliberately KEEP staging and trash:
-    // deleting either would destroy one side of the recovery story.
+    stagedPartitionSwap(fs, root, staging, trash, dirs.toSeq, dirs.toSet, failAfterSwaps)
+  }
+
+  /** Shared phase-2/3 of the trash-staged partition swap (see
+    * [[upsertPartitioned]]'s contract): per partition dir, rename
+    * live → trash then (if a staged replacement exists) staging → live;
+    * only after EVERY dir has swapped are trash and staging deleted.
+    * `stagedDirs` names the dirs with a replacement in staging — a dir
+    * absent from it is REMOVED from live (a fully-deleted partition).
+    * On failure staging and trash are deliberately KEPT: deleting
+    * either would destroy one side of the recovery story.
+    */
+  private def stagedPartitionSwap(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      staging: String, trash: String, dirs: Seq[String], stagedDirs: Set[String],
+      failAfterSwaps: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     fs.mkdirs(new Path(trash))
     try {
       dirs.zipWithIndex.foreach { case (d, i) =>
@@ -104,19 +118,94 @@ object Store {
         val live = new Path(s"$root/$d")
         if (fs.exists(live) && !fs.rename(live, new Path(s"$trash/$d")))
           throw new java.io.IOException(s"rename $live -> $trash/$d failed")
-        if (!fs.rename(new Path(s"$staging/$d"), live))
+        if (stagedDirs(d) && !fs.rename(new Path(s"$staging/$d"), live))
           throw new java.io.IOException(s"rename $staging/$d -> $live failed")
       }
     } catch {
       case e: Throwable =>
         throw new java.io.IOException(
-          s"upsertPartitioned interrupted mid-swap; no data was deleted — old bytes " +
+          s"partitioned rewrite interrupted mid-swap; no data was deleted — old bytes " +
             s"are in $root or $trash, new bytes in $staging or $root; recover by " +
             s"finishing or undoing the per-partition renames", e)
     }
-    // Phase 3 — all swaps landed; now (and only now) drop the old bytes.
+    // all swaps landed; now (and only now) drop the old bytes.
     fs.delete(new Path(trash), true)
     fs.delete(new Path(staging), true): Unit
+  }
+
+  /** Point deletion (Qdrant `delete` with a points selector,
+    * `qdrant_client.delete(collection, points_selector=[ids…])`): drop
+    * the rows whose key appears in `ids`; everything else passes
+    * through untouched. Deleting an absent id is a no-op — the
+    * idempotent Qdrant contract. One anti-join: both sides shuffle by
+    * key once, or zero shuffles with the base bucketed by key.
+    */
+  def deletePoints(base: DataFrame, ids: DataFrame, keyCol: String): DataFrame =
+    base.join(ids.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+
+  /** Filter deletion (Qdrant `delete` with a filter selector): drop the
+    * rows MATCHING `predicate`. Rows where the predicate evaluates to
+    * NULL (a null payload field) do NOT match the filter and are KEPT —
+    * the selector semantics that a bare `filter(!predicate)` silently
+    * gets wrong (NULL fails both the predicate and its negation, so the
+    * row would vanish).
+    */
+  def deleteByFilter(base: DataFrame, predicate: Column): DataFrame =
+    base.filter(!coalesce(predicate, lit(false)))
+
+  /** Partition-pruned point deletion from a `partitionBy(partitionCol)`
+    * parquet table — the 100 TB form of [[deletePoints]], sharing
+    * [[upsertPartitioned]]'s trash-staged crash-safe swap: only the
+    * partitions named by the delete batch are read, rewritten, and
+    * swapped; untouched partition directories keep their exact files.
+    * A partition whose every row is deleted is REMOVED (its live dir
+    * has no staged replacement — the swap's fully-deleted leg).
+    *
+    * `deletes` carries `(keyCol, partitionCol)` rows — the partition
+    * value rides the batch so the prune never scans the base to locate
+    * keys. Because a delete can EMPTY a partition, the upsert path's
+    * staging-dir existence check cannot distinguish a URI-escaped
+    * directory name from a fully-deleted partition; partition values
+    * are therefore restricted to `[A-Za-z0-9_.-]+` (names Spark writes
+    * verbatim), REJECTED before any live data is touched.
+    */
+  def deletePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      deletes: DataFrame, keyCol: String, partitionCol: String): Unit =
+    deletePartitioned(spark, path, deletes, keyCol, partitionCol, Int.MaxValue)
+
+  /** [[deletePartitioned]] with the fault-injection point OpsSpec uses
+    * to pin the mid-swap-crash contract (no byte deleted, recoverable).
+    */
+  private[graft] def deletePartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletes: DataFrame, keyCol: String, partitionCol: String,
+      failAfterSwaps: Int): Unit = {
+    val partVals = deletes.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    require(!partVals.contains(null),
+      s"deletePartitioned: null partition value in '$partitionCol' unsupported")
+    val bad = partVals.filterNot(v => v.toString.matches("[A-Za-z0-9_.-]+"))
+    require(bad.isEmpty,
+      s"deletePartitioned: partition value(s) ${bad.mkString(", ")} contain characters " +
+        "outside [A-Za-z0-9_.-] — a fully-deleted partition is indistinguishable from a " +
+        "URI-escaped directory name, so such values are unsupported here")
+    if (partVals.isEmpty) return
+    val base = spark.read.parquet(path)
+    val remaining = base.filter(col(partitionCol).isInCollection(partVals))
+      .join(deletes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val root = path.stripSuffix("/")
+    val staging = root + "__deleting"
+    val trash = root + "__delete_trash"
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = partVals.map(v => s"$partitionCol=$v").toSeq
+    // stage the survivors; any failure cleans staging, live untouched
+    try remaining.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    catch {
+      case e: Throwable =>
+        fs.delete(new Path(staging), true)
+        throw e
+    }
+    val staged = dirs.filter(d => fs.exists(new Path(s"$staging/$d"))).toSet
+    stagedPartitionSwap(fs, root, staging, trash, dirs, staged, failAfterSwaps)
   }
 
   /** Payload update (Qdrant `set_payload`,

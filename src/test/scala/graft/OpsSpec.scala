@@ -177,6 +177,116 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, "A2"), (2L, "B2"), (3L, "c")), s"recovered table wrong: $got")
   }
 
+  test("deletePoints / deleteByFilter: matched rows drop, NULL predicate keeps, idempotent") {
+    val base = Seq((1L, Some(100L)), (2L, None), (3L, Some(300L)), (4L, Some(50L)))
+      .toDF("id", "n")
+    // id selector: absent ids (99) are a no-op; the delete is idempotent
+    val ids = Seq(4L, 99L).toDF("id")
+    val afterIds = Store.deletePoints(base, ids, "id")
+    assert(afterIds.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Store.deletePoints(afterIds, ids, "id").count() == 3L)
+    // filter selector: row 1 matches (drops); row 2's NULL predicate does
+    // NOT match (kept) — the coalesce semantics a bare !pred would break
+    val got = Store.deleteByFilter(afterIds, col("n") < 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"NULL-predicate row must survive: $got")
+  }
+
+  test("deletePartitioned: prunes to touched dirs, removes emptied partition, untouched bytes identical") {
+    val dir = java.nio.file.Files.createTempDirectory("delp").toString + "/t"
+    val base = Seq(
+      (1L, "en", "a"), (2L, "en", "b"),
+      (3L, "de", "c"), (4L, "de", "d"),
+      (5L, "fr", "e")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    def listing(sub: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val enBefore = listing("lang=en")
+    // delete one of two de rows and the ONLY fr row (partition empties),
+    // plus an id/partition pair that doesn't exist (idempotent no-op)
+    val del = Seq((3L, "de"), (5L, "fr"), (99L, "th")).toDF("id", "lang")
+    Store.deletePartitioned(spark, dir, del, "id", "lang")
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(1))).toSet
+    assert(got == Set((1L, "en", "a"), (2L, "en", "b"), (4L, "de", "d")), s"got: $got")
+    assert(listing("lang=en") == enBefore, "untouched en partition files changed")
+    assert(!new java.io.File(s"$dir/lang=fr").exists(), "emptied partition dir must go")
+    assert(!new java.io.File(dir + "__deleting").exists(), "staging dir left behind")
+    assert(!new java.io.File(dir + "__delete_trash").exists(), "trash dir left behind")
+    // replay: deleting the same batch again is a no-op
+    Store.deletePartitioned(spark, dir, del, "id", "lang")
+    assert(spark.read.parquet(dir).count() == 3L)
+  }
+
+  test("deletePartitioned: non-verbatim partition value rejected before live data is touched") {
+    val dir = java.nio.file.Files.createTempDirectory("delpesc").toString + "/t"
+    val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    val del = Seq((1L, "pt/BR")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Store.deletePartitioned(spark, dir, del, "id", "lang")
+    }
+    assert(e.getMessage.contains("unsupported"))
+    assert(spark.read.parquet(dir).count() == 2L, "live data changed on reject")
+    assert(!new java.io.File(dir + "__deleting").exists(), "staging dir leaked on reject")
+  }
+
+  test("deletePartitioned: mid-swap failure deletes no data and is recoverable") {
+    val dir = java.nio.file.Files.createTempDirectory("delpcrash").toString + "/t"
+    val base = Seq(
+      (1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"), (4L, "fr", "d"))
+      .toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    // touch en (partial delete) and de (fully emptied); crash after 1 swap
+    val del = Seq((1L, "en"), (3L, "de")).toDF("id", "lang")
+    val e = intercept[java.io.IOException] {
+      Store.deletePartitioned(spark, dir, del, "id", "lang", failAfterSwaps = 1)
+    }
+    assert(e.getMessage.contains("no data was deleted"))
+    val staging = dir + "__deleting"
+    val trash = dir + "__delete_trash"
+    // staging may exist yet hold no parquet (its only staged partition
+    // already swapped out before the crash) — treat that as empty
+    def rows(path: String): Set[(Long, String)] = {
+      def hasParquet(f: java.io.File): Boolean =
+        if (f.isFile) f.getName.endsWith(".parquet")
+        else Option(f.listFiles()).exists(_.exists(hasParquet))
+      val f = new java.io.File(path)
+      if (!f.exists() || !hasParquet(f)) Set.empty
+      else spark.read.parquet(path).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    // every OLD byte is still on disk across live/trash/staging
+    val onDisk = rows(dir) ++ rows(trash) ++ rows(staging)
+    assert(Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).subsetOf(onDisk),
+      s"old bytes lost: $onDisk")
+    // manual recovery, using what the recoverer knows per touched dir:
+    // en keeps survivors (finish its swap only if still staged — a live
+    // dir with no staged copy already swapped, don't touch it); de was
+    // fully emptied (its live dir goes whenever the crash preceded its
+    // swap; if it already swapped, live is gone and old bytes sit in trash)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val enLive = new org.apache.hadoop.fs.Path(s"$dir/lang=en")
+    val enStg = new org.apache.hadoop.fs.Path(s"$staging/lang=en")
+    if (fs.exists(enStg)) {
+      if (fs.exists(enLive))
+        fs.rename(enLive, new org.apache.hadoop.fs.Path(s"$trash/lang=en"))
+      fs.rename(enStg, enLive)
+    }
+    val deLive = new org.apache.hadoop.fs.Path(s"$dir/lang=de")
+    if (fs.exists(deLive))
+      fs.rename(deLive, new org.apache.hadoop.fs.Path(s"$trash/lang=de"))
+    fs.delete(new org.apache.hadoop.fs.Path(trash), true)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val got = spark.read.parquet(dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b"), (4L, "d")), s"recovered table wrong: $got")
+  }
+
   test("dedup: exact clusters group identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exactClusters(df, "doc_id", "text")
