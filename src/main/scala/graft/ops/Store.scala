@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
-  /** Insert-or-replace by key: rows of `updates` win over `base`. */
+  /** Insert-or-replace by key: rows of `updates` win over `base` —
+    * delete-the-old-versions ([[deletePoints]], one definition) + union.
+    */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
-    base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(updates)
+    deletePoints(base, updates, keyCol).unionByName(updates)
 
   /** Partition-pruned upsert into a `partitionBy(partitionCol)` parquet
     * table — the 100 TB form of [[upsert]]. The anti-join+union above
@@ -163,11 +164,25 @@ object Store {
     *
     * `deletes` carries `(keyCol, partitionCol)` rows — the partition
     * value rides the batch so the prune never scans the base to locate
-    * keys. Because a delete can EMPTY a partition, the upsert path's
-    * staging-dir existence check cannot distinguish a URI-escaped
-    * directory name from a fully-deleted partition; partition values
-    * are therefore restricted to `[A-Za-z0-9_.-]+` (names Spark writes
-    * verbatim), REJECTED before any live data is touched.
+    * keys, and deletion is by PAIR: the batch row `(7, en)` deletes
+    * key 7 from partition en only, never from another partition the
+    * same batch happens to touch (keys are unique within a partition
+    * by the store contract, not globally).
+    *
+    * Two guards protect the swap, both failing BEFORE any live byte
+    * moves. (1) Because a delete can EMPTY a partition, the upsert
+    * path's staging-dir existence check cannot distinguish a
+    * URI-escaped directory name from a fully-deleted partition;
+    * partition values are therefore restricted to `[A-Za-z0-9_.-]+`.
+    * (2) Values Spark's partition TYPE INFERENCE rewrites on read-back
+    * (the string `"01"` reads as int `1`, so survivors stage under
+    * `col=1` while the batch names `col=01`) would make the swap treat
+    * the partition as fully deleted and drop the staged survivors —
+    * any staged directory not named exactly as the batch constructed
+    * it is rejected, staging cleaned, live untouched. A delete that
+    * would remove the table's LAST partition directory is also
+    * refused (the bare root is unreadable parquet; use [[recreate]]
+    * with an empty frame for delete-all).
     */
   def deletePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       deletes: DataFrame, keyCol: String, partitionCol: String): Unit =
@@ -189,17 +204,40 @@ object Store {
         "URI-escaped directory name, so such values are unsupported here")
     if (partVals.isEmpty) return
     val base = spark.read.parquet(path)
+    // pair-wise anti-join: (key, partition) rows delete exactly their pair
     val remaining = base.filter(col(partitionCol).isInCollection(partVals))
-      .join(deletes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(deletes.select(col(keyCol), col(partitionCol)).distinct(),
+        Seq(keyCol, partitionCol), "left_anti")
     val root = path.stripSuffix("/")
     val staging = root + "__deleting"
     val trash = root + "__delete_trash"
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = partVals.map(v => s"$partitionCol=$v").toSeq
-    // stage the survivors; any failure cleans staging, live untouched
-    try remaining.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
-    catch {
+    // stage the survivors + validate; any failure cleans staging, live untouched
+    try {
+      remaining.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+      // guard (2): a staged dir named differently than the batch constructed
+      // it means partition type inference rewrote the value on read-back —
+      // the swap below would mistake the partition for fully-deleted and
+      // phase 3 would drop the staged survivors. Reject pre-swap.
+      val unexpected = fs.listStatus(new Path(staging)).map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol=")).toSet -- dirs.toSet
+      require(unexpected.isEmpty,
+        s"deletePartitioned: staged partition dir(s) ${unexpected.mkString(", ")} do not " +
+          s"match the batch's value(s) ${dirs.mkString(", ")} — partition type inference " +
+          "rewrote the value on read-back (e.g. string '01' reads as int 1); such values " +
+          "are unsupported here")
+      // guard (3): never leave the root with zero partition dirs — the bare
+      // root is unreadable parquet. Delete-all is recreate's job.
+      val liveAfter = fs.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol=")).toSet -- dirs.toSet ++
+        dirs.filter(d => fs.exists(new Path(s"$staging/$d"))).toSet
+      require(liveAfter.nonEmpty,
+        "deletePartitioned: this batch would remove the table's last partition " +
+          "directory, leaving an unreadable store — use recreate with an empty " +
+          "frame for delete-all")
+    } catch {
       case e: Throwable =>
         fs.delete(new Path(staging), true)
         throw e

@@ -221,6 +221,51 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3L)
   }
 
+  test("deletePartitioned: deletes by (key, partition) PAIR, not by key across touched partitions") {
+    // keys are unique within a partition, not globally: the batch rows
+    // (7,en) and (8,de) must not delete (7,de) just because the batch
+    // happens to touch de too
+    val dir = java.nio.file.Files.createTempDirectory("delpair").toString + "/t"
+    val base = Seq(
+      (7L, "en", "a"), (7L, "de", "b"), (8L, "de", "c")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    val del = Seq((7L, "en"), (8L, "de")).toDF("id", "lang")
+    Store.deletePartitioned(spark, dir, del, "id", "lang")
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((7L, "de")), s"(7, de) must survive a (7, en) delete: $got")
+  }
+
+  test("deletePartitioned: type-inference-rewritten partition value rejected pre-swap") {
+    // all-numeric string partition values read back as ints ('01' -> 1),
+    // so survivors stage under col=1 while the batch names col=01 — the
+    // unexpected-staging guard must reject before any live byte moves
+    val dir = java.nio.file.Files.createTempDirectory("delpinf").toString + "/t"
+    val base = Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "02", "c"))
+      .toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    val del = Seq((1L, "01")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Store.deletePartitioned(spark, dir, del, "id", "lang")
+    }
+    assert(e.getMessage.contains("type inference"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 3L, "live data changed on reject")
+    assert(!new java.io.File(dir + "__deleting").exists(), "staging dir leaked on reject")
+  }
+
+  test("deletePartitioned: refusing to remove the table's last partition dir") {
+    val dir = java.nio.file.Files.createTempDirectory("delall").toString + "/t"
+    val base = Seq((1L, "en", "a"), (2L, "en", "b")).toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(dir)
+    val del = Seq((1L, "en"), (2L, "en")).toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Store.deletePartitioned(spark, dir, del, "id", "lang")
+    }
+    assert(e.getMessage.contains("last partition"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 2L, "live data changed on refusal")
+    assert(!new java.io.File(dir + "__deleting").exists(), "staging dir leaked on refusal")
+  }
+
   test("deletePartitioned: non-verbatim partition value rejected before live data is touched") {
     val dir = java.nio.file.Files.createTempDirectory("delpesc").toString + "/t"
     val base = Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v")
