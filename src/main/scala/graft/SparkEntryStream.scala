@@ -137,6 +137,9 @@ object SparkEntryStream {
     // upsert (the SAME oracle SQL as q_upsert — merge-by-key is
     // batch-slicing invariant over disjoint key sets)
     "stream_upsert" -> ((s, d) => runUpsertOnce(s, d)),
+    // CDC erasure stream: two delete micro-batches applied to the
+    // partitioned store ≡ the one-shot batch delete
+    "stream_delete" -> ((s, d) => runDeleteOnce(s, d)),
     // continuous drift monitoring: per-micro-batch PSI snapshots of
     // baseline vs streamed-so-far; the final snapshot ≡ the batch
     // v_drift (the SAME single-sourced oracle SQL)
@@ -223,6 +226,39 @@ object SparkEntryStream {
     try {
       EventStream.drainAll(spark, q, in)
       updates.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
+    spark.read.parquet(store)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Drive [[EventStream.deleteStream]]: the staged partitioned orders
+    * store receives the CDC erasure feed (every 10th key, as
+    * `(o_orderkey, o_orderstatus)` pairs) in TWO micro-batches (split
+    * by key % 20), each applied by [[graft.ops.Store.deletePartitioned]]
+    * — and the final store must hash-match the one-shot batch delete
+    * (erasure commutes, so batch boundaries cannot change the table).
+    */
+  private def runDeleteOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-del-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-del-store").toString + "/orders"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val orders = Tables.orders(spark, sfDir)
+    // per-rep clone of the once-staged pristine store (the
+    // runUpsertOnce bench-isolation discipline)
+    copyTree(java.nio.file.Paths.get(pristineOrdersStore(spark, sfDir)),
+      java.nio.file.Paths.get(store))
+    val deletes = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    deletes.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)
+    val q = EventStream.deleteStream(spark, in, deletes.schema, store,
+      "o_orderkey", "o_orderstatus")
+    try {
+      EventStream.drainAll(spark, q, in)
+      deletes.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
       EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(store)
@@ -403,6 +439,14 @@ object SparkEntryStream {
     // literally the q_upsert oracle (single-sourced in OracleSql):
     // micro-batch slicing must not move the merged table
     "stream_upsert" -> OracleSql.upsertMergedSummarySql,
+    // erasure commutes: the CDC-sliced delete must equal the one-shot
+    // batch delete of the same key set
+    "stream_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // literally the v_drift oracle: the final cumulative PSI snapshot
     // must not depend on how the odd half was micro-batched
     "stream_drift" -> OracleSql.dimDriftSql,

@@ -525,6 +525,44 @@ object EventStream {
       .start()
   }
 
+  /** CDC-style continuous point DELETION from a partitioned Parquet
+    * store — the erasure half of the CDC pair ([[upsertStream]] is the
+    * ingest half): right-to-be-forgotten requests and retention
+    * expiries arrive as `(keyCol, partitionCol)` rows in `inputDir`,
+    * and each micro-batch is applied via
+    * [[graft.ops.Store.deletePartitioned]] — pair-wise deletes, only
+    * the partitions a batch names rewritten, the trash-staged
+    * crash-safe swap, fully-emptied partitions removed, and the
+    * pre-swap guards (type-inference rewrite, last-partition removal)
+    * intact per batch. Unlike the upsert half, there is NO
+    * each-key-arrives-once caller contract: erasure by key is
+    * idempotent AND commutative, so replayed micro-batches
+    * (foreachBatch is at-least-once) and any batch boundary placement
+    * converge to the same table — set subtraction doesn't care how the
+    * subtrahend was sliced. Shuffle volume per batch is
+    * O(batch + touched partitions), never O(table).
+    *
+    * `checkpointLocation` as in [[upsertStream]]: restart cost, not
+    * correctness — without one a restart re-lists and re-deletes
+    * everything (a no-op on values, but it re-stages every touched
+    * partition); with one, only unseen files apply.
+    */
+  def deleteStream(spark: SparkSession, inputDir: String,
+      schema: StructType, storePath: String, keyCol: String,
+      partitionCol: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    val writer = spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Store.deletePartitioned(batch.sparkSession, storePath,
+          batch, keyCol, partitionCol)
+      }
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+
   /** Continuous embedding-drift monitoring: vectors arriving in
     * `inputDir` are accumulated (idempotent per-batch-id dirs, the
     * [[searchStream]] replay discipline) and each micro-batch

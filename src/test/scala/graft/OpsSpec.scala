@@ -332,6 +332,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((2L, "b"), (4L, "d")), s"recovered table wrong: $got")
   }
 
+  test("deleteStream: CDC erasure batches apply in order, replayed rows are a no-op") {
+    val in = java.nio.file.Files.createTempDirectory("delstr-in").toString
+    val store = java.nio.file.Files.createTempDirectory("delstr-st").toString + "/t"
+    val base = Seq(
+      (1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"), (4L, "de", "d"))
+      .toDF("id", "lang", "v")
+    base.write.partitionBy("lang").parquet(store)
+    val del = Seq((1L, "en"), (3L, "de")).toDF("id", "lang")
+    del.filter(col("id") === 1L).write.mode("append").parquet(in)
+    val q = EventStream.deleteStream(spark, in, del.schema, store, "id", "lang")
+    def state() = spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      EventStream.drainAll(spark, q, in)
+      assert(state() == Set((2L, "b"), (3L, "c"), (4L, "d")), s"after batch 1: ${state()}")
+      // replay: the same erasure row arriving again must be a no-op
+      del.filter(col("id") === 1L).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+      assert(state() == Set((2L, "b"), (3L, "c"), (4L, "d")), s"replay changed: ${state()}")
+      del.filter(col("id") === 3L).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+      assert(state() == Set((2L, "b"), (4L, "d")), s"after batch 2: ${state()}")
+    } finally q.stop()
+  }
+
   test("dedup: exact clusters group identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exactClusters(df, "doc_id", "text")
