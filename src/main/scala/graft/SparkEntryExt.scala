@@ -1423,6 +1423,12 @@ object SparkEntryExt {
     "text_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text", minCount = 5)
         .orderBy(col("doc_id"))),
+    // curriculum staging: easy-to-hard quartiles of the NLL signal,
+    // percentile boundaries (no global sort/ntile — see scaladoc)
+    "pipeline_curriculum" -> ((s, d) =>
+      TextAnalysis.curriculumStages(Tables.documents(s, d), "doc_id", "text",
+          minCount = 5, nStages = 4)
+        .orderBy(col("doc_id"))),
     // SemDeDup-style semantic dedup: cosine near-dup components over the
     // sign-bucketed embedding space, min-id representative kept. The
     // 3-round unroll is the oracle-expressible form; production default
@@ -3218,6 +3224,28 @@ object SparkEntryExt {
          |FROM dt JOIN cf USING (term), tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // same NLL CTEs as text_unigram_lm; quantile_cont ≡ Spark exact
+    // percentile (the text_quality_adaptive parity), boundaries rounded
+    // to 6 dp BEFORE the stage comparison
+    "pipeline_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+         |nll AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    round(sum(c::DOUBLE * -ln(greatest(cf, 5)::DOUBLE / tot.total))
+         |      / sum(c)::DOUBLE, 6) AS mean_nll
+         |  FROM dt JOIN cf USING (term), tot GROUP BY doc_id),
+         |b AS (
+         |  SELECT round(quantile_cont(mean_nll, 0.25), 6) AS b1,
+         |    round(quantile_cont(mean_nll, 0.5), 6) AS b2,
+         |    round(quantile_cont(mean_nll, 0.75), 6) AS b3
+         |  FROM nll)
+         |SELECT doc_id, n_tokens, mean_nll,
+         |  CAST(CASE WHEN mean_nll <= b1 THEN 1 WHEN mean_nll <= b2 THEN 2
+         |    WHEN mean_nll <= b3 THEN 3 ELSE 4 END AS BIGINT) AS stage
+         |FROM nll, b ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 11 <> 3),

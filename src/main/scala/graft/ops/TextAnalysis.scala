@@ -366,6 +366,40 @@ object TextAnalysis {
           / sum(col("c")).cast("double"), 6).as("mean_nll"))
   }
 
+  /** Curriculum stage assignment (Bengio et al. 2009 curriculum
+    * learning, applied as data scheduling): stage 1 holds the corpus'
+    * most predictable documents by the [[unigramLogProb]] CCNet-style
+    * signal (lowest mean NLL — clean, fluent text), the last stage its
+    * hardest (token soup, rare-term-heavy) — the easy-to-hard ordering
+    * a pretraining run consumes stage by stage. Boundaries are the
+    * corpus' own `i/nStages` percentiles of `mean_nll` (the
+    * [[adaptiveQualityFilter]] discipline: exact `percentile` ≡ DuckDB
+    * `quantile_cont`, rounded to 6 dp BEFORE comparison, riding the
+    * plan as a 1-row broadcast aggregate), so the schedule tracks the
+    * corpus instead of hard-coding score cutoffs. Zero-token docs have
+    * no NLL and are absent, as in [[unigramLogProb]] (documented).
+    *
+    * Scale shape = [[unigramLogProb]] (one token explode, broadcast
+    * vocabulary join, one doc_id aggregation) + the 1-row boundary
+    * broadcast + a narrow stage projection — NO global sort or ntile:
+    * a rank-based quartile would need a single-partition window over
+    * the corpus; percentile boundaries make stage assignment an
+    * embarrassingly parallel comparison. Output:
+    * `(doc_id, n_tokens, mean_nll, stage)`, stage in 1..nStages.
+    */
+  def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, nStages: Int = 4): DataFrame = {
+    require(nStages >= 2, s"nStages ($nStages) must be >= 2")
+    val scored = unigramLogProb(docs, idCol, textCol, minCount)
+    val bounds = (1 until nStages).map(i =>
+      round(expr(s"percentile(mean_nll, ${i.toDouble / nStages})"), 6).as(s"__b$i"))
+    val thr = broadcast(scored.agg(bounds.head, bounds.tail: _*))
+    val stage = (1 until nStages).reverse.foldLeft(lit(nStages.toLong): Column)(
+      (acc, i) => when(col("mean_nll") <= col(s"__b$i"), lit(i.toLong)).otherwise(acc))
+    scored.crossJoin(thr)
+      .select(col("doc_id"), col("n_tokens"), col("mean_nll"), stage.as("stage"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold acc = (acc*31 + h32(token)) mod 1e9+7 — order-sensitive, so
     * it distinguishes permuted docs where bag-of-words collides.

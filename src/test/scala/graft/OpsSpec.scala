@@ -1029,6 +1029,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("max_over_mean") - 90.0 / (100.0 / 11)) < 1e-4)
   }
 
+  test("curriculumStages: stage is monotone in mean_nll, boundaries split the corpus, zero-token docs absent") {
+    // 8 docs engineered so their mean-NLL order is their id order:
+    // doc k repeats a common token (8−k) times and carries k distinct
+    // rare-ish tokens — more rare mass ⇒ higher NLL
+    val docs = (0L until 8L).map { k =>
+      val common = Seq.fill((8 - k).toInt)("aa")
+      val rare = (0 until k.toInt).map(j => s"r${k}x$j")
+      (k, (common ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis
+      .curriculumStages(docs, "doc_id", "text", minCount = 1, nStages = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.size == 8)
+    // monotone: sorting by NLL must sort by stage too, and quartile
+    // boundaries put exactly 2 docs in each stage on an 8-doc corpus
+    val byNll = got.values.toSeq.sortBy(_._1)
+    assert(byNll.map(_._2) == byNll.map(_._2).sorted, s"stage not monotone in NLL: $got")
+    assert(got.values.groupBy(_._2).view.mapValues(_.size).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2), s"quartile split: $got")
+    // nStages=2 halves the corpus the same way
+    val halves = TextAnalysis
+      .curriculumStages(docs, "doc_id", "text", minCount = 1, nStages = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(halves.values.count(_ == 1L) == 4 && halves.values.count(_ == 2L) == 4)
+    // a zero-token doc has no NLL and is absent, as documented
+    val withEmpty = docs.union(Seq((99L, "   ")).toDF("doc_id", "text"))
+    assert(TextAnalysis.curriculumStages(withEmpty, "doc_id", "text", 1, 4)
+      .filter(col("doc_id") === 99L).count() == 0L)
+  }
+
   test("ngramDiversity: hand-computed counts, ratios, entropy; short docs skip high n") {
     val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
     val got = TextAnalysis.ngramDiversity(docs, "text", maxN = 3)
