@@ -117,6 +117,16 @@ object SparkEntry {
         .select(col("query_id"), col("point_id"), round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("point_id"))
     }),
+    // facet counts (Qdrant facet API): payload-value histogram under a
+    // filter, (count DESC, value ASC) page — distinct-value-sized shuffle
+    "v_facet" -> ((s, d) =>
+      Knn.facetCounts(Tables.documents(s, d), "source",
+        col("n_chars") >= 200, limit = 10)),
+    // keyset scroll (Qdrant scroll API): the id-ordered page after the
+    // cursor — pushdown-pruned, never OFFSET
+    "v_scroll" -> ((s, d) =>
+      Knn.scrollPage(Tables.documents(s, d), "doc_id", cursor = 123L, pageSize = 20)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
     "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
@@ -341,6 +351,14 @@ object SparkEntry {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10
          |  AND ${sqlCos("q.embedding", "p.embedding")} >= 0.3
          |ORDER BY query_id, point_id""".stripMargin,
+    "v_facet" ->
+      """SELECT source AS value, CAST(count(*) AS BIGINT) AS n
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source ORDER BY n DESC, value LIMIT 10""".stripMargin,
+    "v_scroll" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id > 123
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     "rag_context" ->
       s"""$ragHitsCte,
          |budget AS (

@@ -265,4 +265,39 @@ object Knn {
       .filter(col("score") >= threshold)
       .select(col("query_id"), col(pointIdCol).as("point_id"), col("score"))
   }
+
+  /** Facet counts (the Qdrant `facet` API): the distinct values of a
+    * payload column with their point counts under an optional filter,
+    * top `limit` values by `(count DESC, value ASC)` — the standard
+    * facet tie-break, total so the page is deterministic. One
+    * map-side-combinable aggregate into `TakeOrderedAndProject`: the
+    * shuffle carries one row per distinct facet value, never per
+    * point, and no global sort exists.
+    */
+  def facetCounts(points: DataFrame, facetCol: String, filter: Column,
+      limit: Int): DataFrame = {
+    require(limit >= 1, s"limit ($limit) must be >= 1")
+    points.filter(filter)
+      .groupBy(col(facetCol).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("value"))
+      .limit(limit)
+  }
+
+  /** Keyset pagination (the Qdrant `scroll` API): one id-ordered page
+    * of points strictly AFTER the `cursor` id; the caller feeds the
+    * page's last id back as the next cursor. Keyset, not OFFSET: an
+    * OFFSET-n page reads and discards n rows — a full sweep degrades
+    * to O(N²/page) at 100 TB — where the `id > cursor` predicate
+    * pushes to the scan (parquet min/max footers skip whole files on
+    * an id-clustered layout, cf. [[graft.ops.Store.compact]]) and
+    * every page costs O(page + pruned scan). `orderBy.limit` collapses
+    * to `TakeOrderedAndProject` — per-partition top-page, no global
+    * sort.
+    */
+  def scrollPage(points: DataFrame, idCol: String, cursor: Long,
+      pageSize: Int): DataFrame = {
+    require(pageSize >= 1, s"pageSize ($pageSize) must be >= 1")
+    points.filter(col(idCol) > cursor).orderBy(col(idCol)).limit(pageSize)
+  }
 }

@@ -32,6 +32,47 @@ class ServingApiSpec extends SparkSpec {
       s"expected the duplicate-key guard to fire: ${ex.getMessage}")
   }
 
+  test("facetCounts: filtered value histogram, (count DESC, value ASC) page, limit respected") {
+    val pts = Seq(
+      (1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+      (4L, "book", 5L), (5L, "wiki", 40L), (6L, "chat", 50L)).toDF("id", "src", "n")
+    val got = Knn.facetCounts(pts, "src", col("n") >= 10L, limit = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the n>=10 filter drops one 'book' row; 'web' (2) leads, then the
+    // count-1 tie breaks alphabetically: 'book' beats 'chat'/'wiki'
+    assert(got == Seq(("web", 2L), ("book", 1L)), s"facet page: $got")
+    // no filter: pass col(true); every value appears with its full count
+    val all = Knn.facetCounts(pts, "src", lit(true), limit = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("web" -> 2L, "book" -> 2L, "wiki" -> 1L, "chat" -> 1L))
+  }
+
+  test("scrollPage: keyset pages chain without overlap and drain to empty") {
+    val pts = (1L to 25L).map(i => (i, s"v$i")).toDF("id", "v")
+    val p1 = Knn.scrollPage(pts, "id", cursor = 0L, pageSize = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(p1 == (1L to 10L), s"page 1: $p1")
+    val p2 = Knn.scrollPage(pts, "id", cursor = p1.last, pageSize = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(p2 == (11L to 20L), s"page 2: $p2")
+    val p3 = Knn.scrollPage(pts, "id", cursor = p2.last, pageSize = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(p3 == (21L to 25L), s"last short page: $p3")
+    assert(Knn.scrollPage(pts, "id", cursor = p3.last, pageSize = 10).count() == 0L,
+      "scrolling past the end must be empty")
+    // the keyset predicate must reach the parquet scan (the whole point
+    // vs OFFSET) and the page must plan as TakeOrderedAndProject, not a
+    // global sort
+    val dir = java.nio.file.Files.createTempDirectory("scroll").toString + "/t"
+    pts.write.parquet(dir)
+    val plan = Knn.scrollPage(spark.read.parquet(dir), "id", 10L, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,10)"),
+      s"keyset predicate not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"page not TakeOrdered:\n$plan")
+  }
+
   test("recommend ranks by the contrastive pseudo-query and excludes examples") {
     // pos p1=(1,0), neg p4=(-1,0) → pseudo-query (1,0)·2/… direction (1,0):
     // p3 (0.7,0.7) scores ~0.707 over p2 (0,1) at 0 — and p1/p4 must not appear
