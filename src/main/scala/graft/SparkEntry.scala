@@ -351,9 +351,11 @@ object SparkEntry {
          |WHERE q.vec_id < 5 AND p.vec_id >= 10
          |  AND ${sqlCos("q.embedding", "p.embedding")} >= 0.3
          |ORDER BY query_id, point_id""".stripMargin,
+    // NULL facet values are excluded by the op (real-API semantics +
+    // the no-NULL-sort-keys convention) — mirror it
     "v_facet" ->
       """SELECT source AS value, CAST(count(*) AS BIGINT) AS n
-        |FROM documents WHERE n_chars >= 200
+        |FROM documents WHERE n_chars >= 200 AND source IS NOT NULL
         |GROUP BY source ORDER BY n DESC, value LIMIT 10""".stripMargin,
     "v_scroll" ->
       """SELECT doc_id, lang, source, n_chars

@@ -202,30 +202,32 @@ object SparkEntryStream {
       spark.read.parquet(s"$store/vocab_batch_*").distinct())
   }
 
-  /** Drive [[EventStream.upsertStream]]: the orders table is staged as
-    * a store PARTITIONED by `o_orderstatus`, the `q_upsert` update set
-    * (every 10th key, price ×1.1) arrives in TWO micro-batches (split
-    * by key % 20), each merged by [[graft.ops.Store.upsertPartitioned]]
-    * — and the final store must hash-match the one-shot batch upsert.
+  /** Shared CDC-drive skeleton for the upsert/delete stream runners:
+    * clone the once-staged pristine partitioned orders store (file
+    * copy, no Spark job — each rep mutates its own copy so N bench
+    * reps measure the micro-batched mutation, not N stagings), feed
+    * the CDC rows in TWO micro-batches (split by key % 20) through the
+    * stream `start` constructs, and read back the per-status summary
+    * the shared oracle checks. ONE definition so a future fix to the
+    * clone discipline or the readback rounding cannot silently apply
+    * to one CDC half only.
     */
-  private def runUpsertOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = java.nio.file.Files.createTempDirectory("graft-ups-in").toString
-    val store = java.nio.file.Files.createTempDirectory("graft-ups-store").toString + "/orders"
+  private def runCdcOnce(spark: SparkSession, sfDir: String, tag: String,
+      feed: DataFrame => DataFrame,
+      start: (String, org.apache.spark.sql.types.StructType, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory(s"graft-$tag-in").toString
+    val store = java.nio.file.Files.createTempDirectory(s"graft-$tag-store").toString + "/orders"
     scratchDirs.add(in)
     scratchDirs.add(store)
-    val orders = Tables.orders(spark, sfDir)
-    // clone the once-staged pristine store (file copy, no Spark job) —
-    // each rep mutates its own copy, the stage-write is paid once
     copyTree(java.nio.file.Paths.get(pristineOrdersStore(spark, sfDir)),
       java.nio.file.Paths.get(store))
-    val updates = orders.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
-    updates.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)
-    val q = EventStream.upsertStream(spark, in, updates.schema, store,
-      "o_orderkey", "o_orderstatus")
+    val cdc = feed(Tables.orders(spark, sfDir))
+    cdc.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)
+    val q = start(in, cdc.schema, store)
     try {
       EventStream.drainAll(spark, q, in)
-      updates.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
+      cdc.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
       EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(store)
@@ -234,38 +236,31 @@ object SparkEntryStream {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Drive [[EventStream.deleteStream]]: the staged partitioned orders
-    * store receives the CDC erasure feed (every 10th key, as
-    * `(o_orderkey, o_orderstatus)` pairs) in TWO micro-batches (split
-    * by key % 20), each applied by [[graft.ops.Store.deletePartitioned]]
-    * — and the final store must hash-match the one-shot batch delete
-    * (erasure commutes, so batch boundaries cannot change the table).
+  /** Drive [[EventStream.upsertStream]]: the `q_upsert` update set
+    * (every 10th key, price ×1.1) arrives in TWO micro-batches, each
+    * merged by [[graft.ops.Store.upsertPartitioned]] — and the final
+    * store must hash-match the one-shot batch upsert.
     */
-  private def runDeleteOnce(spark: SparkSession, sfDir: String): DataFrame = {
-    val in = java.nio.file.Files.createTempDirectory("graft-del-in").toString
-    val store = java.nio.file.Files.createTempDirectory("graft-del-store").toString + "/orders"
-    scratchDirs.add(in)
-    scratchDirs.add(store)
-    val orders = Tables.orders(spark, sfDir)
-    // per-rep clone of the once-staged pristine store (the
-    // runUpsertOnce bench-isolation discipline)
-    copyTree(java.nio.file.Paths.get(pristineOrdersStore(spark, sfDir)),
-      java.nio.file.Paths.get(store))
-    val deletes = orders.filter(col("o_orderkey") % 10 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"))
-    deletes.filter(col("o_orderkey") % 20 === 0).write.mode("append").parquet(in)
-    val q = EventStream.deleteStream(spark, in, deletes.schema, store,
-      "o_orderkey", "o_orderstatus")
-    try {
-      EventStream.drainAll(spark, q, in)
-      deletes.filter(col("o_orderkey") % 20 =!= 0).write.mode("append").parquet(in)
-      EventStream.drainAll(spark, q, in)
-    } finally q.stop()
-    spark.read.parquet(store)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
-      .orderBy(col("o_orderstatus"))
-  }
+  private def runUpsertOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runCdcOnce(spark, sfDir, "ups",
+      orders => orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+      (in, schema, store) => EventStream.upsertStream(spark, in, schema, store,
+        "o_orderkey", "o_orderstatus"))
+
+  /** Drive [[EventStream.deleteStream]]: the CDC erasure feed (every
+    * 10th key, as `(o_orderkey, o_orderstatus)` pairs) arrives in TWO
+    * micro-batches, each applied by
+    * [[graft.ops.Store.deletePartitioned]] — and the final store must
+    * hash-match the one-shot batch delete (erasure commutes, so batch
+    * boundaries cannot change the table).
+    */
+  private def runDeleteOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runCdcOnce(spark, sfDir, "del",
+      orders => orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      (in, schema, store) => EventStream.deleteStream(spark, in, schema, store,
+        "o_orderkey", "o_orderstatus"))
 
   /** Drive [[EventStream.searchStream]]: query vectors vec_id < 10
     * arrive in TWO micro-batches (split at 5) against the static

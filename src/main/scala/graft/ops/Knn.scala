@@ -269,7 +269,11 @@ object Knn {
   /** Facet counts (the Qdrant `facet` API): the distinct values of a
     * payload column with their point counts under an optional filter,
     * top `limit` values by `(count DESC, value ASC)` — the standard
-    * facet tie-break, total so the page is deterministic. One
+    * facet tie-break, total so the page is deterministic. Points
+    * MISSING the facet field (NULL) are excluded, as the real facet
+    * API excludes them — and a NULL bucket would also sort NULLS FIRST
+    * in Spark vs NULLS LAST in the SQL oracle, the engine-divergence
+    * class the no-NULL-sort-keys convention exists to avoid. One
     * map-side-combinable aggregate into `TakeOrderedAndProject`: the
     * shuffle carries one row per distinct facet value, never per
     * point, and no global sort exists.
@@ -277,7 +281,7 @@ object Knn {
   def facetCounts(points: DataFrame, facetCol: String, filter: Column,
       limit: Int): DataFrame = {
     require(limit >= 1, s"limit ($limit) must be >= 1")
-    points.filter(filter)
+    points.filter(filter && col(facetCol).isNotNull)
       .groupBy(col(facetCol).as("value"))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("value"))

@@ -45,6 +45,13 @@ class ServingApiSpec extends SparkSpec {
     val all = Knn.facetCounts(pts, "src", lit(true), limit = 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(all == Map("web" -> 2L, "book" -> 2L, "wiki" -> 1L, "chat" -> 1L))
+    // points MISSING the facet field are excluded (real-API semantics;
+    // a NULL bucket would also sort differently across engines)
+    val withNull = Seq((1L, Some("web")), (2L, None), (3L, None))
+      .toDF("id", "src")
+    val nn = Knn.facetCounts(withNull, "src", lit(true), limit = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(nn == Seq(("web", 1L)), s"null facet values must be excluded: $nn")
   }
 
   test("scrollPage: keyset pages chain without overlap and drain to empty") {
