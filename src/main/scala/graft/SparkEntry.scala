@@ -127,6 +127,10 @@ object SparkEntry {
     "v_scroll" -> ((s, d) =>
       Knn.scrollPage(Tables.documents(s, d), "doc_id", cursor = 123L, pageSize = 20)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // exact filtered count (Qdrant count API, exact=true)
+    "v_count" -> ((s, d) =>
+      Knn.countPoints(Tables.documents(s, d),
+        col("n_chars") >= 200 && col("lang") === "zh")),
     // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
     "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
@@ -361,6 +365,10 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id > 123
         |ORDER BY doc_id LIMIT 20""".stripMargin,
+    "v_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |WHERE coalesce(n_chars >= 200 AND lang = 'zh', false)""".stripMargin,
     "rag_context" ->
       s"""$ragHitsCte,
          |budget AS (

@@ -288,6 +288,17 @@ object Knn {
       .limit(limit)
   }
 
+  /** Exact count (the Qdrant `count` API with `exact=true`): points
+    * matching `filter`, where a NULL predicate does NOT match (the
+    * [[graft.ops.Store.deleteByFilter]] selector semantics). One
+    * map-side-combinable aggregate to a single row; the approximate
+    * variant of the API maps to `approx_count_distinct`-style sketches
+    * (`q_approx_distinct`), already covered.
+    */
+  def countPoints(points: DataFrame, filter: Column): DataFrame =
+    points.filter(coalesce(filter, lit(false)))
+      .agg(count(lit(1)).as("n"))
+
   /** Keyset pagination (the Qdrant `scroll` API): one id-ordered page
     * of points strictly AFTER the `cursor` id; the caller feeds the
     * page's last id back as the next cursor. Keyset, not OFFSET: an

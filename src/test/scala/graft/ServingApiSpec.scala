@@ -52,6 +52,11 @@ class ServingApiSpec extends SparkSpec {
     val nn = Knn.facetCounts(withNull, "src", lit(true), limit = 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(nn == Seq(("web", 1L)), s"null facet values must be excluded: $nn")
+    // count API: a NULL predicate row does not match (selector semantics)
+    val cnt = Knn.countPoints(
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(30L))).toDF("id", "n"),
+      col("n") >= 20L).first().getLong(0)
+    assert(cnt == 1L, s"NULL predicate must not count: $cnt")
   }
 
   test("scrollPage: keyset pages chain without overlap and drain to empty") {
