@@ -390,7 +390,18 @@ object TextAnalysis {
   def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
       minCount: Int = 5, nStages: Int = 4): DataFrame = {
     require(nStages >= 2, s"nStages ($nStages) must be >= 2")
+    // lazy lineage cut on the per-doc score table (the DSIR fan-out
+    // discipline): the boundary aggregate AND the output rows both
+    // consume it, and without the cut the tokenize+NLL chain plans
+    // twice (6 parquet scans vs 0 after the cut — ReuseExchange does
+    // not dedup across the broadcast-subquery boundary here). On an
+    // idle host the duplicate stages overlap so wall-clock is neutral;
+    // the cut halves the chain's task-time, measured ~8% wall-clock at
+    // saturated local[4]/100×. One compact row per doc; SCALING.md's
+    // lineage-cut site list carries the cluster (non-replicated-blocks)
+    // tradeoff note.
     val scored = unigramLogProb(docs, idCol, textCol, minCount)
+      .localCheckpoint(false)
     val bounds = (1 until nStages).map(i =>
       round(expr(s"percentile(mean_nll, ${i.toDouble / nStages})"), 6).as(s"__b$i"))
     val thr = broadcast(scored.agg(bounds.head, bounds.tail: _*))
