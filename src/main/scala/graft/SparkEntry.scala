@@ -131,6 +131,13 @@ object SparkEntry {
     "v_count" -> ((s, d) =>
       Knn.countPoints(Tables.documents(s, d),
         col("n_chars") >= 200 && col("lang") === "zh")),
+    // get-points-by-ids (Qdrant retrieve API): id-batch lookup served
+    // by a pushed In predicate — absent ids absent from the page; the
+    // last requested id is deliberately out of range at every SF
+    "v_retrieve" -> ((s, d) =>
+      Knn.retrievePoints(Tables.documents(s, d), "doc_id",
+          Seq(5L, 17L, 123L, 240L, 999999999L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     // ---- RAG assembly + prediction + evaluation (SURVEY §2.4–§2.6) ----
     "rag_context" -> ((s, d) => Rag.contextQuery(s, d)),
     "rag_predict" -> ((s, d) => Rag.predictQuery(s, d)),
@@ -369,6 +376,10 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n
         |FROM documents
         |WHERE coalesce(n_chars >= 200 AND lang = 'zh', false)""".stripMargin,
+    "v_retrieve" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (5, 17, 123, 240, 999999999)
+        |ORDER BY doc_id""".stripMargin,
     "rag_context" ->
       s"""$ragHitsCte,
          |budget AS (

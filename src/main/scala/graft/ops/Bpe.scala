@@ -108,18 +108,32 @@ object Bpe {
     * canonically greedily in learning order, merged-token names chain
     * with the same U+0001 separator, so a later merge whose side is
     * itself a merged token resolves exactly as it did in training.
-    * Output: `(doc_id, toks)` — the segmented sequences. Plan depth:
-    * each fold layer stacks a posexplode + two windows, so every 8th
-    * merge eagerly localCheckpoints (the [[trainMerges]] per-round
-    * rule, amortized) — a realistically sized model (hundreds of
-    * merges) must not hand Catalyst a hundreds-deep nested plan.
+    * Output: `(doc_id, toks)` — the segmented sequences, TOTAL over
+    * the input docs: a zero-token doc (empty/whitespace text) keeps
+    * its row with an empty `toks` array. Totality needs an explicit
+    * re-join because each merge pass posexplodes the token array — an
+    * empty array emits no rows, so such docs would silently vanish
+    * from the fold's groupBy re-assembly. Plan depth: each fold layer
+    * stacks a posexplode + two windows, so every 8th merge eagerly
+    * localCheckpoints (the [[trainMerges]] per-round rule, amortized)
+    * — a realistically sized model (hundreds of merges) must not hand
+    * Catalyst a hundreds-deep nested plan.
     */
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    merges.zipWithIndex.foldLeft(
-      docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))) {
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    val segmented = merges.zipWithIndex.foldLeft(base) {
       case (seqs, ((l, r), i)) =>
         val next = applyMerge(seqs, l, r, l + "\u0001" + r)
         if ((i + 1) % 8 == 0) next.localCheckpoint(true) else next
     }
+    if (merges.isEmpty) segmented
+    else
+      // doc_id is unique on both sides: one id-sized hash join, no
+      // row explosion; the left side column-prunes to doc_id alone
+      base.select(col("doc_id"))
+        .join(segmented, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("toks"), array().cast("array<string>")).as("toks"))
+  }
 }

@@ -249,8 +249,14 @@ object Curation {
     val n = weights.count()
     val k = math.max(1L, math.floor(n * keepFrac).toLong)
     require(k <= Int.MaxValue, s"selection size $k exceeds limit()'s range; shard first")
-    weights.orderBy(desc("logw"), col("doc_id")).limit(k.toInt)
-      .select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
+    // Rank by the QUANTIZED weight (then doc_id): logw is an unordered
+    // float sum of c*lr terms, so near-ties at the keepFrac cutoff
+    // could flip with summation order across engines/partitionings —
+    // sorting the 6-dp-rounded artifact (the same value displayed and
+    // compared downstream) makes the selected SET a total function of
+    // the quantized model, the repo's quantize-before-compare rule.
+    weights.select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
+      .orderBy(desc("logw"), col("doc_id")).limit(k.toInt)
       .orderBy(col("doc_id"))
   }
 }

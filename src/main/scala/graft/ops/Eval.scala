@@ -120,9 +120,19 @@ object Eval {
         "the standard normalizer is min(total relevant, k)")
     val w = Window.partitionBy(col("query_id")).orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = hits.select(col(queryCol).as("query_id") +:
+    val all = hits.select(col(queryCol).as("query_id") +:
         col(rankCol).cast("long").as("r") +: col(relCol).cast("long").as("rel") +:
         totalRelCol.map(c => col(c).cast("long").as("__tr")).toSeq: _*)
+    // AP@k truncates the RANKING at k, so with the min(R, k) normalizer
+    // rows past rank k must not contribute terms — a caller passing a
+    // deeper hit table would otherwise accumulate every relevant
+    // position while still dividing by min(R, k), silently inflating
+    // the score above the metric's definition (it could even exceed
+    // 1.0). Filtering here also keeps the cumulative-hit window
+    // consistent: cum_rel_i at each kept rank counts hits within the
+    // cutoff only. The unnormalized form keeps the full ranking — its
+    // D = n_rel normalizer is defined over whatever was retrieved.
+    val base = totalRelCol.fold(all)(_ => all.filter(col("r") <= k.toLong))
     val terms = base.withColumn("__term",
       col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
         col("r").cast("double"))

@@ -315,4 +315,21 @@ object Knn {
     require(pageSize >= 1, s"pageSize ($pageSize) must be >= 1")
     points.filter(col(idCol) > cursor).orderBy(col(idCol)).limit(pageSize)
   }
+
+  /** Point lookup by explicit ids (the Qdrant `retrieve` API): the
+    * payload rows of a request-supplied id batch, id-ordered. Ids the
+    * store does not hold are silently absent from the page — the
+    * client diffs, exactly the real API's contract. The batch is
+    * request-sized (a literal list in the call), so it compiles to an
+    * `In` predicate the parquet scan serves via PushedFilters —
+    * footer min/max skips whole files on an id-clustered layout
+    * ([[graft.ops.Store.compact]]) and no join or shuffle exists at
+    * any corpus size; only `orderBy` on the page-sized result
+    * remains. A MILLION-id batch would instead broadcast-semi-join an
+    * id frame, but that is a bulk export, not the point-lookup verb.
+    */
+  def retrievePoints(points: DataFrame, idCol: String, ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "retrievePoints: the id batch must be non-empty")
+    points.filter(col(idCol).isin(ids: _*)).orderBy(col(idCol))
+  }
 }

@@ -289,6 +289,24 @@ object TextAnalysis {
         round(col("tfidf_raw"), 6).as("tfidf"))
   }
 
+  /** The ONE percentile-threshold expression [[adaptiveQualityFilter]]
+    * and [[curriculumStages]] share: exact `percentile` (p·(n−1)
+    * linear interpolation ≡ DuckDB `quantile_cont` — what makes the
+    * oracles transliterations) or, with `approxAccuracy` set, the
+    * 100 TB path `approx_percentile` — sketch state O(accuracy) per
+    * partition regardless of distinct-value count, rank error
+    * ≤ 1/accuracy, returns a corpus ELEMENT (no interpolation). Both
+    * quantize to 6 dp BEFORE any comparison, the cross-engine
+    * threshold discipline.
+    */
+  private def pctile(c: String, p: Double, approxAccuracy: Option[Int]): Column =
+    round(approxAccuracy match {
+      case None => expr(s"percentile($c, $p)")
+      case Some(acc) =>
+        require(acc >= 1, s"approxAccuracy ($acc) must be >= 1")
+        expr(s"approx_percentile($c, $p, $acc)").cast("double")
+    }, 6)
+
   /** Data-driven variant of [[qualityFilter]]: the cutoffs are corpus
     * PERCENTILES instead of fixed constants — fixed thresholds silently
     * flip from trimming tails to trimming halves when the domain shifts
@@ -305,19 +323,24 @@ object TextAnalysis {
     *
     * Scale note: exact-percentile state is O(distinct values) per
     * partition — bounded for integer-ish signals like token counts. For
-    * a continuous signal over a 100 TB corpus swap in
-    * `approx_percentile`; the plan shape (per-doc stats → 1-row
-    * threshold broadcast → narrow verdict projection) is unchanged.
+    * a continuous signal over a 100 TB corpus pass `approxAccuracy`:
+    * the thresholds switch to `approx_percentile` (GK sketch, state
+    * O(accuracy) per partition regardless of distinct count, rank
+    * error ≤ 1/accuracy); the plan shape (per-doc stats → 1-row
+    * threshold broadcast → narrow verdict projection) is unchanged
+    * (spec-pinned), and verdicts can differ from the exact form only
+    * for docs whose signal falls between the two variants' thresholds
+    * (the rank-error band — property-tested).
     */
   def adaptiveQualityFilter(docs: DataFrame, idCol: String, textCol: String,
-      pLow: Double, pHigh: Double): DataFrame = {
+      pLow: Double, pHigh: Double, approxAccuracy: Option[Int] = None): DataFrame = {
     require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val stats = qualityStats(docs, idCol, textCol)
     val thr = broadcast(stats.agg(
-      round(expr(s"percentile(n_tokens, $pLow)"), 6).as("tok_lo"),
-      round(expr(s"percentile(n_tokens, $pHigh)"), 6).as("tok_hi"),
-      round(expr(s"percentile(type_token_ratio, $pLow)"), 6).as("ttr_lo")))
+      pctile("n_tokens", pLow, approxAccuracy).as("tok_lo"),
+      pctile("n_tokens", pHigh, approxAccuracy).as("tok_hi"),
+      pctile("type_token_ratio", pLow, approxAccuracy).as("ttr_lo")))
     stats.crossJoin(thr)
       .withColumn("reason",
         when(col("n_tokens") < col("tok_lo"), lit("short_tail"))
@@ -376,8 +399,12 @@ object TextAnalysis {
     * [[adaptiveQualityFilter]] discipline: exact `percentile` ≡ DuckDB
     * `quantile_cont`, rounded to 6 dp BEFORE comparison, riding the
     * plan as a 1-row broadcast aggregate), so the schedule tracks the
-    * corpus instead of hard-coding score cutoffs. Zero-token docs have
-    * no NLL and are absent, as in [[unigramLogProb]] (documented).
+    * corpus instead of hard-coding score cutoffs; `approxAccuracy`
+    * swaps in the [[pctile]] 100 TB `approx_percentile` path — the
+    * boundary row stays 1-row-broadcast and mean_nll is continuous, so
+    * this is the variant a full-corpus schedule actually runs.
+    * Zero-token docs have no NLL and are absent, as in
+    * [[unigramLogProb]] (documented).
     *
     * Scale shape = [[unigramLogProb]] (one token explode, broadcast
     * vocabulary join, one doc_id aggregation) + the 1-row boundary
@@ -388,7 +415,8 @@ object TextAnalysis {
     * `(doc_id, n_tokens, mean_nll, stage)`, stage in 1..nStages.
     */
   def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
-      minCount: Int = 5, nStages: Int = 4): DataFrame = {
+      minCount: Int = 5, nStages: Int = 4,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     require(nStages >= 2, s"nStages ($nStages) must be >= 2")
     // lazy lineage cut on the per-doc score table (the DSIR fan-out
     // discipline): the boundary aggregate AND the output rows both
@@ -403,7 +431,7 @@ object TextAnalysis {
     val scored = unigramLogProb(docs, idCol, textCol, minCount)
       .localCheckpoint(false)
     val bounds = (1 until nStages).map(i =>
-      round(expr(s"percentile(mean_nll, ${i.toDouble / nStages})"), 6).as(s"__b$i"))
+      pctile("mean_nll", i.toDouble / nStages, approxAccuracy).as(s"__b$i"))
     val thr = broadcast(scored.agg(bounds.head, bounds.tail: _*))
     val stage = (1 until nStages).reverse.foldLeft(lit(nStages.toLong): Column)(
       (acc, i) => when(col("mean_nll") <= col(s"__b$i"), lit(i.toLong)).otherwise(acc))

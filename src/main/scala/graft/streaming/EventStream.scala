@@ -317,6 +317,8 @@ object EventStream {
   def profileStream(spark: SparkSession, inputDir: String,
       storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
+    requireFreshStore(spark, storeDir, Seq("profile_batch_*", "vocab_batch_*"),
+      "profileStream", "docs in the profile-derived card")
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -581,26 +583,8 @@ object EventStream {
   def driftStream(spark: SparkSession, inputDir: String, storeDir: String,
       baseline: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    // Fail fast on a reused store: this runner has no checkpoint, so a
-    // RESTART re-lists all input as batch 0 while the prior run's
-    // vec_batch_* dirs still sit in storeDir — the cumulative glob
-    // would then union the same vectors twice and report a silently
-    // wrong PSI. A restartable monitor needs a checkpointLocation AND
-    // batch-id-stable input (the indexStream recipe); until then,
-    // refuse the foot-gun instead of corrupting the metric. Resolved
-    // via Hadoop FileSystem (not java.io.File, whose listFiles returns
-    // null for any non-local path and would silently WAIVE the guard
-    // on hdfs:// / s3a:// — exactly where a production monitor lives).
-    val storePath = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(storePath))
-        fs.globStatus(new org.apache.hadoop.fs.Path(storePath, "vec_batch_*"))
-      else null
-    require(existing == null || existing.isEmpty,
-      s"driftStream: $storeDir already holds vec_batch_* dirs from a previous " +
-        "run — reusing it would double-count vectors in the cumulative PSI; " +
-        "use a fresh store dir per stream")
+    requireFreshStore(spark, storeDir, Seq("vec_batch_*"), "driftStream",
+      "vectors in the cumulative PSI")
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -660,16 +644,59 @@ object EventStream {
       .start()
   }
 
+  /** Hadoop-FS glob of `pattern` directly under `dir` (empty when the
+    * dir itself is absent) — the ONE store-listing primitive shared by
+    * the cumulative-store guards and the sketch fold. Deliberately not
+    * `java.io.File.listFiles`, which returns null for any non-local
+    * URI and would silently turn a listing (and any guard built on it)
+    * into a no-op on hdfs:// / s3a:// — exactly where a production
+    * store lives.
+    */
+  private def listStore(storeDir: String, pattern: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, pattern)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Fail fast on a reused cumulative store: checkpoint-less runners
+    * ([[driftStream]], [[profileStream]]) renumber batches from 0 on
+    * restart while the prior run's per-batch dirs still sit in
+    * `storeDir` — the cumulative glob would then count the same rows
+    * twice and report a silently wrong metric. A restartable monitor
+    * needs a checkpointLocation AND batch-id-stable input (the
+    * indexStream recipe); until then, refuse the foot-gun instead of
+    * corrupting the metric.
+    */
+  private def requireFreshStore(spark: SparkSession, storeDir: String,
+      patterns: Seq[String], runner: String, metric: String): Unit =
+    patterns.foreach { pat =>
+      require(
+        listStore(storeDir, pat, spark.sparkContext.hadoopConfiguration).isEmpty,
+        s"$runner: $storeDir already holds $pat dirs from a previous run — " +
+          s"reusing it would double-count $metric; use a fresh store dir per stream")
+    }
+
   /** Fold the per-batch sketch files of [[cmsSketchStream]] into the
-    * running sketch (driver-side: #batches tiny binary files).
+    * running sketch (driver-side: #batches tiny binary files). Listing
+    * and reads go through the Hadoop FileSystem API ([[listStore]]) so
+    * the fold works wherever the stream wrote — the writer side still
+    * uses local NIO for its atomic temp-file move, which a production
+    * object-store deployment would swap for the FS-native commit.
     */
   def readCmsSketch(storeDir: String, depth: Int, width: Int): Array[Byte] = {
-    val dir = new java.io.File(storeDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("sketch_") && f.getName.endsWith(".bin"))
-      .sortBy(_.getName)
-    files.foldLeft(graft.functions.CmsAgg.emptyBytes(depth, width)) { (acc, f) =>
-      graft.functions.CmsAgg.mergeBytes(acc, java.nio.file.Files.readAllBytes(f.toPath))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = listStore(storeDir, "sketch_*.bin", conf).sortBy(_.getPath.getName)
+    files.foldLeft(graft.functions.CmsAgg.emptyBytes(depth, width)) { (acc, st) =>
+      val fs = st.getPath.getFileSystem(conf)
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf)
+        graft.functions.CmsAgg.mergeBytes(acc, buf)
+      } finally in.close()
     }
   }
 

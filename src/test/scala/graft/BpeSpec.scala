@@ -82,6 +82,23 @@ class BpeSpec extends SparkSpec {
         s"!= trained merge 9 ${model(8)}")
   }
 
+  test("applyMerges is total: zero-token docs keep a row with empty toks (ADVICE r12)") {
+    // posexplode of an empty token array emits no rows, so without the
+    // explicit re-join a whitespace-only doc would silently vanish
+    // from the serving output — a tokenizer must answer for EVERY doc
+    // it was handed, with [] for empty text, not absence.
+    val docs = Seq((1L, "a b a b"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val out = Bpe.applyMerges(docs, "doc_id", "text", Seq(("a", "b")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(out.map(_._1).toList == List(1L, 2L, 3L),
+      s"output must cover every input doc: ${out.toList}")
+    assert(out(1)._2.isEmpty && out(2)._2.isEmpty,
+      s"zero-token docs must segment to []: ${out.toList}")
+    assert(out(0)._2 == List("a\u0001b", "a\u0001b"),
+      s"merged doc wrong: ${out.toList}")
+  }
+
   test("degenerate single-token corpus fails loudly") {
     val docs = Seq((1L, "only"), (2L, "single")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

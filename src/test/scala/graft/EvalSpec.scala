@@ -116,6 +116,22 @@ class EvalSpec extends SparkSpec {
     assert(un == 1.0, s"un-normalized AP must stay n_rel-relative: $un")
   }
 
+  test("AP@k truncates a deeper hit table at rank k (ADVICE r12)") {
+    // rel at ranks 1 and 7 with R=2, k=5: the rank-7 hit is OUTSIDE
+    // the cutoff, so AP@5 = (1/1)/min(2,5) = 0.5 and n_rel counts
+    // within-k hits only. Before the truncation fix the term 2/7
+    // leaked in while the normalizer stayed min(R, k) — 0.642857,
+    // above the metric's definition.
+    val deep = Seq(
+      (1L, 1L, 1, 2L), (1L, 2L, 0, 2L), (1L, 3L, 0, 2L), (1L, 4L, 0, 2L),
+      (1L, 5L, 0, 2L), (1L, 6L, 0, 2L), (1L, 7L, 1, 2L), (1L, 8L, 0, 2L))
+      .toDF("query_id", "rank", "rel", "total_rel")
+    val r = Eval.apAtK(deep, "query_id", "rank", "rel",
+        totalRelCol = Some("total_rel"), k = 5).first()
+    assert(r.getLong(1) == 1L, s"n_rel must count within-k hits only: $r")
+    assert(r.getDouble(2) == 0.5, s"AP@5 must ignore the rank-7 hit: $r")
+  }
+
   test("nDCG is invariant to input partitioning (deterministic fold order)") {
     val hits = Seq((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0))
       .toDF("query_id", "rank", "rel")

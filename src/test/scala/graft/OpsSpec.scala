@@ -73,6 +73,38 @@ class OpsSpec extends SparkSpec {
       s"replay must converge: once=$once twice=$twice")
   }
 
+  test("cumulative-store streams refuse a reused store dir (ADVICE r12)") {
+    // driftStream and profileStream are checkpoint-less: a restart
+    // renumbers batches from 0 while the prior run's per-batch dirs
+    // persist, so the cumulative glob would double-count rows. Both
+    // runners must fail fast on a non-fresh store instead of emitting
+    // a silently wrong metric — profileStream gained the same guard
+    // driftStream already had.
+    val in = java.nio.file.Files.createTempDirectory("stale-in").toString
+    val store = java.nio.file.Files.createTempDirectory("stale-st").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store, "profile_batch_0"))
+    val e = intercept[IllegalArgumentException] {
+      EventStream.profileStream(spark, in, store)
+    }
+    assert(e.getMessage.contains("profile_batch_*"), e.getMessage)
+    val store2 = java.nio.file.Files.createTempDirectory("stale-st2").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store2, "vocab_batch_3"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventStream.profileStream(spark, in, store2)
+    }
+    assert(e2.getMessage.contains("vocab_batch_*"), e2.getMessage)
+    val store3 = java.nio.file.Files.createTempDirectory("stale-st3").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store3, "vec_batch_1"))
+    val e3 = intercept[IllegalArgumentException] {
+      EventStream.driftStream(spark, in, store3,
+        Seq((0L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding"))
+    }
+    assert(e3.getMessage.contains("vec_batch_*"), e3.getMessage)
+  }
+
   test("upsert stream restart: checkpoint resumes past committed batches") {
     // Without a checkpoint a restarted upsertStream re-lists the whole
     // input dir as batch 0 — value-idempotent (pin above) but a
@@ -1057,6 +1089,78 @@ class OpsSpec extends SparkSpec {
     val withEmpty = docs.union(Seq((99L, "   ")).toDF("doc_id", "text"))
     assert(TextAnalysis.curriculumStages(withEmpty, "doc_id", "text", 1, 4)
       .filter(col("doc_id") === 99L).count() == 0L)
+  }
+
+  test("approx-percentile variants: same plan shape, divergence only inside the rank-error band") {
+    // The 100x-scale path the docstrings prescribe, as a TESTED code
+    // path: approxAccuracy swaps percentile -> approx_percentile in
+    // the 1-row threshold broadcast and must change NOTHING else.
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val docs = Tables.documents(spark, sf0001)
+    // --- curriculumStages ---
+    val exact = TextAnalysis.curriculumStages(docs, "doc_id", "text", 1, 4)
+    val approx = TextAnalysis.curriculumStages(docs, "doc_id", "text", 1, 4,
+      approxAccuracy = Some(1000))
+    val (pe, pa) = (fmt(exact), fmt(approx))
+    assert(pa.contains("approx_percentile") && !pe.contains("approx_percentile"))
+    // plan SHAPE pin: same exchange count, and neither variant plans a
+    // global sort or window for the boundary (the no-ntile promise)
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(pe) == exchanges(pa),
+      s"approx variant changed the exchange count: exact=$pe\napprox=$pa")
+    assert(!pa.contains("Window"), s"approx boundary must not plan a window:\n$pa")
+    // rank-invariance: stages form a monotone partition of mean_nll
+    // under BOTH variants, and a doc's stage can differ between them
+    // only if its score sits between the two variants' boundaries —
+    // i.e. within the approx sketch's rank-error band
+    val e = exact.collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val a = approx.collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(e.keySet == a.keySet, "variants must cover the same docs")
+    for (m <- Seq(e, a)) {
+      val byNll = m.values.toSeq.sortBy(_._1)
+      assert(byNll.map(_._2) == byNll.map(_._2).sorted,
+        s"stage must stay monotone in mean_nll: $m")
+    }
+    val moved = e.keys.filter(k => e(k)._2 != a(k)._2)
+    // boundary band per stage pair: [min, max] of the two variants'
+    // adjacent-stage score extremes — a moved doc must sit where the
+    // two boundary choices disagree
+    for (k <- moved) {
+      val (lo, hi) = (math.min(e(k)._2, a(k)._2), math.max(e(k)._2, a(k)._2))
+      val maxBelow = math.max(
+        e.values.filter(_._2 <= lo).map(_._1).max,
+        a.values.filter(_._2 <= lo).map(_._1).max)
+      val minAbove = math.min(
+        e.values.filter(_._2 >= hi).map(_._1).min,
+        a.values.filter(_._2 >= hi).map(_._1).min)
+      assert(e(k)._1 >= minAbove - 1e-9 || e(k)._1 <= maxBelow + 1e-9,
+        s"doc $k moved stages (${e(k)._2} -> ${a(k)._2}) outside the boundary band")
+    }
+    // --- adaptiveQualityFilter: verdicts differ only for docs whose
+    // deciding signal lies between the two variants' thresholds ---
+    val fe = TextAnalysis.adaptiveQualityFilter(docs, "doc_id", "text", 0.1, 0.9)
+    val fa = TextAnalysis.adaptiveQualityFilter(docs, "doc_id", "text", 0.1, 0.9,
+      approxAccuracy = Some(1000))
+    assert(fmt(fa).contains("approx_percentile"))
+    assert(exchanges(fmt(fe)) == exchanges(fmt(fa)),
+      "adaptive cascade: approx variant changed the exchange count")
+    case class V(nTok: Long, ttr: Double, tokLo: Double, tokHi: Double,
+      ttrLo: Double, keep: Boolean)
+    def read(df: org.apache.spark.sql.DataFrame) = df.collect().map(r => r.getLong(0) ->
+      V(r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(7))).toMap
+    val (ve, va) = (read(fe), read(fa))
+    assert(ve.keySet == va.keySet)
+    val flipped = ve.keys.filter(k => ve(k).keep != va(k).keep)
+    for (k <- flipped) {
+      val (x, y) = (ve(k), va(k))
+      val inBand =
+        (x.nTok >= math.min(x.tokLo, y.tokLo) && x.nTok <= math.max(x.tokLo, y.tokLo)) ||
+        (x.nTok >= math.min(x.tokHi, y.tokHi) && x.nTok <= math.max(x.tokHi, y.tokHi)) ||
+        (x.ttr >= math.min(x.ttrLo, y.ttrLo) && x.ttr <= math.max(x.ttrLo, y.ttrLo))
+      assert(inBand, s"doc $k flipped keep outside the threshold band: exact=$x approx=$y")
+    }
   }
 
   test("ngramDiversity: hand-computed counts, ratios, entropy; short docs skip high n") {

@@ -85,6 +85,28 @@ class ServingApiSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"page not TakeOrdered:\n$plan")
   }
 
+  test("retrievePoints: id-batch lookup, absent ids absent, In predicate pushed") {
+    val pts = (1L to 25L).map(i => (i, s"v$i")).toDF("id", "v")
+    val got = Knn.retrievePoints(pts, "id", Seq(17L, 3L, 99L, 8L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "v3"), (8L, "v8"), (17L, "v17")),
+      s"page must hold exactly the present ids, id-ordered: $got")
+    val e = intercept[IllegalArgumentException] {
+      Knn.retrievePoints(pts, "id", Seq.empty)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    // the id batch must reach the parquet scan as an In predicate —
+    // the lookup is a pruned scan, not a join over the corpus
+    val dir = java.nio.file.Files.createTempDirectory("retrieve").toString + "/t"
+    pts.write.parquet(dir)
+    val plan = Knn.retrievePoints(spark.read.parquet(dir), "id", Seq(3L, 8L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("In(id, [3,8])"),
+      s"id batch not pushed to the scan:\n$plan")
+    assert(!plan.contains("Join"), s"a point lookup must not plan a join:\n$plan")
+  }
+
   test("recommend ranks by the contrastive pseudo-query and excludes examples") {
     // pos p1=(1,0), neg p4=(-1,0) → pseudo-query (1,0)·2/… direction (1,0):
     // p3 (0.7,0.7) scores ~0.707 over p2 (0,1) at 0 — and p1/p4 must not appear
