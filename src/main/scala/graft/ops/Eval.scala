@@ -107,6 +107,12 @@ object Eval {
     * when R is unknowable; prefer the normalized form whenever gold
     * counts exist.
     *
+    * THE CUTOFF k APPLIES IN BOTH FORMS: any `k >= 1` truncates the
+    * ranking at rank k before terms accumulate (so the unnormalized
+    * D = n_rel counts relevant hits within the top-k, as stated
+    * above); `k = 0` (only legal without `totalRelCol`) means "no
+    * cutoff" — plain AP over the full retrieved ranking.
+    *
     * Numerics: cumulative hit counts are exact integers from a
     * partitioned window, and the final sum is a SEQUENTIAL
     * ascending-rank fold (the [[ndcgAtK]] discipline), so any engine
@@ -115,6 +121,7 @@ object Eval {
     */
   def apAtK(hits: DataFrame, queryCol: String, rankCol: String, relCol: String,
       totalRelCol: Option[String] = None, k: Int = 0): DataFrame = {
+    require(k >= 0, s"apAtK: the cutoff k ($k) must be >= 0 (0 = no cutoff)")
     require(totalRelCol.isEmpty || k >= 1,
       s"apAtK: the cutoff k ($k) must be >= 1 when totalRelCol is given — " +
         "the standard normalizer is min(total relevant, k)")
@@ -130,9 +137,11 @@ object Eval {
     // the score above the metric's definition (it could even exceed
     // 1.0). Filtering here also keeps the cumulative-hit window
     // consistent: cum_rel_i at each kept rank counts hits within the
-    // cutoff only. The unnormalized form keeps the full ranking — its
-    // D = n_rel normalizer is defined over whatever was retrieved.
-    val base = totalRelCol.fold(all)(_ => all.filter(col("r") <= k.toLong))
+    // cutoff only. The truncation is a property of k, not of the
+    // normalizer choice: the unnormalized form with k >= 1 is
+    // "AP over the top-k retrieved" (D = n_rel within the cutoff);
+    // only k = 0 keeps the full ranking.
+    val base = if (k >= 1) all.filter(col("r") <= k.toLong) else all
     val terms = base.withColumn("__term",
       col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
         col("r").cast("double"))

@@ -1128,12 +1128,15 @@ class OpsSpec extends SparkSpec {
     // two boundary choices disagree
     for (k <- moved) {
       val (lo, hi) = (math.min(e(k)._2, a(k)._2), math.max(e(k)._2, a(k)._2))
-      val maxBelow = math.max(
-        e.values.filter(_._2 <= lo).map(_._1).max,
-        a.values.filter(_._2 <= lo).map(_._1).max)
-      val minAbove = math.min(
-        e.values.filter(_._2 >= hi).map(_._1).min,
-        a.values.filter(_._2 >= hi).map(_._1).min)
+      // maxOption/minOption: a side with no docs at/below lo (or
+      // at/above hi) degrades to an always-satisfied bound instead of
+      // throwing on an unlucky corpus/stage split
+      def maxAt(m: Map[Long, (Double, Long)], p: Long => Boolean) =
+        m.values.filter(v => p(v._2)).map(_._1).maxOption.getOrElse(Double.NegativeInfinity)
+      def minAt(m: Map[Long, (Double, Long)], p: Long => Boolean) =
+        m.values.filter(v => p(v._2)).map(_._1).minOption.getOrElse(Double.PositiveInfinity)
+      val maxBelow = math.max(maxAt(e, _ <= lo), maxAt(a, _ <= lo))
+      val minAbove = math.min(minAt(e, _ >= hi), minAt(a, _ >= hi))
       assert(e(k)._1 >= minAbove - 1e-9 || e(k)._1 <= maxBelow + 1e-9,
         s"doc $k moved stages (${e(k)._2} -> ${a(k)._2}) outside the boundary band")
     }
