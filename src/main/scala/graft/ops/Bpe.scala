@@ -118,6 +118,14 @@ object Bpe {
     * localCheckpoints (the [[trainMerges]] per-round rule, amortized)
     * — a realistically sized model (hundreds of merges) must not hand
     * Catalyst a hundreds-deep nested plan.
+    *
+    * CONTRACT: `idCol` must be UNIQUE over `docs`. The totality
+    * re-join keys both sides on `doc_id`, so d copies of one id
+    * multiply into d² output rows (each left copy matches every
+    * segmented copy) — a silent row explosion, not an error. Callers
+    * with possibly-duplicated ids must dedup first; this method does
+    * NOT `distinct` for them, because on the honest unique-id corpus
+    * that would burn an extra id-sized exchange per call.
     */
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {

@@ -152,13 +152,29 @@ object Eval {
       case None => col("n_rel").cast("double")
       case Some(_) => least(col("__tr"), lit(k.toLong)).cast("double")
     }
-    terms.groupBy(col("query_id"))
+    val scored = terms.groupBy(col("query_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("query_id"), col("n_rel"),
         round(when(col("n_rel") >= 1,
             aggregate(col("__ps"), lit(0.0d), (acc, p) => acc + p.getField("t")) /
               denom)
           .otherwise(lit(0.0d)), 6).as("ap"))
+    // The cutoff filter removes EVERY row of a query whose retrieved
+    // ranks all exceed k, so `scored` would silently drop that query —
+    // and a MAP taken as the mean over output rows would be inflated.
+    // Re-attach such queries with the documented ap = 0.0 / n_rel = 0
+    // (exactly what a query with zero within-k relevant hits scores):
+    // one output row per input query, always. The query universe is a
+    // query-count-sized aggregate, and the join keys both sides on
+    // query_id, so the re-attach costs one small exchange only when a
+    // cutoff is in effect (k = 0 keeps every row — no join needed).
+    if (k >= 1) {
+      all.select(col("query_id")).distinct()
+        .join(scored, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("ap"), lit(0.0d)).as("ap"))
+    } else scored
   }
 
   /** E8: macro averages; 0.0 on empty input for parity with the

@@ -607,16 +607,19 @@ object EventStream {
 
   /** Incremental Count–Min maintenance: each micro-batch's tokens
     * aggregate into ONE bounded sketch, persisted as
-    * `sketch_<batchId>.bin` (write-temp + atomic move; a replayed batch
-    * overwrites its own file — idempotent, the foreachBatch
-    * exactly-once-EFFECT contract). The running sketch is the merge of
-    * the per-batch files, and because the sketch is a mergeable summary
-    * (element-wise add), the merged result is BIT-IDENTICAL to a batch
-    * build over everything seen, for any micro-batch slicing — the
-    * `stream_cms` oracle. State per batch is O(depth·width) bytes
-    * regardless of stream volume; nothing vocabulary-sized ever
-    * accumulates. This is the streaming half of corpus monitoring:
-    * continuous term-frequency estimates over an ingest firehose.
+    * `sketch_<batchId>.bin` (write-temp + atomic overwrite-rename via
+    * the Hadoop `FileContext` API, so the commit keeps its atomicity
+    * contract on HDFS/object stores, not just the local disk; a
+    * replayed batch overwrites its own file — idempotent, the
+    * foreachBatch exactly-once-EFFECT contract). The running sketch is
+    * the merge of the per-batch files, and because the sketch is a
+    * mergeable summary (element-wise add), the merged result is
+    * BIT-IDENTICAL to a batch build over everything seen, for any
+    * micro-batch slicing — the `stream_cms` oracle. State per batch is
+    * O(depth·width) bytes regardless of stream volume; nothing
+    * vocabulary-sized ever accumulates. This is the streaming half of
+    * corpus monitoring: continuous term-frequency estimates over an
+    * ingest firehose.
     */
   def cmsSketchStream(spark: SparkSession, inputDir: String, storeDir: String,
       depth: Int, width: Int): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -624,7 +627,9 @@ object EventStream {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    dir.getFileSystem(hconf).mkdirs(dir)
     spark.readStream.schema(docSchema).parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -633,12 +638,18 @@ object EventStream {
           .select(explode(graft.ops.Dedup.tokens(col("text"))).as("term"))
           .agg(graft.functions.CmsAgg.cmsAgg(col("term"), depth, width))
           .first().getAs[Array[Byte]](0)
-        val tmp = java.nio.file.Paths.get(storeDir, s".sketch_$batchId.tmp")
-        java.nio.file.Files.write(tmp, sk)
-        java.nio.file.Files.move(tmp,
-          java.nio.file.Paths.get(storeDir, s"sketch_$batchId.bin"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val fs = dir.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".sketch_$batchId.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(sk) finally out.close()
+        // FileContext.rename(OVERWRITE) is the FS-portable atomic
+        // replace; plain FileSystem.rename refuses an existing dst on
+        // HDFS, and delete-then-rename would open a missing-file window
+        // a concurrent readCmsSketch fold could observe.
+        org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+          .rename(tmp, new org.apache.hadoop.fs.Path(dir, s"sketch_$batchId.bin"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         ()
       }
       .start()
@@ -681,13 +692,16 @@ object EventStream {
 
   /** Fold the per-batch sketch files of [[cmsSketchStream]] into the
     * running sketch (driver-side: #batches tiny binary files). Listing
-    * and reads go through the Hadoop FileSystem API ([[listStore]]) so
-    * the fold works wherever the stream wrote — the writer side still
-    * uses local NIO for its atomic temp-file move, which a production
-    * object-store deployment would swap for the FS-native commit.
+    * and reads go through the Hadoop FileSystem API ([[listStore]])
+    * under `conf` — defaulting to the active session's Hadoop
+    * configuration so `fs.defaultFS` / `fs.s3a.*` credentials the job
+    * was launched with reach the sketch fold (a bare
+    * `new Configuration()` would silently drop them and fail or
+    * mis-resolve on any non-local store).
     */
-  def readCmsSketch(storeDir: String, depth: Int, width: Int): Array[Byte] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def readCmsSketch(storeDir: String, depth: Int, width: Int,
+      conf: org.apache.hadoop.conf.Configuration =
+        SparkSession.active.sparkContext.hadoopConfiguration): Array[Byte] = {
     val files = listStore(storeDir, "sketch_*.bin", conf).sortBy(_.getPath.getName)
     files.foldLeft(graft.functions.CmsAgg.emptyBytes(depth, width)) { (acc, st) =>
       val fs = st.getPath.getFileSystem(conf)

@@ -77,6 +77,21 @@ class CmsSpec extends SparkSpec {
       .agg(CmsAgg.cmsAgg(col("term"), 4, 64)).first().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(streamed, batch),
       "micro-batch slicing must not move a single sketch cell")
+    // the atomic overwrite-rename must leave no orphaned temp files
+    val leftovers = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"orphaned temp files: ${leftovers.mkString(",")}")
+    // the fold must honor a CALLER-SUPPLIED Hadoop configuration (and,
+    // by the same code path, the session conf it defaults to): resolve
+    // the store through a scheme that exists only in the marked conf —
+    // a regression back to `new Configuration()` cannot resolve it
+    val marked = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    marked.set("fs.graftcms.impl", classOf[GraftCmsTestFs].getName)
+    val viaMarked = graft.streaming.EventStream.readCmsSketch(
+      s"graftcms:$store", 4, 64, marked)
+    assert(java.util.Arrays.equals(viaMarked, batch),
+      "readCmsSketch must resolve the store through the conf it was given")
   }
 
   test("graft_cms / graft_cms_estimate callable from SQL; bad params rejected") {
@@ -104,4 +119,13 @@ class CmsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+}
+
+/** Test-only FileSystem registered under the `graftcms:` scheme by the
+  * marked-configuration pin above — local-disk semantics, but resolvable
+  * ONLY through a Configuration that carries `fs.graftcms.impl`, so a
+  * sketch fold that ignores the conf it was given cannot read through it.
+  */
+class GraftCmsTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcms:///")
 }

@@ -132,6 +132,50 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.5, s"AP@5 must ignore the rank-7 hit: $r")
   }
 
+  test("AP@k truncation applies to the UNNORMALIZED form too (r14 branch)") {
+    // Same deep table, no totalRelCol: with k = 5 the rank-7 hit is
+    // outside the cutoff, so D = n_rel WITHIN the top-k = 1 and
+    // AP@5 = (1/1)/1 = 1.0. Before the r14 truncation the term 2/7
+    // leaked in (n_rel = 2, ap = 0.642857) — this pins the branch for
+    // the default form, which no prior case exercised with k >= 1.
+    val deep = Seq(
+      (1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0),
+      (1L, 5L, 0), (1L, 6L, 0), (1L, 7L, 1), (1L, 8L, 0))
+      .toDF("query_id", "rank", "rel")
+    val r = Eval.apAtK(deep, "query_id", "rank", "rel", k = 5).first()
+    assert(r.getLong(1) == 1L, s"unnormalized n_rel must truncate at k: $r")
+    assert(r.getDouble(2) == 1.0, s"unnormalized AP@5 must ignore rank 7: $r")
+  }
+
+  test("AP@k emits ap = 0.0 for a query whose hits ALL sit past the cutoff") {
+    // q1 scores normally; q2's only hits are at ranks 6-7 > k = 5, so
+    // the cutoff filter removes every q2 row — the output must still
+    // carry q2 with (n_rel = 0, ap = 0.0) instead of dropping it, or a
+    // MAP computed as the mean over output rows is silently inflated.
+    val hits = Seq(
+      (1L, 1L, 1, 2L), (1L, 2L, 1, 2L),
+      (2L, 6L, 1, 2L), (2L, 7L, 1, 2L))
+      .toDF("query_id", "rank", "rel", "total_rel")
+    val m = Eval.apAtK(hits, "query_id", "rank", "rel",
+        totalRelCol = Some("total_rel"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m.keySet == Set(1L, 2L), s"one output row per input query: $m")
+    assert(m(1L) == ((2L, 1.0)), s"q1: ${m(1L)}")
+    assert(m(2L) == ((0L, 0.0)), s"q2 (all hits past k): ${m(2L)}")
+    // the unnormalized form with a cutoff must keep the query too
+    val un = Eval.apAtK(hits.drop("total_rel"), "query_id", "rank", "rel", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(un(2L) == ((0L, 0.0)), s"unnormalized q2 must survive: ${un(2L)}")
+  }
+
+  test("AP@k rejects a negative cutoff") {
+    val hits = Seq((1L, 1L, 1)).toDF("query_id", "rank", "rel")
+    val e = intercept[IllegalArgumentException] {
+      Eval.apAtK(hits, "query_id", "rank", "rel", k = -1)
+    }
+    assert(e.getMessage.contains("must be >= 0"), e.getMessage)
+  }
+
   test("nDCG is invariant to input partitioning (deterministic fold order)") {
     val hits = Seq((1L, 1L, 1), (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0))
       .toDF("query_id", "rank", "rel")

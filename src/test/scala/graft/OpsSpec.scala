@@ -1129,8 +1129,11 @@ class OpsSpec extends SparkSpec {
     for (k <- moved) {
       val (lo, hi) = (math.min(e(k)._2, a(k)._2), math.max(e(k)._2, a(k)._2))
       // maxOption/minOption: a side with no docs at/below lo (or
-      // at/above hi) degrades to an always-satisfied bound instead of
-      // throwing on an unlucky corpus/stage split
+      // at/above hi) contributes ∓infinity — the NEUTRAL element under
+      // the outer max/min, so the other side's bound stands alone
+      // instead of the empty side throwing on an unlucky corpus/stage
+      // split (and with BOTH sides empty that disjunct simply never
+      // fires — stricter, not vacuous)
       def maxAt(m: Map[Long, (Double, Long)], p: Long => Boolean) =
         m.values.filter(v => p(v._2)).map(_._1).maxOption.getOrElse(Double.NegativeInfinity)
       def minAt(m: Map[Long, (Double, Long)], p: Long => Boolean) =
