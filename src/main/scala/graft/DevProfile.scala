@@ -18,7 +18,8 @@ object DevProfile {
     "lsh" -> profileLsh,
     "sessionize" -> profileSessionize,
     "cluster" -> profileCluster,
-    "interference" -> profileInterference)
+    "interference" -> profileInterference,
+    "mmneardup" -> profileMmNearDup)
 
   def main(args: Array[String]): Unit = {
     val stage = args.headOption.getOrElse("flagship")
@@ -90,6 +91,23 @@ object DevProfile {
     val ver = Dedup.verifyJaccard(cands, sh)
     time("verifyJaccard.count")(println("  n=" + ver.count()))
     time("pairs>=0.5.count")(println("  n=" + ver.filter(col("jaccard") >= 0.5).count()))
+  }
+
+  /** Multimodal near-dup: signature stage vs pair stage apportioning.
+    * (This bisect is how the positional-window feature explode was
+    * caught at 372 µs/doc of interpreted-HOF cost — see the rejected
+    * designs note in [[Multimodal.perceptualHash]]'s scaladoc.)
+    */
+  private def profileMmNearDup(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = Multimodal.perceptualHash(docs, "doc_id", "text")
+    time("perceptualHash.count")(println("  n=" + sig.count()))
+    time("perceptualHash warm")(println("  n=" + sig.count()))
+    // NOTE: nearDupPairs eagerly localCheckpoints the signature at
+    // CONSTRUCTION time, so this block times only the pair stage; add
+    // the perceptualHash row above for the full-query picture
+    val full = Multimodal.nearDupPairs(docs, "doc_id", "text", 12, 4)
+    time("nearDupPairs pair stage")(println("  n=" + full.count()))
   }
 
   /** Event sessionization: window-lag baseline vs the full operator. */

@@ -82,7 +82,8 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [copies=10]")
+    require(args.length >= 2,
+      "usage: ScaleGen <srcSfDir> <dstDir> [copies=10] [table ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,12 +93,25 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    inflate(spark, args(0), args(1), if (args.length > 2) args(2).toInt else 10)
+    inflate(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10,
+      if (args.length > 3) args.drop(3).toSet else AllTables)
     spark.stop()
   }
 
-  /** The whole generator as a library call (spec-testable). */
-  def inflate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+  private val AllTables: Set[String] = Set(
+    "documents", "embeddings", "events", "lineitem", "orders", "customer",
+    "part", "supplier", "nation", "region")
+
+  /** The whole generator as a library call (spec-testable). `tables`
+    * restricts which tables are inflated — a decade smoke of the
+    * serving family only needs documents+embeddings, not a 10×
+    * lineitem rewrite.
+    */
+  def inflate(spark: SparkSession, src: String, dst: String, copies: Int,
+      tables: Set[String] = AllTables): Unit = {
+    val unknown = tables -- AllTables
+    require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")
     require(copies >= 1 && copies <= 100,
       s"copies ($copies) must be in [1, 100] — the per-replica text bijection " +
         "has exactly 100 distinct mappings; beyond that replicas repeat verbatim " +
@@ -116,7 +130,7 @@ object ScaleGen {
     // the SAME marker, so intra-replica near-dup structure is unchanged
     // (one extra shared token), while cross-replica texts can never be
     // verbatim equal.
-    locally {
+    if (tables("documents")) {
       val docs = Tables.documents(spark, src)
       val stride = strideOf(docs, "doc_id")
       val rot = (1 until copies).foldLeft(when(col("__k") === 0, col("text"))) {
@@ -133,7 +147,7 @@ object ScaleGen {
     }
 
     // embeddings: re-key + per-replica deterministic per-dim scaling
-    locally {
+    if (tables("embeddings")) {
       val emb = Tables.embeddings(spark, src)
       val stride = strideOf(emb, "vec_id")
       write(
@@ -161,7 +175,7 @@ object ScaleGen {
     }
 
     // events: copies× users at the same per-user event volume
-    locally {
+    if (tables("events")) {
       val ev = Tables.events(spark, src)
       val evStride = strideOf(ev, "event_id")
       val userStride = strideOf(ev, "user_id")
@@ -174,24 +188,24 @@ object ScaleGen {
     }
 
     // fact tables: order/customer keys re-keyed in lockstep
-    locally {
+    if (tables("lineitem") || tables("orders") || tables("customer")) {
       val li = Tables.lineitem(spark, src)
       val ord = Tables.orders(spark, src)
       val cust = Tables.customer(spark, src)
       val okStride = strideOf(ord, "o_orderkey")
       val ckStride = strideOf(cust, "c_custkey")
-      write(
+      if (tables("lineitem")) write(
         withReplica(li, copies)
           .withColumn("l_orderkey", rekey("l_orderkey", okStride))
           .drop("__k"),
         "lineitem")
-      write(
+      if (tables("orders")) write(
         withReplica(ord, copies)
           .withColumn("o_orderkey", rekey("o_orderkey", okStride))
           .withColumn("o_custkey", rekey("o_custkey", ckStride))
           .drop("__k"),
         "orders")
-      write(
+      if (tables("customer")) write(
         withReplica(cust, copies)
           .withColumn("c_custkey", rekey("c_custkey", ckStride))
           .drop("__k"),
@@ -199,7 +213,7 @@ object ScaleGen {
     }
 
     // dimensions stay broadcast-small: verbatim copy
-    Seq("part", "supplier", "nation", "region").foreach { t =>
+    Seq("part", "supplier", "nation", "region").filter(tables).foreach { t =>
       write(Tables.table(spark, src, t), t)
     }
   }

@@ -1260,6 +1260,14 @@ object SparkEntryExt {
       Multimodal.sampleFrames(Tables.documents(s, d).filter(col("doc_id") < 50),
           "doc_id", "text", frameSize = 64)
         .orderBy(col("doc_id"), col("frame_id"))),
+    // multimodal near-dup: aHash-style 32-bit perceptual signature over
+    // the media stand-in (proportional 32-span grid, all-integer
+    // mean threshold) -> Hamming-prefix bucket pair join — the dedup
+    // verb for the binary-column family
+    "mm_neardup" -> ((s, d) =>
+      Multimodal.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          prefixBits = 12, maxHamming = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_correlation" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
@@ -1905,6 +1913,12 @@ object SparkEntryExt {
     // substring dedup; what survives is the corpus's unique content
     "dedup_spans_cut" -> ((s, d) =>
       Dedup.cutDupSpans(Tables.documents(s, d), "doc_id", "text", n = spanN)),
+    // keep-one span cutting: the Lee-et-al. keep-first-copy variant —
+    // per duplicated span identity (hash of the verbatim island slice)
+    // the minimal (doc_id, start) occurrence keeps its text, every
+    // later occurrence is cut; singleton identities are kept
+    "dedup_spans_keep" -> ((s, d) =>
+      Dedup.keepOneDupSpans(Tables.documents(s, d), "doc_id", "text", n = spanN)),
     // incremental substring dedup: the NEW batch (doc_id % 10 == 3,
     // the dedup_incremental split) flagged against the STORED corpus
     // gram-df index — batch-sized work per increment; equals the full
@@ -2951,6 +2965,30 @@ object SparkEntryExt {
          |  WHERE doc_id < 50)
          |WHERE length(f) > 0
          |ORDER BY doc_id, frame_id""".stripMargin,
+    "mm_neardup" ->
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN ${ngramSql("t", 2)}
+         |    ELSE [array_to_string(t, ' ')] END) AS g
+         |  FROM tl WHERE len(t) > 0),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min((((2654435761 * (j + 1)) % 2147483647) * h + j) % 2147483647) AS m
+         |  FROM (SELECT doc_id, ${h32Sql("g")} % 2147483647 AS h FROM grams),
+         |       (SELECT unnest(generate_series(0, 31)) AS j) s
+         |  GROUP BY doc_id, j),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN m % 2 = 1
+         |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM mh GROUP BY doc_id),
+         |bk AS (SELECT doc_id, phash, phash // 1048576 AS bucket FROM ph)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+         |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.phash, b2.phash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_correlation" ->
       """SELECT event_type,
         |  round(corr(value, k), 6) AS corr_vk,
@@ -3630,6 +3668,29 @@ object SparkEntryExt {
          |         WHERE NOT EXISTS (SELECT 1 FROM sp
          |           WHERE sp.doc_id = tp.doc_id
          |             AND tp.p BETWEEN sp.p1 AND sp.p2 + ${spanN - 1})),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM tl d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_spans_keep" ->
+      s"""WITH ${dupSpanCtes(spanN)},
+         |spt AS (SELECT sp.doc_id, sp.p1, sp.p2,
+         |          ${h32Sql(s"array_to_string(t[p1 + 1 : p2 + $spanN], ' ')")} AS sid
+         |        FROM sp JOIN tl USING (doc_id)),
+         |cuts AS (SELECT doc_id, p1, p2 FROM (
+         |          SELECT doc_id, p1, p2,
+         |            row_number() OVER (PARTITION BY sid ORDER BY doc_id, p1) AS rk
+         |          FROM spt) WHERE rk > 1),
+         |tpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+         |         FROM tl, unnest(generate_series(1, len(t))) AS s(i)),
+         |keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tpos tp
+         |         WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |           WHERE c.doc_id = tp.doc_id
+         |             AND tp.p BETWEEN c.p1 AND c.p2 + ${spanN - 1})),
          |agg AS (SELECT doc_id, count(*) AS n_kept,
          |          string_agg(tok, ' ' ORDER BY p) AS clean_text
          |        FROM keep GROUP BY doc_id)

@@ -299,8 +299,17 @@ object Dedup {
     val spans = dupSpanRows(docs, idCol, textCol, n, minDf)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("__p1"), col("__p2"))).as("__spans"))
+    applySpanCut(docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks")),
+      spans, n)
+  }
+
+  /** Shared cut tail of [[cutDupSpans]] / [[keepOneDupSpans]]: token
+    * arrays LEFT-joined to per-doc span arrays, positional filter
+    * lambda — narrow, no explode, no second corpus shuffle.
+    */
+  private def applySpanCut(toks: DataFrame, spans: DataFrame, n: Int): DataFrame = {
     val noSpans = array().cast("array<struct<__p1:long,__p2:long>>")
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    toks
       .join(spans, Seq("doc_id"), "left")
       .withColumn("__spans", coalesce(col("__spans"), noSpans))
       .withColumn("__kept", filter(col("__toks"), (t, i) =>
@@ -311,6 +320,50 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** KEEP-ONE span cutting — the Lee et al. "keep one copy" variant of
+    * [[cutDupSpans]]: for every duplicated span IDENTITY, the first
+    * occurrence in corpus order keeps its text and every later
+    * occurrence is cut. Identity is the portable [[h32]] of the
+    * island's covered token slice, and "first" is the minimal
+    * `(doc_id, start)` — a total order, so the winner set is
+    * deterministic on any partitioning.
+    *
+    * Semantics, honestly: keep-one needs a cross-doc identity, which
+    * the mosaic coverage unions of [[dupSpanRows]] only have when two
+    * islands cover the VERBATIM-identical token run (boilerplate — the
+    * overwhelmingly common case). An island whose exact extent repeats
+    * nowhere (its pieces came from different docs, or gap-merging
+    * produced different extents) has a singleton identity and is KEPT
+    * — keep-one never removes text it cannot point at another copy
+    * of. Remove-all ([[cutDupSpans]]) stays the strict variant for
+    * boilerplate that should vanish entirely.
+    *
+    * Plan: islands (duplicate-sized) equi-join the token arrays once
+    * to read their slice, one identity-keyed window picks winners
+    * (`row_number` per identity — state bounded by the copy count of
+    * the hottest span, never corpus-sized), and the loser spans feed
+    * the same [[applySpanCut]] tail. Docs appear in the output whether
+    * cut or untouched. Output: `(doc_id, n_tokens, n_kept,
+    * clean_text)`.
+    */
+  def keepOneDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDf: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val islands = dupSpanRows(docs, idCol, textCol, n, minDf)
+    val withId = islands
+      .join(toks, "doc_id")
+      .withColumn("__sid", h32(array_join(
+        slice(col("__toks"), (col("__p1") + 1).cast("int"),
+          (col("__p2") - col("__p1") + n).cast("int")), " ")))
+    val w = Window.partitionBy(col("__sid")).orderBy(col("doc_id"), col("__p1"))
+    val cuts = withId
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("__p1"), col("__p2"))).as("__spans"))
+    applySpanCut(toks, cuts, n)
   }
 
   /** Cross-source CONTAMINATION MATRIX — the audit a multi-corpus

@@ -313,18 +313,32 @@ object EventStream {
     * instead). Oracle: the finite-input card must equal the batch
     * `pipeline_data_card` — the same single-sourced SQL, third
     * consumer.
+    *
+    * RESTART: with a real `checkpointDir` the monitor is restartable —
+    * the file source resumes at the first unprocessed file AND batch
+    * ids continue from the checkpoint (batch-id-STABLE), so a restart
+    * writes new per-batch dirs, a replayed batch overwrites its OWN
+    * dir, and the cumulative glob never double-counts (the
+    * [[indexStream]] recipe; restart-pinned in OpsSpec). The
+    * checkpoint and the store must travel together: restoring one
+    * without the other re-numbers batches over surviving dirs.
+    * WITHOUT a checkpoint, batches renumber from 0 on restart while
+    * the prior run's dirs persist — that path keeps the fail-fast
+    * fresh-store guard instead of corrupting the metric.
     */
-  def profileStream(spark: SparkSession, inputDir: String,
-      storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def profileStream(spark: SparkSession, inputDir: String, storeDir: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    requireFreshStore(spark, storeDir, Seq("profile_batch_*", "vocab_batch_*"),
-      "profileStream", "docs in the profile-derived card")
+    if (checkpointDir.isEmpty)
+      requireFreshStore(spark, storeDir, Seq("profile_batch_*", "vocab_batch_*"),
+        "profileStream", "docs in the profile-derived card")
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
-    spark.readStream.schema(docSchema).parquet(inputDir)
+    val base = spark.readStream.schema(docSchema).parquet(inputDir)
       .writeStream
       .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.TextAnalysis.docProfile(batch, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$storeDir/profile_batch_$batchId")
@@ -579,18 +593,26 @@ object EventStream {
     * per-batch histogram cells — dimDrift's state is `dim x bins`
     * integer counts, a mergeable summary like the CMS path — trading
     * exactness of the pooled bucket ranges for O(batch) work.
+    *
+    * RESTART: same contract as [[profileStream]] — a real
+    * `checkpointDir` gives batch-id-stable resume (new batches → new
+    * dirs, replays overwrite their own), checkpoint-less runs keep the
+    * fail-fast fresh-store guard.
     */
   def driftStream(spark: SparkSession, inputDir: String, storeDir: String,
-      baseline: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+      baseline: DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    requireFreshStore(spark, storeDir, Seq("vec_batch_*"), "driftStream",
-      "vectors in the cumulative PSI")
+    if (checkpointDir.isEmpty)
+      requireFreshStore(spark, storeDir, Seq("vec_batch_*"), "driftStream",
+        "vectors in the cumulative PSI")
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    spark.readStream.schema(vecSchema).parquet(inputDir)
+    val base = spark.readStream.schema(vecSchema).parquet(inputDir)
       .writeStream
       .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$storeDir/vec_batch_$batchId")
@@ -672,14 +694,14 @@ object EventStream {
       .map(_.toSeq).getOrElse(Seq.empty)
   }
 
-  /** Fail fast on a reused cumulative store: checkpoint-less runners
-    * ([[driftStream]], [[profileStream]]) renumber batches from 0 on
+  /** Fail fast on a reused cumulative store: a CHECKPOINT-LESS run of
+    * [[driftStream]] / [[profileStream]] renumbers batches from 0 on
     * restart while the prior run's per-batch dirs still sit in
     * `storeDir` — the cumulative glob would then count the same rows
-    * twice and report a silently wrong metric. A restartable monitor
-    * needs a checkpointLocation AND batch-id-stable input (the
-    * indexStream recipe); until then, refuse the foot-gun instead of
-    * corrupting the metric.
+    * twice and report a silently wrong metric. The restartable path is
+    * those runners' `checkpointDir` (batch-id-stable resume, the
+    * indexStream recipe — the guard is skipped there); this refusal
+    * covers the remaining foot-gun instead of corrupting the metric.
     */
   private def requireFreshStore(spark: SparkSession, storeDir: String,
       patterns: Seq[String], runner: String, metric: String): Unit =

@@ -105,6 +105,73 @@ class OpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("vec_batch_*"), e3.getMessage)
   }
 
+  test("profile stream restart: checkpoint resumes batch-id-stable, card stays exact") {
+    // the restartable path the r13-r15 verdicts asked for: with a
+    // checkpoint, a restarted profileStream (same store) must skip the
+    // fresh-store guard, CONTINUE batch numbering (so surviving
+    // per-batch dirs never collide with new ones), count every doc
+    // exactly once across the restart, and derive the same card the
+    // one-shot batch path computes
+    val in = java.nio.file.Files.createTempDirectory("profrst-in").toString
+    val store = java.nio.file.Files.createTempDirectory("profrst-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("profrst-ck").toString
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "d e f"), (4L, "f g a"))
+      .toDF("doc_id", "text")
+    docs.filter($"doc_id" <= 2).write.mode("append").parquet(in)
+    val q1 = EventStream.profileStream(spark, in, store, checkpointDir = Some(ckpt))
+    try EventStream.drainAll(spark, q1, in) finally q1.stop()
+    docs.filter($"doc_id" > 2).write.mode("append").parquet(in)
+    val q2 = EventStream.profileStream(spark, in, store, checkpointDir = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (q2.recentProgress.iterator.map(_.numInputRows).sum < 2 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q2.processAllAvailable()
+      }
+      val batchIds = q2.recentProgress.map(_.batchId)
+      assert(batchIds.nonEmpty && batchIds.min >= 1,
+        s"restart must continue batch numbering, planned ${batchIds.toSeq}")
+    } finally q2.stop()
+    val profiles = spark.read.parquet(s"$store/profile_batch_*")
+    assert(profiles.select("doc_id").distinct().count() == 4 && profiles.count() == 4,
+      "every doc profiled exactly once across the restart")
+    def cardRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val streamed = cardRows(TextAnalysis.dataCardFromProfiles(profiles,
+      spark.read.parquet(s"$store/vocab_batch_*").distinct()))
+    val batch = cardRows(TextAnalysis.dataCardFromProfiles(
+      TextAnalysis.docProfile(docs, "doc_id", "text"),
+      docs.select(explode(Dedup.tokens($"text")).as("term")).distinct()))
+    assert(streamed == batch, s"restarted card diverged:\nstream=$streamed\nbatch=$batch")
+    // the checkpoint-less path keeps its guard (pinned above) — and a
+    // checkpointed DRIFT restart follows the same recipe
+    val vin = java.nio.file.Files.createTempDirectory("driftrst-in").toString
+    val vstore = java.nio.file.Files.createTempDirectory("driftrst-st").toString
+    val vckpt = java.nio.file.Files.createTempDirectory("driftrst-ck").toString
+    val baseline = Seq((0L, Array(0.1f, 0.2f)), (1L, Array(0.3f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq((10L, Array(0.5f, 0.6f)), (11L, Array(0.7f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    vecs.filter($"vec_id" === 10L).write.mode("append").parquet(vin)
+    val d1 = EventStream.driftStream(spark, vin, vstore, baseline, Some(vckpt))
+    try EventStream.drainAll(spark, d1, vin) finally d1.stop()
+    vecs.filter($"vec_id" === 11L).write.mode("append").parquet(vin)
+    val d2 = EventStream.driftStream(spark, vin, vstore, baseline, Some(vckpt))
+    try {
+      d2.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (d2.recentProgress.iterator.map(_.numInputRows).sum < 1 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        d2.processAllAvailable()
+      }
+    } finally d2.stop()
+    assert(spark.read.parquet(s"$vstore/vec_batch_*").count() == 2,
+      "restarted drift monitor must accumulate each vector exactly once")
+  }
+
   test("upsert stream restart: checkpoint resumes past committed batches") {
     // Without a checkpoint a restarted upsertStream re-lists the whole
     // input dir as batch 0 — value-idempotent (pin above) but a
@@ -459,6 +526,36 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, 5L, "z z z z z")), "span-free doc passes through whole")
   }
 
+  test("dedup: keep-one span cut keeps the first copy, cuts later ones, keeps singleton extents") {
+    // extends the n=2 span fixture with a third copy of the boilerplate:
+    // islands [0,1] (covers "a b c") and [4,4] (covers "e f") repeat
+    // verbatim in docs 1, 2, 6 — the minimal (doc_id, start) copy in
+    // doc 1 keeps its text, docs 2 and 6 are cut. Docs 3/4 share grams
+    // but their merged island EXTENTS differ ("g h i j" vs "g h"+"i j"),
+    // so every identity is a singleton and keep-one leaves them whole —
+    // the documented divergence from remove-all.
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x e f"), (6L, "a b c q e f"),
+      (3L, "g h i j"), (4L, "g h w i j"),
+      (5L, "z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.keepOneDupSpans(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "every doc keeps a row")
+    assert(got(1L) == ((6L, 6L, "a b c d e f")), s"first copy keeps its text: ${got(1L)}")
+    assert(got(2L) == ((6L, 1L, "x")), s"later copy cut: ${got(2L)}")
+    assert(got(6L) == ((6L, 1L, "q")), s"third copy cut: ${got(6L)}")
+    assert(got(3L) == ((4L, 4L, "g h i j")),
+      s"singleton island extent must be kept: ${got(3L)}")
+    assert(got(4L) == ((5L, 5L, "g h w i j")), s"${got(4L)}")
+    assert(got(5L) == ((5L, 5L, "z z z z z")), "span-free doc passes through whole")
+    // keep-one never removes more than remove-all does
+    val cutAll = Dedup.cutDupSpans(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, kept, _)) =>
+      assert(kept >= cutAll(id), s"doc $id: keep-one kept $kept < remove-all ${cutAll(id)}")
+    }
+  }
+
   test("dedup: incremental spans equal the full run restricted to the batch") {
     // disjoint corpus/batch id sets ⇒ corpus df + batch df = combined
     // df, so the incremental form must reproduce dupSpans(corpus ∪
@@ -575,6 +672,45 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(
       Multimodal.withMedia(docs, "doc_id", "text"), dim = 8, frameSize = 64).collect()
     assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+  }
+
+  test("multimodal near-dup: identical media at Hamming 0, edits stay close, unrelated spread") {
+    // identical payloads -> identical signature; a small mid-payload
+    // insertion (the planted-near-dup shape) must stay within a few
+    // bits because only the features overlapping the edit change
+    val base = "the quick brown fox jumps over the lazy dog again and again until dusk " * 4
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                          // exact dup
+      (3L, base.patch(60, "XY", 0)),                       // 2-char insertion
+      (4L, (1 to 40).map(i => s"z${i * 7919}").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val ph = Multimodal.perceptualHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.size == 4)
+    assert(ph(1L) == ph(2L), "identical media must hash identically")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(ph(1L), ph(3L)) <= 6,
+      s"small insertion moved ${hamming(ph(1L), ph(3L))} bits")
+    assert(hamming(ph(1L), ph(4L)) >= 8,
+      s"unrelated media only ${hamming(ph(1L), ph(4L))} bits apart")
+    // the pair verb finds the dup cluster and never an unrelated pair
+    val pairs = Multimodal.nearDupPairs(docs, "doc_id", "text",
+        prefixBits = 8, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"exact dup missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc must not pair: $pairs")
+    // signature is a pure function of content: partition-invariant
+    val again = Multimodal.perceptualHash(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ph, "signature must not depend on partitioning")
+    // degenerate inputs: empty payload drops; short payload (< gramLen)
+    // still gets a signature from its whole content
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val eh = Multimodal.perceptualHash(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eh.keySet == Set(2L), s"empty drops, short survives: $eh")
   }
 
   test("profile-backed data card equals the raw-text card row for row") {
