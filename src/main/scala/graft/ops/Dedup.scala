@@ -206,9 +206,23 @@ object Dedup {
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         posexplode(shingles(col("__toks"), n)).as(Seq("pos", "g")))
 
-  /** The span rows behind [[dupSpans]] / [[cutDupSpans]]: one row per
-    * merged island, `(doc_id, n_tokens, __p1, __p2)` — the island
-    * covers token positions `__p1 .. __p2 + n - 1`.
+  /** The span rows behind [[dupSpans]] / [[cutDupSpans]] /
+    * [[keepOneDupSpans]]: one row per merged island,
+    * `(doc_id, n_tokens, __p1, __p2)` — the island covers token
+    * positions `__p1 .. __p2 + n - 1`.
+    *
+    * SHARED-SUBTREE NOTE: each public caller derives this frame
+    * independently, and it is the expensive part of the chain (corpus
+    * explode → df filter → island merge; 77–112 s at 100× for the
+    * whole family). A pass that needs BOTH cut variants (e.g.
+    * remove-all for boilerplate + keep-one for content spans) should
+    * materialize the island rows ONCE — `df.persist()` or an eager
+    * `localCheckpoint` on this frame (it is duplicate-sized, far
+    * smaller than the corpus) — and feed both tails from the pin,
+    * instead of paying the explode+shuffle twice. Kept `private[graft]`
+    * because its `__p1/__p2` schema is an internal contract; widen it
+    * (with the tails) if composition from outside the package is ever
+    * needed.
     */
   private[graft] def dupSpanRows(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDf: Int): DataFrame = {
@@ -293,6 +307,8 @@ object Dedup {
     * corpus on doc_id; the cut itself is a positional `filter` lambda
     * over the token array — narrow, no explode, no second corpus
     * shuffle. Output: `(doc_id, n_tokens, n_kept, clean_text)`.
+    * Re-derives [[dupSpanRows]] — see its shared-subtree note when a
+    * pass also runs [[keepOneDupSpans]].
     */
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minDf: Int = 2): DataFrame = {
@@ -346,7 +362,8 @@ object Dedup {
     * the hottest span, never corpus-sized), and the loser spans feed
     * the same [[applySpanCut]] tail. Docs appear in the output whether
     * cut or untouched. Output: `(doc_id, n_tokens, n_kept,
-    * clean_text)`.
+    * clean_text)`. Re-derives [[dupSpanRows]] — see its
+    * shared-subtree note when a pass also runs [[cutDupSpans]].
     */
   def keepOneDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minDf: Int = 2): DataFrame = {

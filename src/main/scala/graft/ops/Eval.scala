@@ -135,46 +135,40 @@ object Eval {
     // deeper hit table would otherwise accumulate every relevant
     // position while still dividing by min(R, k), silently inflating
     // the score above the metric's definition (it could even exceed
-    // 1.0). Filtering here also keeps the cumulative-hit window
-    // consistent: cum_rel_i at each kept rank counts hits within the
-    // cutoff only. The truncation is a property of k, not of the
-    // normalizer choice: the unnormalized form with k >= 1 is
-    // "AP over the top-k retrieved" (D = n_rel within the cutoff);
-    // only k = 0 keeps the full ranking.
-    val base = if (k >= 1) all.filter(col("r") <= k.toLong) else all
-    val terms = base.withColumn("__term",
-      col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
-        col("r").cast("double"))
-    val aggs = sum(col("rel")).as("n_rel") +:
-      sort_array(collect_list(struct(col("r"), col("__term").as("t")))).as("__ps") +:
+    // 1.0). The truncation is a property of k, not of the normalizer
+    // choice: the unnormalized form with k >= 1 is "AP over the top-k
+    // retrieved" (D = n_rel within the cutoff); only k = 0 keeps the
+    // full ranking. The cutoff is applied CONDITIONALLY (null/zero out
+    // beyond-cutoff rows) rather than by pre-filtering, so the groupBy
+    // still sees every input query: a query whose retrieved ranks all
+    // exceed k keeps its output row with the documented n_rel = 0 /
+    // ap = 0.0 (exactly what zero within-k relevant hits scores) — one
+    // row per input query, always, in ONE pass over the hits (no
+    // second scan + re-attach join for the query universe). The
+    // cumulative window needs no guard: at any kept rank r <= k it
+    // only ever sums rows ranked <= r, all within the cutoff.
+    val inCut = if (k >= 1) col("r") <= k.toLong else lit(true)
+    val terms = all.withColumn("__term",
+      when(inCut,
+        col("rel").cast("double") * sum(col("rel")).over(w).cast("double") /
+          col("r").cast("double")))
+    // collect_list skips null inputs, so beyond-cutoff rows (null
+    // struct) neither occupy per-query memory nor contribute terms.
+    val aggs = sum(when(inCut, col("rel")).otherwise(lit(0L))).as("n_rel") +:
+      sort_array(collect_list(when(inCut,
+        struct(col("r"), col("__term").as("t"))))).as("__ps") +:
       totalRelCol.map(_ => min(col("__tr")).as("__tr")).toSeq
     val denom = totalRelCol match {
       case None => col("n_rel").cast("double")
       case Some(_) => least(col("__tr"), lit(k.toLong)).cast("double")
     }
-    val scored = terms.groupBy(col("query_id"))
+    terms.groupBy(col("query_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("query_id"), col("n_rel"),
         round(when(col("n_rel") >= 1,
             aggregate(col("__ps"), lit(0.0d), (acc, p) => acc + p.getField("t")) /
               denom)
           .otherwise(lit(0.0d)), 6).as("ap"))
-    // The cutoff filter removes EVERY row of a query whose retrieved
-    // ranks all exceed k, so `scored` would silently drop that query —
-    // and a MAP taken as the mean over output rows would be inflated.
-    // Re-attach such queries with the documented ap = 0.0 / n_rel = 0
-    // (exactly what a query with zero within-k relevant hits scores):
-    // one output row per input query, always. The query universe is a
-    // query-count-sized aggregate, and the join keys both sides on
-    // query_id, so the re-attach costs one small exchange only when a
-    // cutoff is in effect (k = 0 keeps every row — no join needed).
-    if (k >= 1) {
-      all.select(col("query_id")).distinct()
-        .join(scored, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-          coalesce(col("ap"), lit(0.0d)).as("ap"))
-    } else scored
   }
 
   /** E8: macro averages; 0.0 on empty input for parity with the

@@ -234,7 +234,15 @@ object Multimodal {
     * cannot share them and the whole scan→feature→min-hash pipeline
     * would run twice (measured ~2× the query at 100×). The pinned
     * table is one (id, long) row per doc — ~16 B/doc at any corpus
-    * size, the cheapest possible thing to materialize.
+    * size, the cheapest possible thing to materialize. CONTRACT
+    * caveats of that workaround: (1) merely CONSTRUCTING this frame
+    * runs a Spark job (the eager checkpoint materializes the
+    * signature pass at call time, not at first action); (2) the
+    * pinned blocks live in executor storage only — they do NOT
+    * survive executor loss, so on a lossy cluster a downstream action
+    * can fail with a missing-checkpoint-block error rather than
+    * recompute (use `Dataset.checkpoint` to a reliable dir if that
+    * trade-off is wrong for the deployment).
     * Output `(doc_a, doc_b, hamming)`.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,

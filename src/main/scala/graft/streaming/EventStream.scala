@@ -322,14 +322,16 @@ object EventStream {
     * [[indexStream]] recipe; restart-pinned in OpsSpec). The
     * checkpoint and the store must travel together: restoring one
     * without the other re-numbers batches over surviving dirs.
-    * WITHOUT a checkpoint, batches renumber from 0 on restart while
-    * the prior run's dirs persist — that path keeps the fail-fast
-    * fresh-store guard instead of corrupting the metric.
+    * The fresh-store guard is skipped ONLY on a genuine resume (the
+    * checkpoint has committed offsets); a FIRST run — checkpoint-less
+    * or with a brand-new checkpoint dir — still fails fast on a store
+    * holding per-batch dirs from an earlier run, because its batches
+    * would renumber from 0 over them and double-count the metric.
     */
   def profileStream(spark: SparkSession, inputDir: String, storeDir: String,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    if (checkpointDir.isEmpty)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
       requireFreshStore(spark, storeDir, Seq("profile_batch_*", "vocab_batch_*"),
         "profileStream", "docs in the profile-derived card")
     val docSchema = StructType(Seq(
@@ -362,16 +364,27 @@ object EventStream {
     * output ≡ batch output regardless of how queries are batched (the
     * `stream_search` oracle) — and each micro-batch broadcasts only
     * its own queries, never touching corpus layout.
+    *
+    * RESTART: the [[profileStream]] contract — a COMMITTED
+    * `checkpointDir` resumes batch-id-stable (replays overwrite their
+    * own `batch_*` dir, the accumulated hit store never
+    * double-counts); checkpoint-less runs and first runs keep the
+    * fail-fast fresh-store guard.
     */
   def searchStream(spark: SparkSession, inputDir: String, storeDir: String,
-      points: DataFrame, k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      points: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
+      requireFreshStore(spark, storeDir, Seq("batch_*"), "searchStream",
+        "hits in the accumulated store")
     val qSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val queries = spark.readStream.schema(qSchema).parquet(inputDir)
-    queries.writeStream
+    val base = queries.writeStream
       .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent per-batch output: foreachBatch is AT-LEAST-ONCE
         // (a failure after a partial append replays the batch), so a
@@ -400,18 +413,26 @@ object EventStream {
     * consumer pattern). Same idempotent per-batch-id output dirs as
     * [[searchStream]]. Index/search parameters are the caller's — they
     * must match how `idxPoints` was built.
+    *
+    * RESTART: the [[searchStream]] contract — committed
+    * `checkpointDir` resumes batch-id-stable; otherwise the
+    * fresh-store guard refuses a store with surviving `batch_*` dirs.
     */
   def indexedSearchStream(spark: SparkSession, inputDir: String,
       storeDir: String, idxPoints: DataFrame, points: DataFrame,
-      bits: Int, dim: Int, nprobe: Int, shortlist: Int,
-      k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      bits: Int, dim: Int, nprobe: Int, shortlist: Int, k: Int,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
+      requireFreshStore(spark, storeDir, Seq("batch_*"), "indexedSearchStream",
+        "hits in the accumulated store")
     val qSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    spark.readStream.schema(qSchema).parquet(inputDir)
+    val base = spark.readStream.schema(qSchema).parquet(inputDir)
       .writeStream
       .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.SimilaritySearch.ivfBqRerankTopK(
             batch, idxPoints, points,
@@ -594,16 +615,17 @@ object EventStream {
     * integer counts, a mergeable summary like the CMS path — trading
     * exactness of the pooled bucket ranges for O(batch) work.
     *
-    * RESTART: same contract as [[profileStream]] — a real
+    * RESTART: same contract as [[profileStream]] — a COMMITTED
     * `checkpointDir` gives batch-id-stable resume (new batches → new
-    * dirs, replays overwrite their own), checkpoint-less runs keep the
-    * fail-fast fresh-store guard.
+    * dirs, replays overwrite their own); checkpoint-less runs and
+    * first runs with a brand-new checkpoint keep the fail-fast
+    * fresh-store guard.
     */
   def driftStream(spark: SparkSession, inputDir: String, storeDir: String,
       baseline: DataFrame,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
-    if (checkpointDir.isEmpty)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
       requireFreshStore(spark, storeDir, Seq("vec_batch_*"), "driftStream",
         "vectors in the cumulative PSI")
     val vecSchema = StructType(Seq(
@@ -642,19 +664,30 @@ object EventStream {
     * vocabulary-sized ever accumulates. This is the streaming half of
     * corpus monitoring: continuous term-frequency estimates over an
     * ingest firehose.
+    *
+    * RESTART: the [[profileStream]] contract — a COMMITTED
+    * `checkpointDir` resumes batch-id-stable (a replayed batch
+    * atomically overwrites its own `sketch_*.bin`, the fold never
+    * double-counts); checkpoint-less runs and first runs keep the
+    * fail-fast fresh-store guard.
     */
   def cmsSketchStream(spark: SparkSession, inputDir: String, storeDir: String,
-      depth: Int, width: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      depth: Int, width: Int,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
+      requireFreshStore(spark, storeDir, Seq("sketch_*.bin"), "cmsSketchStream",
+        "term counts in the folded sketch")
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType)))
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     dir.getFileSystem(hconf).mkdirs(dir)
-    spark.readStream.schema(docSchema).parquet(inputDir)
+    val base = spark.readStream.schema(docSchema).parquet(inputDir)
       .writeStream
       .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sk = batch
           .select(explode(graft.ops.Dedup.tokens(col("text"))).as("term"))
@@ -694,14 +727,33 @@ object EventStream {
       .map(_.toSeq).getOrElse(Seq.empty)
   }
 
+  /** True iff `checkpointDir` is a COMMITTED streaming checkpoint —
+    * at least one entry in its `offsets/` log. Only such a checkpoint
+    * makes skipping the fresh-store guard safe: batch ids then resume
+    * where they left off, so surviving per-batch dirs are the SAME
+    * batches being replayed (idempotent overwrite), not strangers. A
+    * merely-created or empty checkpoint dir is NOT a resume — a first
+    * run whose store still holds dirs from an earlier checkpoint-less
+    * run would renumber batches from 0 over them and the cumulative
+    * glob would double-count, the exact corruption the guard exists to
+    * prevent.
+    */
+  private def isCommittedCheckpoint(spark: SparkSession, checkpointDir: String): Boolean =
+    listStore(s"$checkpointDir/offsets", "*",
+      spark.sparkContext.hadoopConfiguration).nonEmpty
+
   /** Fail fast on a reused cumulative store: a CHECKPOINT-LESS run of
-    * [[driftStream]] / [[profileStream]] renumbers batches from 0 on
-    * restart while the prior run's per-batch dirs still sit in
-    * `storeDir` — the cumulative glob would then count the same rows
-    * twice and report a silently wrong metric. The restartable path is
+    * any cumulative-store stream ([[driftStream]], [[profileStream]],
+    * [[searchStream]], [[indexedSearchStream]], [[cmsSketchStream]])
+    * renumbers batches from 0 on restart while the prior run's
+    * per-batch dirs still sit in `storeDir` — the cumulative glob
+    * would then count the same rows twice and report a silently wrong
+    * metric. The restartable path is
     * those runners' `checkpointDir` (batch-id-stable resume, the
-    * indexStream recipe — the guard is skipped there); this refusal
-    * covers the remaining foot-gun instead of corrupting the metric.
+    * indexStream recipe — the guard is skipped only when that
+    * checkpoint is already COMMITTED, [[isCommittedCheckpoint]]); this
+    * refusal covers the remaining foot-gun instead of corrupting the
+    * metric.
     */
   private def requireFreshStore(spark: SparkSession, storeDir: String,
       patterns: Seq[String], runner: String, metric: String): Unit =
@@ -719,11 +771,15 @@ object EventStream {
     * configuration so `fs.defaultFS` / `fs.s3a.*` credentials the job
     * was launched with reach the sketch fold (a bare
     * `new Configuration()` would silently drop them and fail or
-    * mis-resolve on any non-local store).
+    * mis-resolve on any non-local store). With NO active session the
+    * default falls back to `new Configuration()` — a session-less
+    * caller folding a local store keeps working; anything non-local
+    * needs a session or an explicit `conf`.
     */
   def readCmsSketch(storeDir: String, depth: Int, width: Int,
       conf: org.apache.hadoop.conf.Configuration =
-        SparkSession.active.sparkContext.hadoopConfiguration): Array[Byte] = {
+        SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())): Array[Byte] = {
     val files = listStore(storeDir, "sketch_*.bin", conf).sortBy(_.getPath.getName)
     files.foldLeft(graft.functions.CmsAgg.emptyBytes(depth, width)) { (acc, st) =>
       val fs = st.getPath.getFileSystem(conf)
