@@ -105,6 +105,38 @@ class OpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("vec_batch_*"), e3.getMessage)
   }
 
+  test("fresh-store guard: brand-new checkpoint does NOT bypass it; all cumulative streams guarded (ADVICE r16)") {
+    // a checkpointDir only earns the guard skip once it holds COMMITTED
+    // offsets — a first run pointed at a new checkpoint but a dirty
+    // store would renumber batches from 0 over the survivors and
+    // double-count (the exact corruption the guard prevents)
+    val in = java.nio.file.Files.createTempDirectory("ckfresh-in").toString
+    val store = java.nio.file.Files.createTempDirectory("ckfresh-st").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store, "profile_batch_0"))
+    val newCkpt = java.nio.file.Files.createTempDirectory("ckfresh-ck").toString
+    val e = intercept[IllegalArgumentException] {
+      EventStream.profileStream(spark, in, store, checkpointDir = Some(newCkpt))
+    }
+    assert(e.getMessage.contains("profile_batch_*"), e.getMessage)
+    // the r17 sweep: the other cumulative-glob streams carry the guard
+    val store2 = java.nio.file.Files.createTempDirectory("ckfresh-st2").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store2, "batch_7"))
+    val pts = Seq((10L, Array(0.1f, 0.2f))).toDF("point_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      EventStream.searchStream(spark, in, store2, pts, k = 1)
+    }
+    assert(e2.getMessage.contains("batch_*"), e2.getMessage)
+    val store3 = java.nio.file.Files.createTempDirectory("ckfresh-st3").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store3, "sketch_2.bin"), Array[Byte](0))
+    val e3 = intercept[IllegalArgumentException] {
+      EventStream.cmsSketchStream(spark, in, store3, depth = 2, width = 8)
+    }
+    assert(e3.getMessage.contains("sketch_*.bin"), e3.getMessage)
+  }
+
   test("profile stream restart: checkpoint resumes batch-id-stable, card stays exact") {
     // the restartable path the r13-r15 verdicts asked for: with a
     // checkpoint, a restarted profileStream (same store) must skip the
