@@ -372,6 +372,67 @@ object SparkEntryExt {
        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
        |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
 
+  /** Min-label propagation over the `prs` pair set, unrolled 3 rounds
+    * (mirrors `Dedup.clusterLabels(iterations = 3)`); ends at
+    * `l3(doc_id, label)`. ONE definition, two consumers
+    * (`dedup_cluster`, `dedup_keep_best`) — the dataCardSql
+    * discipline. Expects `prs(doc_a, doc_b, …)` in scope (the
+    * minhashPairsCte product).
+    */
+  /** NB quality-classifier CTEs (mirrors
+    * [[graft.ops.Curation.nbQualityScore]] with `lang = 'en'` as the
+    * curated class); ends at `sc(doc_id, score)`. ONE definition, two
+    * consumers (`pipeline_nb_quality`, `pipeline_nb_eval`) — the
+    * dataCardSql discipline.
+    */
+  private lazy val nbScoreCtes: String =
+    s"""tl AS (SELECT doc_id, lang = 'en' AS cur, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, cur, unnest(t) AS term FROM tl),
+       |tc AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS c_web
+       |  FROM tok GROUP BY term),
+       |tot AS (
+       |  SELECT CAST(sum(c_cur) AS BIGINT) AS t_cur,
+       |    CAST(sum(c_web) AS BIGINT) AS t_web, count(*) AS v
+       |  FROM tc),
+       |lr AS (
+       |  SELECT term,
+       |    round(ln((c_cur + 1)::DOUBLE / (t_cur + v)) -
+       |          ln((c_web + 1)::DOUBLE / (t_web + v)), 6) AS lr
+       |  FROM tc, tot),
+       |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+       |ds AS (SELECT doc_id, sum(c * lr) AS s FROM dt JOIN lr USING (term) GROUP BY doc_id),
+       |pr AS (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nd_cur,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nd_web
+       |  FROM documents),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN pr.nd_cur = 0 OR pr.nd_web = 0 THEN NULL
+       |      ELSE round(coalesce(ds.s, 0.0) + ln(pr.nd_cur::DOUBLE / pr.nd_web), 6)
+       |    END AS score
+       |  FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id, pr)""".stripMargin
+
+  private lazy val clusterLabelCtes: String =
+    s"""edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |l1 AS (SELECT doc_id, min(label) AS label FROM (
+       |  SELECT doc_id, label FROM l0
+       |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
+       |  GROUP BY doc_id),
+       |l2 AS (SELECT doc_id, min(label) AS label FROM (
+       |  SELECT doc_id, label FROM l1
+       |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
+       |  GROUP BY doc_id),
+       |l3 AS (SELECT doc_id, min(label) AS label FROM (
+       |  SELECT doc_id, label FROM l2
+       |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
+       |  GROUP BY doc_id)""".stripMargin
+
   /** DuckDB mirror of [[Layout.zValue]]: unrolled Morton interleave. */
   private def zSql(a: String, b: String, bits: Int): String =
     (0 until bits).map(i =>
@@ -839,6 +900,33 @@ object SparkEntryExt {
          |ORDER BY a0.doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.ops.Bpe.fertility]] grouped by `lang`: the
+    * same train/held-out split and apply chain as [[bpeApplySql]],
+    * aggregated to per-language integer sums with ONE exact-integer
+    * division per ratio (6 dp; zero denominators NULL both sides).
+    */
+  private def bpeFertilitySql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH " + bpeModelCtes(rounds, " WHERE doc_id % 10 <> 0"))
+    sb.append(s"a0 AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 10 = 0),\n")
+    for (i <- 1 to rounds)
+      sb.append(bpeApplyBlockSql(s"a${i - 1}", s"m$i", s"a$i", s"x$i"))
+    sb.toString.stripSuffix(",\n") + "\n" +
+      s""", g AS (
+         |  SELECT d.lang, count(*) AS n_docs,
+         |    CAST(sum(len(a0.t)) AS BIGINT) AS n_raw,
+         |    CAST(sum(coalesce(len(a$rounds.t), 0)) AS BIGINT) AS n_bpe,
+         |    CAST(sum(d.n_chars) AS BIGINT) AS c
+         |  FROM a0 LEFT JOIN a$rounds USING (doc_id)
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_raw, n_bpe,
+         |  round(n_bpe::DOUBLE / nullif(n_raw, 0), 6) AS compression,
+         |  round((100 * n_bpe)::DOUBLE / nullif(c, 0), 6) AS toks_per_100c
+         |FROM g
+         |ORDER BY lang""".stripMargin
+  }
+
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
     * streaming serving loop over the same stored index — per-query
     * purity makes micro-batch slicing invisible, so both check
@@ -924,6 +1012,18 @@ object SparkEntryExt {
           shingleN = 3, numHashes = 16, rowsPerBand = 8)
         .filter(col("jaccard") >= 0.5)
       Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 3).orderBy(col("doc_id"))
+    }),
+    // survivor selection on top of the cluster labels: per near-dup
+    // cluster keep the ONE doc a quality-aware pipeline keeps
+    // (quality-pass first, then longest, then min id — an all-integer
+    // total order, no float boundary) and report the surviving corpus
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.keepBest(docs, "doc_id", "text", pairs, iterations = 3)
+        .orderBy(col("cluster_id"))
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))),
@@ -1458,6 +1558,27 @@ object SparkEntryExt {
     "pipeline_dsir" -> ((s, d) =>
       Curation.dsirSelect(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)),
+    // reproducible training-order: seeded hash-mod shards + dense
+    // within-shard positions; no global sort anywhere (the one
+    // exchange is the shard exchange, per-task state is one shard)
+    "pipeline_epoch_shuffle" -> ((s, d) =>
+      Curation.epochShuffle(Tables.documents(s, d), "doc_id",
+          seed = "epoch1", nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+    // CCNet/GPT-3-style quality classifier with the countable model:
+    // multinomial NB trained on the corpus' own curated split (en as
+    // the reference class, the dsir convention), per-doc log-odds
+    // score + quantized keep decision
+    "pipeline_nb_quality" -> ((s, d) =>
+      Curation.nbQualityScore(Tables.documents(s, d), "doc_id", "text",
+          isCurated = col("lang") === "en")
+        .orderBy(col("doc_id"))),
+    // calibration of the NB quality classifier against its training
+    // label: all-integer confusion quadrants (NULL preds -> n_null),
+    // each metric ONE exact-integer division rounded to 6 dp
+    "pipeline_nb_eval" -> ((s, d) =>
+      Curation.nbQualityEval(Tables.documents(s, d), "doc_id", "text",
+        isCurated = col("lang") === "en")),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
     "text_quality_adaptive" -> ((s, d) =>
@@ -1984,6 +2105,16 @@ object SparkEntryExt {
         .select(col("doc_id"), col("n_raw"), col("n_bpe"))
         .orderBy(col("doc_id"))
     }),
+    // per-language fertility of the trained tokenizer on the same
+    // held-out split: the multilingual tokenizer-fit audit (corpus
+    // -level integer sums, ONE division per ratio, 6 dp)
+    "text_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = bpeModel(s, d)
+      Bpe.fertility(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", "lang", "n_chars", model)
+        .orderBy(col("lang"))
+    }),
     // the data card derived from the STORED per-doc profiles (same six
     // metrics, same oracle): a card refresh aggregates two narrow
     // tables — the tokenize passes and the quality cascade were paid
@@ -2108,24 +2239,21 @@ object SparkEntryExt {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_cluster" ->
       s"""$minhashPairsCte,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM prs
-         |  UNION ALL SELECT doc_b, doc_a FROM prs),
-         |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-         |l1 AS (SELECT doc_id, min(label) AS label FROM (
-         |  SELECT doc_id, label FROM l0
-         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
-         |  GROUP BY doc_id),
-         |l2 AS (SELECT doc_id, min(label) AS label FROM (
-         |  SELECT doc_id, label FROM l1
-         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
-         |  GROUP BY doc_id),
-         |l3 AS (SELECT doc_id, min(label) AS label FROM (
-         |  SELECT doc_id, label FROM l2
-         |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
-         |  GROUP BY doc_id)
+         |$clusterLabelCtes
          |SELECT doc_id, label AS cluster_id FROM l3
          |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""$minhashPairsCte,
+         |$clusterLabelCtes,
+         |${OracleSql.qualityCtes("kb", "documents")}
+         |SELECT cluster_id, doc_id, n_tokens, n_members FROM (
+         |  SELECT l.label AS cluster_id, l.doc_id, q.n_tokens,
+         |    count(*) OVER (PARTITION BY l.label) AS n_members,
+         |    row_number() OVER (PARTITION BY l.label
+         |      ORDER BY (q.reason = 'ok') DESC, q.n_tokens DESC, l.doc_id) AS rn
+         |  FROM l3 l JOIN kb_r q ON l.doc_id = q.doc_id)
+         |WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tc AS (
          |  SELECT doc_id, tok, count(*) AS c, ${h32Sql("tok")} AS h
@@ -2629,6 +2757,36 @@ object SparkEntryExt {
     // weighted sum, deterministic top-quarter by the QUANTIZED
     // (round(logw, 6) DESC, doc_id) — the selected set is a total
     // function of the 6-dp artifact, not of float summation order
+    "pipeline_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${h32Sql("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents)
+         |SELECT CAST(hh % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos,
+         |  doc_id
+         |FROM h
+         |ORDER BY shard, pos""".stripMargin,
+    "pipeline_nb_quality" ->
+      s"""WITH $nbScoreCtes
+         |SELECT doc_id, score, score > 0 AS pred_curated
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_nb_eval" ->
+      s"""WITH $nbScoreCtes,
+         |cm AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN score > 0 AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM sc JOIN documents d USING (doc_id))
+         |SELECT tp, fp, fn, tn, n_null,
+         |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,
+         |  round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS rec,
+         |  round((2 * tp)::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+         |  round((tp + tn)::DOUBLE / nullif(tp + fp + fn + tn, 0), 6) AS acc
+         |FROM cm""".stripMargin,
     "pipeline_dsir" ->
       s"""WITH tl AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS t FROM documents),
          |gr AS (
@@ -3757,6 +3915,7 @@ object SparkEntryExt {
          |ORDER BY src_a, src_b""".stripMargin,
     "text_bpe_train" -> bpeTrainSql(4),
     "text_bpe_apply" -> bpeApplySql(4),
+    "text_bpe_fertility" -> bpeFertilitySql(4),
     // the data card and its layout variants share one semantics — one
     // SQL, single-sourced in OracleSql (stream_data_card is the third)
     "pipeline_data_card" -> OracleSql.dataCardSql,

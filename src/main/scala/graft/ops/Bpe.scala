@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,5 +143,50 @@ object Bpe {
         .join(segmented, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("toks"), array().cast("array<string>")).as("toks"))
+  }
+
+  /** Tokenizer FERTILITY by group — the per-language (or per-source)
+    * fit report of a trained merge table on held-out text: how many
+    * BPE tokens the tokenizer spends per unit of raw text in each
+    * subset. A tokenizer trained on one distribution over-fragments
+    * the others (the standard multilingual-fertility audit, cf.
+    * SentencePiece/XLM-R analyses) — this is the table that decision
+    * reads. Per group: doc count, total raw/BPE token counts,
+    * `compression = n_bpe / n_raw` (1.0 = merges never fire;
+    * lower = better fit) and `toks_per_100c = 100 · n_bpe / chars`
+    * (the cross-script-comparable rate).
+    *
+    * Determinism: counts are exact integers; each ratio is ONE
+    * division of exact integer sums rounded to 6 dp (never an
+    * average of per-doc float ratios — no summation-order hazard);
+    * a zero denominator (all-empty group) is NULL via the same guard
+    * both engines.
+    *
+    * Scale shape: [[applyMerges]]'s K narrow per-doc passes (no
+    * joins except the final id-sized one), then ONE group-key
+    * aggregate that map-side combines to `|groups|` rows — the eval
+    * adds one tiny shuffle. Output: `(group, n_docs, n_raw, n_bpe,
+    * compression, toks_per_100c)`, one row per group value.
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, charsCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val applied = applyMerges(docs, idCol, textCol, merges)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("__bpe"))
+    val meta = docs.select(col(idCol).as("doc_id"), col(groupCol),
+      col(charsCol).cast("long").as("__chars"),
+      size(Dedup.tokens(col(textCol))).cast("long").as("__raw"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    meta.join(applied, "doc_id")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__raw")).as("n_raw"),
+        sum(col("__bpe")).as("n_bpe"),
+        sum(col("__chars")).as("__c"))
+      .select(col(groupCol), col("n_docs"), col("n_raw"), col("n_bpe"),
+        ratio(col("n_bpe"), col("n_raw")).as("compression"),
+        ratio(lit(100L) * col("n_bpe"), col("__c")).as("toks_per_100c"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation as ONE lazy plan: boilerplate removal →
@@ -258,5 +258,156 @@ object Curation {
     weights.select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
       .orderBy(desc("logw"), col("doc_id")).limit(k.toInt)
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic seeded EPOCH SHUFFLE + sharding — the reproducible
+    * training-order verb: every epoch's data order must be (a) a
+    * fresh pseudo-random permutation per seed, (b) bit-reproducible
+    * for restarts/reruns, (c) computable WITHOUT a global sort. Each
+    * doc gets `shard = h mod nShards` and a dense 0-based `pos` within
+    * its shard by ascending `h` (`h` = the portable 32-bit hash of
+    * `"<seed>:<doc_id>"`, ties broken by doc_id) — the training loader
+    * reads shards in shard order, positions in pos order, and any
+    * worker can recompute its own shard's order independently.
+    *
+    * Deliberately NOT a global `orderBy(h)` + row_number (a
+    * single-partition window — the PlanAudit ban — or a range
+    * exchange whose row_number still needs a global prefix): hash-mod
+    * sharding is embarrassingly parallel, and the within-shard window
+    * partitions by `shard`, so the ONE exchange is the shard exchange
+    * and per-task window state is one shard. `nShards` is the scale
+    * knob: pick corpus_size / target_shard_size (file-sized shards, ≥
+    * cluster parallelism) so shards stay bounded at any corpus — the
+    * same contract as a production WebDataset/Arrow shard layout. A
+    * cross-SHARD global position, if ever needed, is
+    * `pos * nShards + shard`-free: it needs the packSequences two-phase
+    * sharded prefix-sum, not a bigger window.
+    *
+    * Output: `(shard, pos, doc_id)`, one row per doc.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"epochShuffle: nShards ($nShards) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("__h", Dedup.h32(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** Naive-Bayes QUALITY CLASSIFIER — the CCNet/GPT-3 "reference
+    * corpus vs crawl" filter with the countable model: train
+    * multinomial NB (add-1 smoothing over the joint vocabulary) on
+    * the `isCurated` split of the corpus itself, score every doc by
+    * its token log-odds `Σ c(t)·[ln P(t|cur) − ln P(t|web)] +
+    * ln(prior ratio)`, and flag `pred_curated = score > 0`. The
+    * trained artifact is exactly what GPT-3's quality filtering used
+    * a logistic classifier for — NB's closed-form counts make the
+    * model a deterministic aggregate instead of an iterative fit, so
+    * the whole train+score pass is ONE lazy plan and oracle-checkable.
+    *
+    * Determinism discipline: the per-term log-ratio is quantized to
+    * 6 dp BEFORE the per-doc sum (the summands are bit-identical
+    * across engines; only addition order remains, absorbed by the
+    * final 6-dp round — the dsirSelect precedent), and the keep
+    * decision compares the QUANTIZED score, so a float-boundary doc
+    * cannot flip sides. A corpus whose split leaves either class
+    * EMPTY has no likelihood ratio: score is NULL for every doc (both
+    * engines, by the same CASE guard) instead of an engine-dependent
+    * ±Inf.
+    *
+    * Scale shape ([[graft.ops.TextAnalysis.unigramLogProb]]'s family):
+    * the token explode feeds TWO aggregations — per-term class counts
+    * (map-side combined straight down to vocabulary size: a tiny
+    * shuffle) and per-(doc, term) counts (the one corpus-sized
+    * shuffle). The 1-row totals and priors ride the plan as broadcast
+    * aggregates; the vocab-sized log-ratio table broadcast-joins the
+    * per-(doc, term) counts; ONE doc_id shuffle for the score
+    * aggregation, LEFT-joined back so zero-token docs score on the
+    * prior alone. Measured-rejected alternative: deriving the class
+    * counts FROM a lazily-checkpointed (doc, term) table (one explode
+    * instead of two) was ~1.4× SLOWER at 100× (39–49 s vs 29–33 s) —
+    * materializing the corpus-sized count table costs more than the
+    * second codegen'd explode whose output combines map-side to vocab
+    * size before ever shuffling. Output: `(doc_id, score,
+    * pred_curated)`.
+    */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      isCurated: Column): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), isCurated.as("__cur"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val termCounts = tok.groupBy(col("term")).agg(
+      sum(when(col("__cur"), lit(1L)).otherwise(lit(0L))).as("c_cur"),
+      sum(when(col("__cur"), lit(0L)).otherwise(lit(1L))).as("c_web"))
+    val totals = broadcast(termCounts.agg(
+      sum(col("c_cur")).as("t_cur"), sum(col("c_web")).as("t_web"),
+      count(lit(1)).as("v")))
+    val priors = broadcast(docs.agg(
+      sum(when(isCurated, lit(1L)).otherwise(lit(0L))).as("nd_cur"),
+      sum(when(isCurated, lit(0L)).otherwise(lit(1L))).as("nd_web")))
+    val lr = termCounts.crossJoin(totals)
+      .select(col("term"), round(
+          log((col("c_cur") + 1).cast("double") / (col("t_cur") + col("v")).cast("double")) -
+            log((col("c_web") + 1).cast("double") / (col("t_web") + col("v")).cast("double")),
+          6).as("lr"))
+    val docScores = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("double") * col("lr")).as("__s"))
+    val score = when(col("nd_cur") === 0 || col("nd_web") === 0,
+        lit(null).cast("double"))
+      .otherwise(round(coalesce(col("__s"), lit(0.0d)) +
+        log(col("nd_cur").cast("double") / col("nd_web").cast("double")), 6))
+    docs.select(col(idCol).as("doc_id"))
+      .join(docScores, Seq("doc_id"), "left")
+      .crossJoin(priors)
+      .select(col("doc_id"), score.as("score"),
+        (score > 0).as("pred_curated"))
+  }
+
+  /** Calibration report for [[nbQualityScore]] — the confusion matrix
+    * + precision/recall/F1/accuracy of the classifier's keep decision
+    * against its own training label (resubstitution separability: a
+    * quality filter whose train-set accuracy is near chance isn't
+    * going to curate anything; the number every quality-filtering
+    * paper reports before trusting the classifier's scores on crawl
+    * data).
+    *
+    * Determinism: the confusion counts are all-integer (NULL-pred
+    * docs — the empty-class corpus — land in `n_null`, never in a
+    * quadrant: `when(NULL && x)` falls through to 0 in both engines),
+    * and every ratio is ONE division of exact integers rounded to
+    * 6 dp — `precision = tp/(tp+fp)`, `recall = tp/(tp+fn)`,
+    * `f1 = 2·tp/(2·tp+fp+fn)` (the direct form, not a ratio of
+    * rounded ratios), `accuracy = (tp+tn)/n` — so there is no float
+    * summation anywhere and a zero denominator is NULL via the same
+    * guard both sides.
+    *
+    * Scale shape: [[nbQualityScore]]'s plan plus ONE 1-row map-side
+    * combinable aggregate — the eval adds no shuffle of its own.
+    * Output: one row, `(tp, fp, fn, tn, n_null, prec, rec, f1, acc)`.
+    */
+  def nbQualityEval(docs: DataFrame, idCol: String, textCol: String,
+      isCurated: Column): DataFrame = {
+    val scored = nbQualityScore(docs, idCol, textCol, isCurated)
+    val labeled = docs.select(col(idCol).as("doc_id"), isCurated.as("__lab"))
+      .join(scored, "doc_id")
+    val counts = labeled.agg(
+      sum(when(col("pred_curated") && col("__lab"), lit(1L)).otherwise(lit(0L))).as("tp"),
+      sum(when(col("pred_curated") && !col("__lab"), lit(1L)).otherwise(lit(0L))).as("fp"),
+      sum(when(!col("pred_curated") && col("__lab"), lit(1L)).otherwise(lit(0L))).as("fn"),
+      sum(when(!col("pred_curated") && !col("__lab"), lit(1L)).otherwise(lit(0L))).as("tn"),
+      sum(when(col("pred_curated").isNull, lit(1L)).otherwise(lit(0L))).as("n_null"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    counts.select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
+      ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+      ratio(col("tp"), col("tp") + col("fn")).as("rec"),
+      ratio(lit(2L) * col("tp"), lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("acc"))
   }
 }

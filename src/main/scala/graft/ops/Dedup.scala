@@ -724,6 +724,42 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Keep-BEST dedup — the survivor-selection verb on top of
+    * [[clusterLabels]]: per near-dup cluster, keep exactly ONE doc —
+    * the one a quality-aware pipeline would keep — and report the
+    * surviving corpus. Real pipelines rarely keep an arbitrary cluster
+    * member: the canonical copy is the one that passes the quality
+    * cascade, and among those the longest (boilerplate-stripped pages
+    * lose to their full originals). Selection key is deliberately
+    * all-integer/boolean — `(quality keep DESC, n_tokens DESC,
+    * doc_id ASC)` — a total order with NO float boundary anywhere, so
+    * the survivor SET is reproducible across engines and runs without
+    * any quantization discipline.
+    *
+    * Plan: cluster labels (the caller's pair graph, |dups|-sized work)
+    * equi-join the per-doc quality signals on doc_id, then ONE
+    * cluster_id exchange shared by the member-count window and the
+    * row_number selection (same partitioning ⇒ Catalyst plans one
+    * Exchange for both). Cluster sizes are copy-counts — tens, not
+    * corpus-sized — so per-partition window state is trivially bounded
+    * at any corpus scale. Output: one row per cluster,
+    * `(cluster_id, doc_id, n_tokens, n_members)` — the deduped corpus
+    * with its provenance (`n_members` = how many copies collapsed).
+    */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, iterations: Int): DataFrame = {
+    val labels = clusterLabels(docs, idCol, pairs, iterations)
+    val quality = TextAnalysis.qualityFilter(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val best = byCluster.orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id").asc)
+    labels.join(quality, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("n_tokens"), col("n_members"))
+  }
+
   /** The composed production dedup pipeline: exact-collapse FIRST
     * (sha256 group-by picks one representative per identical content),
     * MinHash-LSH + clustering on representatives only, then map every

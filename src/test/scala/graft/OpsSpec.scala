@@ -588,6 +588,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup: keep-best keeps quality-pass over longer-fail, longest among passes, min id on ties") {
+    // all-integer selection order (keep DESC, n_tokens DESC, doc_id):
+    // doc 1 is the LONGEST in its cluster but fails the quality cascade
+    // (repetitive_unigram), so quality-passing doc 3 wins over both it
+    // and the shorter passing doc 2; singletons survive as themselves;
+    // an exact (keep, n_tokens) tie falls to the minimal doc_id
+    val pass16a = "the alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"
+    val pass16b = "the apple berry cherry damson elder feijoa grape honey icaco jambul kiwi lemon mango nutmeg olive"
+    val pass20 = "the papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 golf2 hotel2"
+    val fail30 = "the " + Seq.fill(29)("zz").mkString(" ")
+    val docs = Seq(
+      (1L, fail30), (2L, pass16a), (3L, pass20),
+      (4L, pass16b), (5L, pass16a), (6L, pass16b)
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.keepBest(docs, "doc_id", "text", pairs, iterations = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 4L, 5L), s"one survivor per cluster: ${got.keySet}")
+    assert(got(1L) == ((3L, 20L, 3L)),
+      s"quality-pass doc 3 must beat longer-but-failing doc 1: ${got(1L)}")
+    assert(got(4L) == ((4L, 16L, 1L)), s"singleton survives as itself: ${got(4L)}")
+    assert(got(5L) == ((5L, 16L, 2L)), s"(keep, n_tokens) tie falls to min id: ${got(5L)}")
+  }
+
   test("dedup: incremental spans equal the full run restricted to the batch") {
     // disjoint corpus/batch id sets ⇒ corpus df + batch df = combined
     // df, so the incremental form must reproduce dupSpans(corpus ∪
@@ -1182,6 +1206,111 @@ class OpsSpec extends SparkSpec {
     assert(all(10L)._2 > 0.0 && all(12L)._2 < 0.0, s"weight signs: $all")
     // keepFrac = 0.5 of 3 candidates -> floor(1.5) = 1 kept: the top one
     assert(run(0.5).keySet == Set(10L), s"top-fraction selection: ${run(0.5)}")
+  }
+
+  test("epochShuffle: seeded permutation — every doc once, dense per-shard positions, seed changes the order") {
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    def run(seed: String, n: Int) = Curation.epochShuffle(docs, "doc_id", seed, n)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val a = run("epoch1", 8)
+    // permutation: every doc exactly once
+    assert(a.map(_._3).sorted.toSeq == (0L until 100L).toSeq, "every doc exactly once")
+    // dense 0-based positions within every shard
+    a.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $sh positions must be dense 0-based: ${rows.map(_._2).sorted.toSeq}")
+    }
+    // deterministic: an identical rerun is bit-identical
+    assert(a.sortBy(_._3).toSeq == run("epoch1", 8).sortBy(_._3).toSeq, "reruns identical")
+    // a different seed is a different permutation (overwhelmingly —
+    // 100 docs all keeping (shard, pos) under a fresh hash is ~0)
+    assert(a.sortBy(_._3).toSeq != run("epoch2", 8).sortBy(_._3).toSeq,
+      "new seed must reshuffle")
+    // nShards = 1: one shard, a dense global order
+    val one = run("epoch1", 1)
+    assert(one.forall(_._1 == 0) && one.map(_._2).sorted.toSeq == (0L until 100L).toSeq)
+  }
+
+  test("nbQualityScore: hand-computed log-odds, zero-token doc scores the prior, empty class -> NULL") {
+    // model: cur = {doc1 "a a b", doc3 ""}, web = {doc2 "b c"}
+    // V = 3, t_cur = 3, t_web = 2, prior = ln(2/1) = 0.693147
+    // lr(a) = round(ln(3/6) - ln(1/5), 6) = round(ln(5/2), 6) =  0.916291
+    // lr(b) = round(ln(2/6) - ln(2/5), 6) = round(ln(5/6), 6) = -0.182322
+    // lr(c) = round(ln(1/6) - ln(2/5), 6) = round(ln(5/12), 6) = -0.875469
+    val docs = Seq(
+      (1L, "a a b", "en"), (3L, "", "en"), (2L, "b c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.nbQualityScore(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getBoolean(2))))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "one row per doc")
+    def close(a: Option[Double], e: Double) =
+      a.exists(v => math.abs(v - e) < 1e-9)
+    assert(close(got(1L)._1, 2.343407) && got(1L)._2.contains(true),
+      s"doc1 = 2*lr(a) + lr(b) + ln2: ${got(1L)}")
+    assert(close(got(2L)._1, -0.364644) && got(2L)._2.contains(false),
+      s"doc2 = lr(b) + lr(c) + ln2: ${got(2L)}")
+    assert(close(got(3L)._1, 0.693147) && got(3L)._2.contains(true),
+      s"zero-token doc scores the prior alone: ${got(3L)}")
+    // an empty class has no likelihood ratio: NULL everywhere, both engines
+    val allCur = Curation.nbQualityScore(docs, "doc_id", "text", lit(true))
+      .collect()
+    assert(allCur.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "empty web class must yield NULL scores, not +/-Inf")
+  }
+
+  test("nbQualityEval: hand-computed confusion, zero-denominator metrics NULL, empty class all n_null") {
+    // model: cur = {doc1 "a a b"}, web = {doc2 "b c", doc6 "a a"}
+    // t_cur = 3, t_web = 4, V = 3, prior = ln(1/2) = -0.693147
+    // lr(a) = lr(b) = round(ln(7/6), 6) = 0.154151; lr(c) = round(ln(7/12), 6) = -0.538997
+    // doc1 = 3*lr(a) + prior = -0.230694 < 0 -> fn (curated doc rejected)
+    // doc2 = lr(b) + lr(c) + prior = -1.077993 -> tn; doc6 = 2*lr(a) + prior -> tn
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "b c", "de"), (6L, "a a", "de")
+    ).toDF("doc_id", "text", "lang")
+    val r = Curation.nbQualityEval(docs, "doc_id", "text", col("lang") === "en")
+      .collect()
+    assert(r.length == 1, "one summary row")
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((0L, 0L, 1L, 2L, 0L)), s"confusion (tp,fp,fn,tn,n_null): $row")
+    assert(row.isNullAt(5), s"prec = 0/0 must be NULL, not 0 or NaN: $row")
+    assert(row.getDouble(6) == 0.0 && row.getDouble(7) == 0.0, s"rec/f1 = 0: $row")
+    assert(math.abs(row.getDouble(8) - 0.666667) < 1e-9, s"acc = round(2/3, 6): $row")
+    // empty web class: every pred is NULL -> all docs in n_null, all metrics NULL
+    val deg = Curation.nbQualityEval(docs, "doc_id", "text", lit(true)).collect()(0)
+    assert((deg.getLong(0), deg.getLong(1), deg.getLong(2), deg.getLong(3), deg.getLong(4))
+      == ((0L, 0L, 0L, 0L, 3L)), s"degenerate confusion: $deg")
+    assert((5 to 8).forall(deg.isNullAt), s"degenerate metrics all NULL: $deg")
+  }
+
+  test("bpe fertility: per-group integer sums, one-division ratios, empty group NULL") {
+    // merges = [(a,b)]: "a b a b" -> 2 toks; "a a" -> untouched (pair aa
+    // is not the merge); "b c" -> untouched; "" -> 0 toks
+    val docs = Seq(
+      (10L, "a b a b", "en", 7L), (20L, "a a a", "en", 5L),
+      (30L, "b c", "th", 3L), (40L, "", "th", 0L),
+      (50L, "", "de", 0L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = Bpe.fertility(docs, "doc_id", "text", "lang", "n_chars",
+        Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("en", "th", "de"), s"one row per group: ${got.keySet}")
+    val en = got("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3)) == ((2L, 7L, 5L)),
+      s"en counts (n_docs, n_raw, n_bpe): $en")
+    assert(math.abs(en.getDouble(4) - 0.714286) < 1e-9, s"en compression = round(5/7, 6): $en")
+    assert(math.abs(en.getDouble(5) - 41.666667) < 1e-9, s"en toks_per_100c = round(500/12, 6): $en")
+    val th = got("th")
+    assert((th.getLong(1), th.getLong(2), th.getLong(3)) == ((2L, 2L, 2L)),
+      s"th counts: $th")
+    assert(th.getDouble(4) == 1.0, s"merge never fires in th -> compression 1.0: $th")
+    assert(math.abs(th.getDouble(5) - 66.666667) < 1e-9, s"th toks_per_100c = round(200/3, 6): $th")
+    val de = got("de")
+    assert((de.getLong(1), de.getLong(2), de.getLong(3)) == ((1L, 0L, 0L)) &&
+      de.isNullAt(4) && de.isNullAt(5),
+      s"all-empty group: zero counts, NULL ratios: $de")
   }
 
   test("ngramCoverage: full / zero / partial contamination and the short-doc edge") {
