@@ -592,6 +592,25 @@ object SparkEntryExt {
         .saveAsTable(tbl + "_vocab")
     }
 
+  /** Stored NB quality-classifier model — the trained `(term, lr)`
+    * table (bucketed by `term`: batch scoring's vocab join gets no
+    * model-side exchange and one scan task per bucket — the
+    * bqSigIndex under-splitting lesson) plus the 1-row `_prior`
+    * doc-count side table. Trained ONCE per corpus snapshot
+    * ([[graft.ops.Curation.nbModel]]); `pipeline_nb_inc` scores
+    * incoming batches against it without ever re-tokenizing the
+    * corpus.
+    */
+  private[graft] def nbModelIndex(s: SparkSession, d: String): String =
+    storedIndexTable("nb_model", d) { tbl =>
+      val (lr, priors) = Curation.nbModel(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en")
+      lr.write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(8, "term").saveAsTable(tbl)
+      priors.write.mode("overwrite").option("path", idxPath(tbl + "_prior"))
+        .saveAsTable(tbl + "_prior")
+    }
+
   /** Trained-IVF stored index (cell assignment bucketed by `cid`, the
     * 16-row centroid model as a `_cents` side table) —
     * `sim_ivf_trained_batch`'s build, extracted so [[prewarmMemos]]
@@ -634,6 +653,7 @@ object SparkEntryExt {
     spanGramIndex(s, d): Unit
     docProfileIndex(s, d): Unit
     ivfTrainedIndex(s, d): Unit
+    nbModelIndex(s, d): Unit
   }
 
   /** One PQ codebook training per (sfDir) per JVM — the model is
@@ -926,6 +946,17 @@ object SparkEntryExt {
          |FROM g
          |ORDER BY lang""".stripMargin
   }
+
+  /** Shared oracle for `pipeline_nb_inc` AND `stream_nb_score` (the
+    * streaming crawl filter over the same stored NB model — per-DOC
+    * purity makes micro-batch slicing invisible, so both check
+    * against one SQL: the full score table restricted to the batch).
+    */
+  private[graft] lazy val nbIncSql: String =
+    s"""WITH $nbScoreCtes
+       |SELECT doc_id, score, score > 0 AS pred_curated
+       |FROM sc WHERE doc_id % 7 = 0
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
     * streaming serving loop over the same stored index — per-query
@@ -1579,6 +1610,17 @@ object SparkEntryExt {
     "pipeline_nb_eval" -> ((s, d) =>
       Curation.nbQualityEval(Tables.documents(s, d), "doc_id", "text",
         isCurated = col("lang") === "en")),
+    // train-once/score-forever: an incoming batch scored against the
+    // STORED NB model (term-bucketed lr table + 1-row priors) — the
+    // corpus tokenize/train bill was paid at model-materialization
+    // time; this pass reads the batch and the vocab-sized model only
+    "pipeline_nb_inc" -> ((s, d) => {
+      val tbl = nbModelIndex(s, d)
+      Curation.nbScoreBatch(
+          Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", s.table(tbl), s.table(tbl + "_prior"))
+        .orderBy(col("doc_id"))
+    }),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
     "text_quality_adaptive" -> ((s, d) =>
@@ -2771,6 +2813,10 @@ object SparkEntryExt {
          |SELECT doc_id, score, score > 0 AS pred_curated
          |FROM sc
          |ORDER BY doc_id""".stripMargin,
+    // the stored-model batch scoring restricts the SAME score table
+    // to the batch ids — model values are identical because the model
+    // is the 6-dp-quantized artifact either way
+    "pipeline_nb_inc" -> nbIncSql,
     "pipeline_nb_eval" ->
       s"""WITH $nbScoreCtes,
          |cm AS (

@@ -153,7 +153,11 @@ object SparkEntryStream {
     // answered per micro-batch by the composed IVF+BQ search; hits
     // over two batches ≡ the one-shot batch sim_ivf_bq (SAME oracle —
     // per-query purity makes the slicing invisible)
-    "stream_idx_search" -> ((s, d) => runIndexedSearchOnce(s, d)))
+    "stream_idx_search" -> ((s, d) => runIndexedSearchOnce(s, d)),
+    // continuous crawl filtering against the STORED NB model: docs
+    // scored per micro-batch by nbScoreBatch; scores over two batches
+    // ≡ the one-shot pipeline_nb_inc (SAME oracle — per-doc purity)
+    "stream_nb_score" -> ((s, d) => runNbScoreOnce(s, d)))
 
   /** Drive [[EventStream.driftStream]]: even-id vectors are the static
     * baseline, odd-id vectors stream in TWO micro-batches (split at
@@ -321,6 +325,33 @@ object SparkEntryStream {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Drive [[EventStream.nbScoreStream]]: the `% 7` incoming batch
+    * streams in TWO micro-batches (split at `doc_id % 14`) against
+    * the stored NB model; the accumulated scores ≡ the one-shot
+    * `pipeline_nb_inc` (SAME single-sourced oracle — a doc's score
+    * depends only on its own tokens and the static model, so the
+    * slicing cannot move anything). Scores were 6-dp quantized
+    * in-plan, so the read-back needs no re-rounding.
+    */
+  private def runNbScoreOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-nbsc-in").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-nbsc-store").toString + "/scores"
+    scratchDirs.add(in)
+    scratchDirs.add(store)
+    val tbl = SparkEntryExt.nbModelIndex(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 14 === 0).write.mode("append").parquet(in)
+    val q = EventStream.nbScoreStream(spark, in, store,
+      spark.table(tbl), spark.table(tbl + "_prior"))
+    try {
+      EventStream.drainAll(spark, q, in)
+      docs.filter(col("doc_id") % 14 =!= 0).write.mode("append").parquet(in)
+      EventStream.drainAll(spark, q, in)
+    } finally q.stop()
+    spark.read.parquet(s"$store/batch_*").orderBy(col("doc_id"))
+  }
+
   /** Drive [[EventStream.novelDocsStream]]: stream ALL docs against a
     * static corpus holding every doc_id % 3 != 0 — exactly the % 3 == 0
     * docs are novel (texts are unique per doc in the harness corpus).
@@ -451,6 +482,9 @@ object SparkEntryStream {
     // literally the sim_ivf_bq oracle: per-query purity against the
     // static index makes the micro-batch slicing invisible
     "stream_idx_search" -> SparkEntryExt.ivfBqSql,
+    // literally the pipeline_nb_inc oracle: per-doc purity against
+    // the static stored model makes the micro-batch slicing invisible
+    "stream_nb_score" -> SparkEntryExt.nbIncSql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -444,6 +444,47 @@ object EventStream {
       .start()
   }
 
+  /** Continuous QUALITY-FILTER serving against the stored NB model —
+    * the streaming half of `pipeline_nb_inc`'s train-once/
+    * score-forever contract: documents arriving in `inputDir` are
+    * scored per micro-batch by
+    * [[graft.ops.Curation.nbScoreBatch]] over the static
+    * `(term, lr)` model + 1-row priors (materialized once per corpus
+    * snapshot; never re-trained here). Per-DOC purity makes batch
+    * slicing invisible — a doc's score depends only on its own tokens
+    * and the static model — so the accumulated store ≡ the one-shot
+    * batch scoring and both check against the same oracle SQL (the
+    * `stream_idx_search`/`ivfBqSql` single-source pattern). Same
+    * idempotent per-batch-id output dirs as [[searchStream]]; at
+    * crawl scale each micro-batch pays tokenize + the term join +
+    * one batch-id shuffle, nothing corpus-sized.
+    *
+    * RESTART: the [[searchStream]] contract — committed
+    * `checkpointDir` resumes batch-id-stable; otherwise the
+    * fresh-store guard refuses a store with surviving `batch_*` dirs.
+    */
+  def nbScoreStream(spark: SparkSession, inputDir: String, storeDir: String,
+      model: DataFrame, priors: DataFrame,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureProgressRetention(spark)
+    if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
+      requireFreshStore(spark, storeDir, Seq("batch_*"), "nbScoreStream",
+        "scores in the accumulated store")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val base = spark.readStream.schema(docSchema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+    checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Curation.nbScoreBatch(batch, "doc_id", "text", model, priors)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Continuous vector-index maintenance: the reference's ingestion
     * (`main.py` §3.1: chunk → embed → upsert into Qdrant) as a STREAM —
     * new documents arriving in `inputDir` are chunked, hash-embedded,

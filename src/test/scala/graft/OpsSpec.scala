@@ -135,6 +135,16 @@ class OpsSpec extends SparkSpec {
       EventStream.cmsSketchStream(spark, in, store3, depth = 2, width = 8)
     }
     assert(e3.getMessage.contains("sketch_*.bin"), e3.getMessage)
+    // nbScoreStream accumulates batch_* dirs too — same contract
+    val store4 = java.nio.file.Files.createTempDirectory("ckfresh-st4").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store4, "batch_3"))
+    val model = Seq(("a", 0.5)).toDF("term", "lr")
+    val priors = Seq((1L, 1L)).toDF("nd_cur", "nd_web")
+    val e4 = intercept[IllegalArgumentException] {
+      EventStream.nbScoreStream(spark, in, store4, model, priors)
+    }
+    assert(e4.getMessage.contains("batch_*"), e4.getMessage)
   }
 
   test("profile stream restart: checkpoint resumes batch-id-stable, card stays exact") {
@@ -1283,6 +1293,34 @@ class OpsSpec extends SparkSpec {
     assert((deg.getLong(0), deg.getLong(1), deg.getLong(2), deg.getLong(3), deg.getLong(4))
       == ((0L, 0L, 0L, 0L, 3L)), s"degenerate confusion: $deg")
     assert((5 to 8).forall(deg.isNullAt), s"degenerate metrics all NULL: $deg")
+  }
+
+  test("nbScoreBatch: composed model+score equals nbQualityScore; batch restriction; OOV terms contribute zero") {
+    val docs = Seq(
+      (1L, "a a b", "en"), (3L, "", "en"), (2L, "b c", "de"), (7L, "a c", "de")
+    ).toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    val full = rows(Curation.nbQualityScore(docs, "doc_id", "text", col("lang") === "en"))
+    val (lr, priors) = Curation.nbModel(docs, "doc_id", "text", col("lang") === "en")
+    // composed halves == the one-plan form, bit-identical (the model
+    // IS the 6-dp artifact, so the summands are the same doubles)
+    assert(rows(Curation.nbScoreBatch(docs, "doc_id", "text", lr, priors)) == full,
+      "nbScoreBatch(nbModel) must equal nbQualityScore")
+    // batch scoring = the full run restricted to the batch ids
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    assert(rows(Curation.nbScoreBatch(batch, "doc_id", "text", lr, priors))
+      == full.filter(_._1 % 2 == 1), "batch scoring must restrict, not retrain")
+    // OOV contract: a term the model never saw contributes ZERO — a
+    // batch of only-OOV tokens scores exactly the prior (= the
+    // zero-token doc's score)
+    val oov = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    val got = rows(Curation.nbScoreBatch(oov, "doc_id", "text", lr, priors))
+    val priorOnly = full.find(_._1 == 3L).get
+    assert(got == Set((9L, priorOnly._2, priorOnly._3)),
+      s"all-OOV doc must score the prior alone: $got vs $priorOnly")
   }
 
   test("bpe fertility: per-group integer sums, one-division ratios, empty group NULL") {
