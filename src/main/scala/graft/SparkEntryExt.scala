@@ -955,7 +955,7 @@ object SparkEntryExt {
   private[graft] lazy val nbIncSql: String =
     s"""WITH $nbScoreCtes
        |SELECT doc_id, score, score > 0 AS pred_curated
-       |FROM sc WHERE doc_id % 7 = 0
+       |FROM sc WHERE doc_id % $nbBatchMod = 0
        |ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
@@ -1617,7 +1617,7 @@ object SparkEntryExt {
     "pipeline_nb_inc" -> ((s, d) => {
       val tbl = nbModelIndex(s, d)
       Curation.nbScoreBatch(
-          Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+          Tables.documents(s, d).filter(col("doc_id") % nbBatchMod === 0),
           "doc_id", "text", s.table(tbl), s.table(tbl + "_prior"))
         .orderBy(col("doc_id"))
     }),
@@ -2190,6 +2190,13 @@ object SparkEntryExt {
   private val mmNdMaxHamming = 4
   private val mmNdShingleN = 2
   private val mmNdBucketDiv: Long = 1L << (mmNdBits - mmNdPrefixBits)
+
+  /** Incoming-batch selector modulus for `pipeline_nb_inc` /
+    * `stream_nb_score` — ONE definition feeds the Spark registry
+    * filters, the streaming runner's batch split, and the SQL
+    * oracle's WHERE literal (the `spanN` discipline).
+    */
+  private[graft] val nbBatchMod = 7
 
   /** Shingle width for the `dedup_spans` family — ONE definition
     * feeds the Spark registry entries, the CTE chain, and every

@@ -325,9 +325,9 @@ object SparkEntryStream {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Drive [[EventStream.nbScoreStream]]: the `% 7` incoming batch
-    * streams in TWO micro-batches (split at `doc_id % 14`) against
-    * the stored NB model; the accumulated scores ≡ the one-shot
+  /** Drive [[EventStream.nbScoreStream]]: the `% nbBatchMod` incoming
+    * batch streams in TWO micro-batches (split at `% (2·nbBatchMod)`)
+    * against the stored NB model; the accumulated scores ≡ the one-shot
     * `pipeline_nb_inc` (SAME single-sourced oracle — a doc's score
     * depends only on its own tokens and the static model, so the
     * slicing cannot move anything). Scores were 6-dp quantized
@@ -339,14 +339,15 @@ object SparkEntryStream {
     scratchDirs.add(in)
     scratchDirs.add(store)
     val tbl = SparkEntryExt.nbModelIndex(spark, sfDir)
-    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 0)
+    val m = SparkEntryExt.nbBatchMod
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % m === 0)
       .select(col("doc_id"), col("text"))
-    docs.filter(col("doc_id") % 14 === 0).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % (2 * m) === 0).write.mode("append").parquet(in)
     val q = EventStream.nbScoreStream(spark, in, store,
       spark.table(tbl), spark.table(tbl + "_prior"))
     try {
       EventStream.drainAll(spark, q, in)
-      docs.filter(col("doc_id") % 14 =!= 0).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % (2 * m) =!= 0).write.mode("append").parquet(in)
       EventStream.drainAll(spark, q, in)
     } finally q.stop()
     spark.read.parquet(s"$store/batch_*").orderBy(col("doc_id"))
