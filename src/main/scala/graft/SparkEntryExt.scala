@@ -1610,6 +1610,13 @@ object SparkEntryExt {
     "pipeline_nb_eval" -> ((s, d) =>
       Curation.nbQualityEval(Tables.documents(s, d), "doc_id", "text",
         isCurated = col("lang") === "en")),
+    // calibration reliability table: integer log-odds bins vs
+    // empirical curated fraction (monotone frac_cur = well-calibrated
+    // scores); floor on the 6-dp-quantized score = exact boundaries
+    "pipeline_nb_bins" -> ((s, d) =>
+      Curation.nbCalibrationBins(Tables.documents(s, d), "doc_id", "text",
+          isCurated = col("lang") === "en")
+        .orderBy(col("bin"))),
     // train-once/score-forever: an incoming batch scored against the
     // STORED NB model (term-bucketed lr table + 1-row priors) — the
     // corpus tokenize/train bill was paid at model-materialization
@@ -2824,6 +2831,16 @@ object SparkEntryExt {
     // to the batch ids — model values are identical because the model
     // is the 6-dp-quantized artifact either way
     "pipeline_nb_inc" -> nbIncSql,
+    "pipeline_nb_bins" ->
+      s"""WITH $nbScoreCtes
+         |SELECT greatest(-5, least(4, CAST(floor(score) AS BIGINT))) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+         |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur
+         |FROM sc JOIN documents d USING (doc_id)
+         |WHERE score IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY bin""".stripMargin,
     "pipeline_nb_eval" ->
       s"""WITH $nbScoreCtes,
          |cm AS (

@@ -456,4 +456,42 @@ object Curation {
       ratio(col("tp") + col("tn"),
         col("tp") + col("fp") + col("fn") + col("tn")).as("acc"))
   }
+
+  /** Calibration RELIABILITY table for [[nbQualityScore]] — the
+    * binned companion to [[nbQualityEval]]'s single-threshold
+    * confusion: docs grouped by the integer log-odds bin
+    * `clamp(floor(score), lo, hi)` with the empirical curated
+    * fraction per bin. A well-calibrated classifier's `frac_cur`
+    * rises monotonically with the bin and crosses 0.5 near bin 0 —
+    * the plot every quality-filtering pipeline inspects before
+    * trusting score-proportional sampling (rather than a hard
+    * threshold) on crawl data.
+    *
+    * Determinism: scores are already 6-dp quantized, so `floor` has
+    * exact integer boundaries (no float-boundary doc can change
+    * bins); bins are integer-clamped to `[lo, hi]`; `n`/`n_cur` are
+    * exact counts and `frac_cur` is ONE division of them rounded to
+    * 6 dp (group existence ⇒ n ≥ 1, no zero denominator). NULL-score
+    * docs (the empty-class corpus) are excluded — [[nbQualityEval]]
+    * counts them in `n_null`.
+    *
+    * Scale shape: the NB plan + one bin-key aggregate that map-side
+    * combines to ≤ `hi - lo + 1` rows. Output:
+    * `(bin, n, n_cur, frac_cur)`, populated bins only.
+    */
+  def nbCalibrationBins(docs: DataFrame, idCol: String, textCol: String,
+      isCurated: Column, lo: Int = -5, hi: Int = 4): DataFrame = {
+    require(lo <= hi, s"nbCalibrationBins: lo ($lo) must be <= hi ($hi)")
+    val scored = nbQualityScore(docs, idCol, textCol, isCurated)
+    docs.select(col(idCol).as("doc_id"), isCurated.as("__lab"))
+      .join(scored, "doc_id")
+      .filter(col("score").isNotNull)
+      .withColumn("bin",
+        greatest(lit(lo.toLong), least(lit(hi.toLong), floor(col("score")))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__lab"), lit(1L)).otherwise(lit(0L))).as("n_cur"))
+      .select(col("bin"), col("n"), col("n_cur"),
+        round(col("n_cur").cast("double") / col("n").cast("double"), 6).as("frac_cur"))
+  }
 }

@@ -1295,6 +1295,26 @@ class OpsSpec extends SparkSpec {
     assert((5 to 8).forall(deg.isNullAt), s"degenerate metrics all NULL: $deg")
   }
 
+  test("nbCalibrationBins: floor bins, both clamps, NULL scores excluded entirely") {
+    // model over {doc1 8×a (en), doc2 4×z (de), doc3 "a z" (en)}:
+    // lr(a) = ln 5, lr(z) = -ln 5, prior = ln 2
+    // doc1 = 8·ln5 + ln2 ≈ 13.57 -> floor 13, clamps to hi = 4
+    // doc2 = -4·ln5 + ln2 ≈ -5.74 -> floor -6, clamps to lo = -5
+    // doc3 = ln5 - ln5 + ln2 ≈ 0.69 -> bin 0
+    val docs = Seq(
+      (1L, "a a a a a a a a", "en"), (2L, "z z z z", "de"), (3L, "a z", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.nbCalibrationBins(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      -5L -> ((1L, 0L, 0.0)), 0L -> ((1L, 1L, 1.0)), 4L -> ((1L, 1L, 1.0))),
+      s"clamped reliability bins: $got")
+    // empty-class corpus: every score NULL -> EMPTY table (n_null is
+    // nbQualityEval's to report), never a NULL bin row
+    assert(Curation.nbCalibrationBins(docs, "doc_id", "text", lit(true)).count() == 0,
+      "all-NULL scores must produce zero bins")
+  }
+
   test("nbScoreBatch: composed model+score equals nbQualityScore; batch restriction; OOV terms contribute zero") {
     val docs = Seq(
       (1L, "a a b", "en"), (3L, "", "en"), (2L, "b c", "de"), (7L, "a c", "de")
