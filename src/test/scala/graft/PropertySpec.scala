@@ -300,4 +300,29 @@ class PropertySpec extends SparkSpec {
     val back = spark.read.text(tmp).collect().map(_.getString(0)).mkString("\n")
     assert(back.contains("[Page 1 | Chunk 0]") && back.contains("[Page 1 | Chunk 1]"))
   }
+
+  test("property: NB score/eval/bins agree on one generated corpus") {
+    // the three NB reports are views of ONE score table — on any
+    // corpus: quadrants partition the non-NULL-pred docs, bins
+    // partition the same set, per-bin curated counts sum to the
+    // curated docs the quadrants saw (tp + fn)
+    val words = Gen.oneOf("a", "b", "c", "d", "e", "f", "zz")
+    val textGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, words).map(_.mkString(" ")))
+    val docs = samples(Gen.zip(textGen, Gen.oneOf("en", "de", "th")), 60)
+      .zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val cur = col("lang") === "en"
+    val scored = Curation.nbQualityScore(docs, "doc_id", "text", cur).collect()
+    val nonNull = scored.count(!_.isNullAt(1))
+    val ev = Curation.nbQualityEval(docs, "doc_id", "text", cur).collect()(0)
+    assert(ev.getLong(0) + ev.getLong(1) + ev.getLong(2) + ev.getLong(3) == nonNull.toLong,
+      s"quadrants must partition the non-NULL-score docs: $ev vs $nonNull")
+    assert(ev.getLong(4) == (scored.length - nonNull).toLong, s"n_null: $ev")
+    val bins = Curation.nbCalibrationBins(docs, "doc_id", "text", cur).collect()
+    assert(bins.map(_.getLong(1)).sum == nonNull.toLong,
+      "bins must partition the same non-NULL-score docs")
+    assert(bins.map(_.getLong(2)).sum == ev.getLong(0) + ev.getLong(2),
+      "per-bin curated counts must sum to tp + fn")
+  }
 }
