@@ -1615,7 +1615,7 @@ object SparkEntryExt {
     // scores); floor on the 6-dp-quantized score = exact boundaries
     "pipeline_nb_bins" -> ((s, d) =>
       Curation.nbCalibrationBins(Tables.documents(s, d), "doc_id", "text",
-          isCurated = col("lang") === "en")
+          isCurated = col("lang") === "en", lo = nbBinLo, hi = nbBinHi)
         .orderBy(col("bin"))),
     // train-once/score-forever: an incoming batch scored against the
     // STORED NB model (term-bucketed lr table + 1-row priors) — the
@@ -2204,6 +2204,13 @@ object SparkEntryExt {
     * oracle's WHERE literal (the `spanN` discipline).
     */
   private[graft] val nbBatchMod = 7
+
+  /** Calibration-bin clamp range for `pipeline_nb_bins` — ONE
+    * definition feeds the Spark registry call and the SQL oracle's
+    * greatest/least literals (the `spanN` discipline).
+    */
+  private val nbBinLo = -5
+  private val nbBinHi = 4
 
   /** Shingle width for the `dedup_spans` family — ONE definition
     * feeds the Spark registry entries, the CTE chain, and every
@@ -2833,7 +2840,7 @@ object SparkEntryExt {
     "pipeline_nb_inc" -> nbIncSql,
     "pipeline_nb_bins" ->
       s"""WITH $nbScoreCtes
-         |SELECT greatest(-5, least(4, CAST(floor(score) AS BIGINT))) AS bin,
+         |SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
          |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur

@@ -423,7 +423,9 @@ object Curation {
     *
     * Determinism: the confusion counts are all-integer (NULL-pred
     * docs — the empty-class corpus — land in `n_null`, never in a
-    * quadrant: `when(NULL && x)` falls through to 0 in both engines),
+    * quadrant: `when(NULL && x)` falls through to 0 in both engines;
+    * `isCurated` itself must be non-NULL on every row — a NULL label
+    * would silently fall out of all four quadrants),
     * and every ratio is ONE division of exact integers rounded to
     * 6 dp — `precision = tp/(tp+fp)`, `recall = tp/(tp+fn)`,
     * `f1 = 2·tp/(2·tp+fp+fn)` (the direct form, not a ratio of
