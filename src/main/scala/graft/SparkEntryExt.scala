@@ -372,18 +372,11 @@ object SparkEntryExt {
        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
        |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
 
-  /** Min-label propagation over the `prs` pair set, unrolled 3 rounds
-    * (mirrors `Dedup.clusterLabels(iterations = 3)`); ends at
-    * `l3(doc_id, label)`. ONE definition, two consumers
-    * (`dedup_cluster`, `dedup_keep_best`) — the dataCardSql
-    * discipline. Expects `prs(doc_a, doc_b, …)` in scope (the
-    * minhashPairsCte product).
-    */
   /** NB quality-classifier CTEs (mirrors
     * [[graft.ops.Curation.nbQualityScore]] with `lang = 'en'` as the
-    * curated class); ends at `sc(doc_id, score)`. ONE definition, two
-    * consumers (`pipeline_nb_quality`, `pipeline_nb_eval`) — the
-    * dataCardSql discipline.
+    * curated class); ends at `sc(doc_id, score)`. ONE definition,
+    * four consumers (`pipeline_nb_quality`, `pipeline_nb_eval`,
+    * `pipeline_nb_bins`, `nbIncSql`) — the dataCardSql discipline.
     */
   private lazy val nbScoreCtes: String =
     s"""tl AS (SELECT doc_id, lang = 'en' AS cur, $toksSql AS t FROM documents),
@@ -415,6 +408,13 @@ object SparkEntryExt {
        |    END AS score
        |  FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id, pr)""".stripMargin
 
+  /** Min-label propagation over the `prs` pair set, unrolled 3 rounds
+    * (mirrors `Dedup.clusterLabels(iterations = 3)`); ends at
+    * `l3(doc_id, label)`. ONE definition, two consumers
+    * (`dedup_cluster`, `dedup_keep_best`) — the dataCardSql
+    * discipline. Expects `prs(doc_a, doc_b, …)` in scope (the
+    * minhashPairsCte product).
+    */
   private lazy val clusterLabelCtes: String =
     s"""edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM prs
@@ -1594,7 +1594,7 @@ object SparkEntryExt {
     // exchange is the shard exchange, per-task state is one shard)
     "pipeline_epoch_shuffle" -> ((s, d) =>
       Curation.epochShuffle(Tables.documents(s, d), "doc_id",
-          seed = "epoch1", nShards = 8)
+          seed = epochSeed, nShards = epochShards)
         .orderBy(col("shard"), col("pos"))),
     // CCNet/GPT-3-style quality classifier with the countable model:
     // multinomial NB trained on the corpus' own curated split (en as
@@ -2212,6 +2212,16 @@ object SparkEntryExt {
   private val nbBinLo = -5
   private val nbBinHi = 4
 
+  /** `pipeline_epoch_shuffle` knobs — ONE definition feeds the Spark
+    * registry call and every literal in the oracle SQL (the seed
+    * string appears in the hash input, the shard count twice: the
+    * mod projection and the window partition), so a tweak to either
+    * side cannot silently break engine/oracle parity (the `spanN`
+    * discipline).
+    */
+  private val epochSeed = "epoch1"
+  private val epochShards = 8
+
   /** Shingle width for the `dedup_spans` family — ONE definition
     * feeds the Spark registry entries, the CTE chain, and every
     * coverage constant in the consuming SQL, so the width cannot
@@ -2310,11 +2320,13 @@ object SparkEntryExt {
          |$clusterLabelCtes,
          |${OracleSql.qualityCtes("kb", "documents")}
          |SELECT cluster_id, doc_id, n_tokens, n_members FROM (
-         |  SELECT l.label AS cluster_id, l.doc_id, q.n_tokens,
+         |  SELECT l.label AS cluster_id, l.doc_id,
+         |    coalesce(q.n_tokens, 0) AS n_tokens,
          |    count(*) OVER (PARTITION BY l.label) AS n_members,
          |    row_number() OVER (PARTITION BY l.label
-         |      ORDER BY (q.reason = 'ok') DESC, q.n_tokens DESC, l.doc_id) AS rn
-         |  FROM l3 l JOIN kb_r q ON l.doc_id = q.doc_id)
+         |      ORDER BY coalesce(q.reason = 'ok', false) DESC,
+         |        coalesce(q.n_tokens, 0) DESC, l.doc_id) AS rn
+         |  FROM l3 l LEFT JOIN kb_r q ON l.doc_id = q.doc_id)
          |WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
     "dedup_simhash" ->
@@ -2822,10 +2834,10 @@ object SparkEntryExt {
     // function of the 6-dp artifact, not of float summation order
     "pipeline_epoch_shuffle" ->
       s"""WITH h AS (
-         |  SELECT doc_id, ${h32Sql("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  SELECT doc_id, ${h32Sql(s"'$epochSeed:' || CAST(doc_id AS VARCHAR)")} AS hh
          |  FROM documents)
-         |SELECT CAST(hh % 8 AS INT) AS shard,
-         |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos,
+         |SELECT CAST(hh % $epochShards AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hh % $epochShards ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos,
          |  doc_id
          |FROM h
          |ORDER BY shard, pos""".stripMargin,

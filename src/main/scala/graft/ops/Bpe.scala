@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,9 +176,6 @@ object Bpe {
     val meta = docs.select(col(idCol).as("doc_id"), col(groupCol),
       col(charsCol).cast("long").as("__chars"),
       size(Dedup.tokens(col(textCol))).cast("long").as("__raw"))
-    def ratio(num: Column, den: Column): Column =
-      when(den === 0, lit(null).cast("double"))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
     meta.join(applied, "doc_id")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
@@ -186,7 +183,7 @@ object Bpe {
         sum(col("__bpe")).as("n_bpe"),
         sum(col("__chars")).as("__c"))
       .select(col(groupCol), col("n_docs"), col("n_raw"), col("n_bpe"),
-        ratio(col("n_bpe"), col("n_raw")).as("compression"),
-        ratio(lit(100L) * col("n_bpe"), col("__c")).as("toks_per_100c"))
+        Curation.ratio6(col("n_bpe"), col("n_raw")).as("compression"),
+        Curation.ratio6(lit(100L) * col("n_bpe"), col("__c")).as("toks_per_100c"))
   }
 }

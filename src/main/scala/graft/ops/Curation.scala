@@ -448,16 +448,24 @@ object Curation {
       sum(when(!col("pred_curated") && col("__lab"), lit(1L)).otherwise(lit(0L))).as("fn"),
       sum(when(!col("pred_curated") && !col("__lab"), lit(1L)).otherwise(lit(0L))).as("tn"),
       sum(when(col("pred_curated").isNull, lit(1L)).otherwise(lit(0L))).as("n_null"))
-    def ratio(num: Column, den: Column): Column =
-      when(den === 0, lit(null).cast("double"))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
     counts.select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
-      ratio(col("tp"), col("tp") + col("fp")).as("prec"),
-      ratio(col("tp"), col("tp") + col("fn")).as("rec"),
-      ratio(lit(2L) * col("tp"), lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
-      ratio(col("tp") + col("tn"),
+      ratio6(col("tp"), col("tp") + col("fp")).as("prec"),
+      ratio6(col("tp"), col("tp") + col("fn")).as("rec"),
+      ratio6(lit(2L) * col("tp"), lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+      ratio6(col("tp") + col("tn"),
         col("tp") + col("fp") + col("fn") + col("tn")).as("acc"))
   }
+
+  /** ONE exact-integer division rounded to 6 dp, NULL on a zero
+    * denominator — the determinism-critical ratio every integer-sum
+    * report shares ([[nbQualityEval]], [[graft.ops.Bpe.fertility]]).
+    * A single definition so the NULL convention and precision can
+    * never drift between reports (mirrors the oracle-side
+    * `round(x::DOUBLE / nullif(d, 0), 6)`).
+    */
+  private[ops] def ratio6(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double"))
+      .otherwise(round(num.cast("double") / den.cast("double"), 6))
 
   /** Calibration RELIABILITY table for [[nbQualityScore]] — the
     * binned companion to [[nbQualityEval]]'s single-threshold

@@ -749,15 +749,26 @@ object Dedup {
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, iterations: Int): DataFrame = {
     val labels = clusterLabels(docs, idCol, pairs, iterations)
+    // LEFT join + coalesced defaults: qualityFilter emits NO row for a
+    // zero-token doc (its unigram aggregate has no rows), and an inner
+    // join would silently delete such docs from their clusters — a
+    // whole singleton cluster of one empty doc would vanish from the
+    // output, breaking the one-row-per-cluster contract. Treating the
+    // missing row as (keep = false, n_tokens = 0) keeps the contract:
+    // an empty doc loses to ANY scored member and survives only as the
+    // min-id member of an all-empty cluster.
     val quality = TextAnalysis.qualityFilter(docs, idCol, textCol)
       .select(col("doc_id"), col("n_tokens"), col("keep"))
     val byCluster = Window.partitionBy(col("cluster_id"))
-    val best = byCluster.orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id").asc)
-    labels.join(quality, "doc_id")
+    val best = byCluster.orderBy(
+      coalesce(col("keep"), lit(false)).desc,
+      coalesce(col("n_tokens"), lit(0L)).desc, col("doc_id").asc)
+    labels.join(quality, Seq("doc_id"), "left")
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .withColumn("__rn", row_number().over(best))
       .filter(col("__rn") === 1)
-      .select(col("cluster_id"), col("doc_id"), col("n_tokens"), col("n_members"))
+      .select(col("cluster_id"), col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("n_members"))
   }
 
   /** The composed production dedup pipeline: exact-collapse FIRST

@@ -60,7 +60,10 @@ class DocCountsSpec extends AnyFunSuite {
     // the same count the round judges use: test-block openers across
     // the suite files (this file's own blocks included)
     val dir = new java.io.File("src/test/scala/graft")
-    val specs = dir.listFiles((_, n) => n.endsWith(".scala")).toSeq.map { f =>
+    val files = dir.listFiles((_, n) => n.endsWith(".scala"))
+    assert(files != null && files.nonEmpty,
+      s"expected test sources at ${dir.getAbsolutePath} (run tests from the repo root)")
+    val specs = files.toSeq.map { f =>
       """test\("""".r
         .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
         .size

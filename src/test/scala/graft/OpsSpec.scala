@@ -608,18 +608,26 @@ class OpsSpec extends SparkSpec {
     val pass16b = "the apple berry cherry damson elder feijoa grape honey icaco jambul kiwi lemon mango nutmeg olive"
     val pass20 = "the papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 golf2 hotel2"
     val fail30 = "the " + Seq.fill(29)("zz").mkString(" ")
+    // docs 7/8: ZERO-token members (qualityFilter emits no row for
+    // them) — the one-row-per-cluster contract must still hold: an
+    // empty doc loses to any scored member (8 in doc 5's cluster) and
+    // survives only as the min-id member of an all-empty cluster (7)
     val docs = Seq(
       (1L, fail30), (2L, pass16a), (3L, pass20),
-      (4L, pass16b), (5L, pass16a), (6L, pass16b)
+      (4L, pass16b), (5L, pass16a), (6L, pass16b),
+      (7L, "   "), (8L, "")
     ).toDF("doc_id", "text")
-    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (5L, 8L)).toDF("doc_a", "doc_b")
     val got = Dedup.keepBest(docs, "doc_id", "text", pairs, iterations = 3)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got.keySet == Set(1L, 4L, 5L), s"one survivor per cluster: ${got.keySet}")
+    assert(got.keySet == Set(1L, 4L, 5L, 7L), s"one survivor per cluster: ${got.keySet}")
     assert(got(1L) == ((3L, 20L, 3L)),
       s"quality-pass doc 3 must beat longer-but-failing doc 1: ${got(1L)}")
     assert(got(4L) == ((4L, 16L, 1L)), s"singleton survives as itself: ${got(4L)}")
-    assert(got(5L) == ((5L, 16L, 2L)), s"(keep, n_tokens) tie falls to min id: ${got(5L)}")
+    assert(got(5L) == ((5L, 16L, 3L)),
+      s"(keep, n_tokens) tie falls to min id; empty member 8 counted but never wins: ${got(5L)}")
+    assert(got(7L) == ((7L, 0L, 1L)),
+      s"all-empty singleton cluster must still emit its row: ${got(7L)}")
   }
 
   test("dedup: incremental spans equal the full run restricted to the batch") {
