@@ -214,6 +214,45 @@ class OpsSpec extends SparkSpec {
       "restarted drift monitor must accumulate each vector exactly once")
   }
 
+  test("nbScore stream restart: checkpoint resumes batch-id-stable, scores equal the batch pass") {
+    // the searchStream-family resume contract exercised on the crawl
+    // filter: a restarted nbScoreStream (same store + checkpoint) must
+    // skip the fresh-store guard, CONTINUE batch numbering (per-batch
+    // dirs never collide), score every doc exactly once, and match the
+    // one-shot nbScoreBatch over the same corpus
+    val in = java.nio.file.Files.createTempDirectory("nbrst-in").toString
+    val store = java.nio.file.Files.createTempDirectory("nbrst-st").toString + "/scores"
+    val ckpt = java.nio.file.Files.createTempDirectory("nbrst-ck").toString
+    val corpus = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val (lr, priors) = Curation.nbModel(corpus, "doc_id", "text", $"doc_id" % 2 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    val expected = rows(Curation.nbScoreBatch(corpus, "doc_id", "text", lr, priors))
+    corpus.filter($"doc_id" <= 2).write.mode("append").parquet(in)
+    val q1 = EventStream.nbScoreStream(spark, in, store, lr, priors, Some(ckpt))
+    try EventStream.drainAll(spark, q1, in) finally q1.stop()
+    corpus.filter($"doc_id" > 2).write.mode("append").parquet(in)
+    val q2 = EventStream.nbScoreStream(spark, in, store, lr, priors, Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (q2.recentProgress.iterator.map(_.numInputRows).sum < 2 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q2.processAllAvailable()
+      }
+      val batchIds = q2.recentProgress.map(_.batchId)
+      assert(batchIds.nonEmpty && batchIds.min >= 1,
+        s"restart must continue batch numbering, planned ${batchIds.toSeq}")
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$store/batch_*")
+    assert(got.count() == 4, "every doc scored exactly once across the restart")
+    assert(rows(got.select($"doc_id", $"score")) == expected,
+      "restarted stream scores must equal the one-shot batch pass")
+  }
+
   test("upsert stream restart: checkpoint resumes past committed batches") {
     // Without a checkpoint a restarted upsertStream re-lists the whole
     // input dir as batch 0 — value-idempotent (pin above) but a
