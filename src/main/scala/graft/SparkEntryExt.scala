@@ -1628,6 +1628,29 @@ object SparkEntryExt {
           "doc_id", "text", s.table(tbl), s.table(tbl + "_prior"))
         .orderBy(col("doc_id"))
     }),
+    // stored-model-backed report forms (SCALING's score-once shape): the
+    // batch is scored ONCE against the stored NB model and the
+    // confusion/calibration reports derive from that scored table —
+    // score+eval+bins share one scoring pass instead of paying the
+    // in-plan corpus train bill per report
+    "pipeline_nb_eval_inc" -> ((s, d) => {
+      val tbl = nbModelIndex(s, d)
+      val batch = Tables.documents(s, d).filter(col("doc_id") % nbBatchMod === 0)
+      Curation.nbEvalFromScores(
+        Curation.nbScoreBatch(batch, "doc_id", "text",
+          s.table(tbl), s.table(tbl + "_prior")),
+        batch.select(col("doc_id"), (col("lang") === "en").as("label")))
+    }),
+    "pipeline_nb_bins_inc" -> ((s, d) => {
+      val tbl = nbModelIndex(s, d)
+      val batch = Tables.documents(s, d).filter(col("doc_id") % nbBatchMod === 0)
+      Curation.nbBinsFromScores(
+          Curation.nbScoreBatch(batch, "doc_id", "text",
+            s.table(tbl), s.table(tbl + "_prior")),
+          batch.select(col("doc_id"), (col("lang") === "en").as("label")),
+          lo = nbBinLo, hi = nbBinHi)
+        .orderBy(col("bin"))
+    }),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
     "text_quality_adaptive" -> ((s, d) =>
@@ -2850,6 +2873,37 @@ object SparkEntryExt {
     // to the batch ids — model values are identical because the model
     // is the 6-dp-quantized artifact either way
     "pipeline_nb_inc" -> nbIncSql,
+    // the stored-model report forms restrict the SAME score table to
+    // the batch ids (model values are identical — the model is the
+    // 6-dp-quantized artifact) and derive eval/bins over batch labels
+    "pipeline_nb_eval_inc" ->
+      s"""WITH $nbScoreCtes,
+         |b AS (SELECT doc_id, score FROM sc WHERE doc_id % $nbBatchMod = 0),
+         |cm AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN score > 0 AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN score IS NULL OR d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM b JOIN documents d USING (doc_id))
+         |SELECT tp, fp, fn, tn, n_null,
+         |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,
+         |  round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS rec,
+         |  round((2 * tp)::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+         |  round((tp + tn)::DOUBLE / nullif(tp + fp + fn + tn, 0), 6) AS acc
+         |FROM cm""".stripMargin,
+    "pipeline_nb_bins_inc" ->
+      s"""WITH $nbScoreCtes,
+         |b AS (SELECT doc_id, score FROM sc WHERE doc_id % $nbBatchMod = 0)
+         |SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+         |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur
+         |FROM b JOIN documents d USING (doc_id)
+         |WHERE score IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY bin""".stripMargin,
     "pipeline_nb_bins" ->
       s"""WITH $nbScoreCtes
          |SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
@@ -2868,7 +2922,7 @@ object SparkEntryExt {
          |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
          |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-         |    CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |    CAST(sum(CASE WHEN score IS NULL OR d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
          |  FROM sc JOIN documents d USING (doc_id))
          |SELECT tp, fp, fn, tn, n_null,
          |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,

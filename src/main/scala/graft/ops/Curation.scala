@@ -211,10 +211,35 @@ object Curation {
     * `buckets`-row broadcast model via conditional sums — one pass for
     * both corpora — and candidate weights need one more doc_id
     * aggregation. The weight table (one compact row per candidate) is
-    * lineage-cut eagerly — two consumers: the candidate count that
-    * sizes the selection, and the top-k itself. Selection is
-    * `TakeOrderedAndProject` (per-partition top-k, no global sort);
-    * the count is a 1-row driver scalar, O(1) like the model collects.
+    * lineage-cut lazily — three consumers: the weight histogram and
+    * the two selection filters.
+    *
+    * Selection is by THRESHOLD, not enumeration: `k = keepFrac·n` is a
+    * CORPUS-SIZED fraction, so `orderBy(…).limit(k)` would plan as
+    * `TakeOrderedAndProject` — a single-point merge holding k rows
+    * from every partition at once (fine for the kNN family's constant
+    * top-k; billions of rows at 100 TB here). Instead the k-th
+    * boundary weight is computed as a bounded aggregate over the
+    * DISTINCT quantized weights (the packSequences two-phase sharded
+    * prefix-sum, PlanSpec-pinned TakeOrdered-free): per-weight counts
+    * bucket by `floor(logw)` — the within-bucket cumulative window
+    * partitions by bucket (parallel; ≤ 2·10^6 distinct 6-dp weights
+    * per unit interval regardless of corpus size) and only the
+    * bucket-total prefix runs in one task, over the handful of integer
+    * buckets the weight range spans. The 1-row boundary
+    * `(w*, slack)` then broadcast-filters the candidates: keep
+    * `logw > w*` (a scan predicate — no sort, no merge, no shuffle)
+    * plus the `slack` lowest-doc_id docs AT the boundary weight (a
+    * row_number over the boundary TIE SET only — docs whose quantized
+    * weights collide exactly, a handful on any real corpus; an
+    * adversarially all-identical corpus degrades this slice to a
+    * single-task pass over its ties, the honest cost of an exact
+    * cutoff there). The selected SET is identical to the enumeration
+    * form — both realize the same total order on
+    * `(round(logw, 6) DESC, doc_id)` — so the oracle is unchanged;
+    * and with n and k riding the plan as a 1-row aggregate there is
+    * no driver count, no `k ≤ Int.MaxValue` limit, and the whole
+    * operator is again ONE lazy plan.
     * Output: `(doc_id, n_grams, logw)` ordered by doc_id.
     */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
@@ -240,24 +265,64 @@ object Curation {
       .select(col("b"), round(
         log((col("ct") + 1.0) / (col("__tt") + buckets.toDouble)) -
           log((col("cr") + 1.0) / (col("__tr") + buckets.toDouble)), 6).as("lr"))
+    // Compare the QUANTIZED weight (then doc_id): logw is an unordered
+    // float sum of c*lr terms, so near-ties at the keepFrac cutoff
+    // could flip with summation order across engines/partitionings —
+    // thresholding the 6-dp-rounded artifact (the same value displayed
+    // and compared downstream) makes the selected SET a total function
+    // of the quantized model, the repo's quantize-before-compare rule.
     val weights = cells.filter(!col("__t"))
       .join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
-        sum(col("c").cast("double") * col("lr")).as("logw"))
-      .localCheckpoint(true)
-    val n = weights.count()
-    val k = math.max(1L, math.floor(n * keepFrac).toLong)
-    require(k <= Int.MaxValue, s"selection size $k exceeds limit()'s range; shard first")
-    // Rank by the QUANTIZED weight (then doc_id): logw is an unordered
-    // float sum of c*lr terms, so near-ties at the keepFrac cutoff
-    // could flip with summation order across engines/partitionings —
-    // sorting the 6-dp-rounded artifact (the same value displayed and
-    // compared downstream) makes the selected SET a total function of
-    // the quantized model, the repo's quantize-before-compare rule.
-    weights.select(col("doc_id"), col("n_grams"), round(col("logw"), 6).as("logw"))
-      .orderBy(desc("logw"), col("doc_id")).limit(k.toInt)
-      .orderBy(col("doc_id"))
+        round(sum(col("c").cast("double") * col("lr")), 6).as("logw"))
+      .localCheckpoint(false)
+    // k-th boundary weight via the per-weight histogram: two-phase
+    // prefix over (integer bucket, within-bucket distinct weights) —
+    // the packSequences shape, descending
+    val hist = weights.groupBy(col("logw")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__bk", floor(col("logw")).cast("long"))
+      .localCheckpoint(false)
+    // bucket-total prefix: the only sequential step, one row per
+    // integer weight bucket (the weight range spans a handful of
+    // units; pmod keeps a partition spec on the tiny table — the
+    // packSequences idiom)
+    val wBk = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("__bk"), lit(1L))).orderBy(col("__bk").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bkOffs = hist.groupBy(col("__bk")).agg(sum(col("__cnt")).as("__btot"))
+      .withColumn("__bk_off", coalesce(sum(col("__btot")).over(wBk), lit(0L)))
+      .select(col("__bk"), col("__bk_off"))
+    // within-bucket prefix: partitioned by bucket, parallel; per-task
+    // state bounded by the distinct 6-dp weights inside one unit
+    // interval, independent of corpus size
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("logw").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.join(broadcast(bkOffs), "__bk")
+      .withColumn("__above", col("__bk_off") + coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
+    // n and k ride the plan as a 1-row aggregate — no driver count, no
+    // Int.MaxValue ceiling; the boundary weight is the unique w* with
+    // cum_above(w*) < k <= cum_above(w*) + cnt(w*)
+    val tot = broadcast(hist.agg(sum(col("__cnt")).as("__n")))
+    val boundary = broadcast(cum.crossJoin(tot)
+      .withColumn("__k", greatest(lit(1L),
+        floor(col("__n") * lit(keepFrac)).cast("long")))
+      .filter(col("__above") < col("__k") && col("__k") <= col("__above") + col("__cnt"))
+      .select(col("logw").as("__wstar"), (col("__k") - col("__above")).as("__slack")))
+    // strictly-above docs pass on a broadcast scan predicate; the
+    // boundary TIE SET (exact 6-dp collisions only) takes a ranked
+    // slice by doc_id — __wstar is non-foldable, so the window keeps a
+    // partition spec over the tie rows alone
+    val above = weights.join(boundary, col("logw") > col("__wstar"))
+      .select(col("doc_id"), col("n_grams"), col("logw"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__wstar")).orderBy(col("doc_id"))
+    val atBoundary = weights.join(boundary, col("logw") === col("__wstar"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") <= col("__slack"))
+      .select(col("doc_id"), col("n_grams"), col("logw"))
+    above.unionByName(atBoundary).orderBy(col("doc_id"))
   }
 
   /** Deterministic seeded EPOCH SHUFFLE + sharding — the reproducible
@@ -284,6 +349,16 @@ object Curation {
     * sharded prefix-sum, not a bigger window.
     *
     * Output: `(shard, pos, doc_id)`, one row per doc.
+    *
+    * CONTRACT: `idCol` must be UNIQUE over `docs` (the
+    * [[graft.ops.Bpe.applyMerges]] contract): d copies of one id get
+    * the SAME hash, so the within-shard ordering of the copies is an
+    * arbitrary tie-break — d rows with d distinct `pos` values in an
+    * order that can differ across runs, silently breaking
+    * reproducibility (the one property this verb exists to provide).
+    * Callers with possibly-duplicated ids must dedup first; this
+    * method does NOT `distinct` for them (an id-sized exchange every
+    * honest caller would pay).
     */
   def epochShuffle(docs: DataFrame, idCol: String, seed: String,
       nShards: Int): DataFrame = {
@@ -387,21 +462,52 @@ object Curation {
     * shuffle for the score sum. The corpus never re-tokenizes —
     * that's the whole point of storing the model.
     *
-    * Out-of-vocabulary contract: a batch term absent from the model
-    * contributes ZERO to the log-odds (the inner term join drops it)
-    * — the neutral treatment, pinned in OpsSpec. A caller wanting the
-    * smoothed-OOV constant `ln((t_web+V)/(t_cur+V))` instead can add
-    * it as a per-doc OOV-count correction; the zero default keeps the
-    * stored model self-contained.
+    * Out-of-vocabulary contract: by default a batch term absent from
+    * the model contributes ZERO to the log-odds (the inner term join
+    * drops it) — the neutral treatment, pinned in OpsSpec, and the
+    * right bias-free default when train and serve distributions match.
+    * Crawl batches are OOV-HEAVY, and zero-contribution then biases
+    * every score toward the prior; pass `oovLr =
+    * Some(ln((1/(t_cur+V)) / (1/(t_web+V))))` = `ln((t_web+V)/(t_cur+V))`
+    * — the add-1-smoothed log-ratio of an unseen term, from the SAME
+    * training totals that built the model — and every OOV token
+    * contributes that constant instead (the join turns LEFT and the
+    * per-doc OOV count multiplies the 6-dp-quantized constant, so
+    * determinism discipline is unchanged). The totals are train-time
+    * quantities: a pipeline persisting the model records the constant
+    * alongside the priors row at training time, exactly like the
+    * priors themselves — the stored model stays self-contained.
+    *
+    * CONTRACT: `idCol` must be UNIQUE over `batch` (the
+    * [[graft.ops.Bpe.applyMerges]] contract): the final LEFT join
+    * keys the batch against its own per-doc scores on `doc_id`, so d
+    * copies of one id multiply into d² output rows — a silent row
+    * explosion, not an error. Callers with possibly-duplicated ids
+    * must dedup first; this method does NOT `distinct` for them
+    * (an extra id-sized exchange every honest caller would pay).
     */
   def nbScoreBatch(batch: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, priors: DataFrame): DataFrame = {
+      model: DataFrame, priors: DataFrame,
+      oovLr: Option[Double] = None): DataFrame = {
     val tok = batch.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(col(textCol))).as("term"))
-    val docScores = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      .join(model, "term")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c").cast("double") * col("lr")).as("__s"))
+    val dt = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val docScores = oovLr match {
+      case None =>
+        dt.join(model, "term")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c").cast("double") * col("lr")).as("__s"))
+      case Some(o) =>
+        // quantize the constant like every lr summand (6 dp, HALF_UP
+        // — what round(col, 6) does), so an engine re-deriving it from
+        // the same totals lands on the same bits
+        val o6 = BigDecimal(o).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        dt.join(model, Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg((sum(col("c").cast("double") * coalesce(col("lr"), lit(0.0d))) +
+            lit(o6) * sum(when(col("lr").isNull, col("c")).otherwise(lit(0L))).cast("double"))
+            .as("__s"))
+    }
     val score = when(col("nd_cur") === 0 || col("nd_web") === 0,
         lit(null).cast("double"))
       .otherwise(round(coalesce(col("__s"), lit(0.0d)) +
@@ -421,11 +527,12 @@ object Curation {
     * paper reports before trusting the classifier's scores on crawl
     * data).
     *
-    * Determinism: the confusion counts are all-integer (NULL-pred
-    * docs — the empty-class corpus — land in `n_null`, never in a
-    * quadrant: `when(NULL && x)` falls through to 0 in both engines;
-    * `isCurated` itself must be non-NULL on every row — a NULL label
-    * would silently fall out of all four quadrants),
+    * Determinism: the confusion counts are all-integer (a doc with a
+    * NULL prediction — the empty-class corpus — OR a NULL label lands
+    * in `n_null`, never in a quadrant: `when(NULL && x)` falls through
+    * to 0 in both engines, and `n_null` counts BOTH nullities
+    * explicitly so `tp+fp+fn+tn+n_null = |docs|` always holds — no
+    * row can silently fall out of every column),
     * and every ratio is ONE division of exact integers rounded to
     * 6 dp — `precision = tp/(tp+fp)`, `recall = tp/(tp+fn)`,
     * `f1 = 2·tp/(2·tp+fp+fn)` (the direct form, not a ratio of
@@ -438,16 +545,34 @@ object Curation {
     * Output: one row, `(tp, fp, fn, tn, n_null, prec, rec, f1, acc)`.
     */
   def nbQualityEval(docs: DataFrame, idCol: String, textCol: String,
-      isCurated: Column): DataFrame = {
-    val scored = nbQualityScore(docs, idCol, textCol, isCurated)
-    val labeled = docs.select(col(idCol).as("doc_id"), isCurated.as("__lab"))
+      isCurated: Column): DataFrame =
+    nbEvalFromScores(nbQualityScore(docs, idCol, textCol, isCurated),
+      docs.select(col(idCol).as("doc_id"), isCurated.as("label")))
+
+  /** [[nbQualityEval]]'s report tail over an ALREADY-SCORED table —
+    * the composable form: `scored` is any `(doc_id, score,
+    * pred_curated)` frame ([[nbQualityScore]] in-plan, or
+    * [[nbScoreBatch]] against the stored model — the train-once
+    * economics: a pipeline wanting score+eval+bins scores ONCE and
+    * derives all three reports from the one scored table, instead of
+    * paying the in-plan train bill per report), `labels` a `(doc_id,
+    * label)` frame. Same output contract and determinism discipline
+    * as [[nbQualityEval]]; the join is the only addition, and with a
+    * doc_id-partitioned scored table it co-partitions with the labels
+    * scan. `doc_id` must be unique on both sides (the
+    * [[nbScoreBatch]] CONTRACT — duplicate ids multiply rows through
+    * the join, silently inflating every quadrant).
+    */
+  def nbEvalFromScores(scored: DataFrame, labels: DataFrame): DataFrame = {
+    val labeled = labels.select(col("doc_id"), col("label").as("__lab"))
       .join(scored, "doc_id")
     val counts = labeled.agg(
       sum(when(col("pred_curated") && col("__lab"), lit(1L)).otherwise(lit(0L))).as("tp"),
       sum(when(col("pred_curated") && !col("__lab"), lit(1L)).otherwise(lit(0L))).as("fp"),
       sum(when(!col("pred_curated") && col("__lab"), lit(1L)).otherwise(lit(0L))).as("fn"),
       sum(when(!col("pred_curated") && !col("__lab"), lit(1L)).otherwise(lit(0L))).as("tn"),
-      sum(when(col("pred_curated").isNull, lit(1L)).otherwise(lit(0L))).as("n_null"))
+      sum(when(col("pred_curated").isNull || col("__lab").isNull, lit(1L))
+        .otherwise(lit(0L))).as("n_null"))
     counts.select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
       ratio6(col("tp"), col("tp") + col("fp")).as("prec"),
       ratio6(col("tp"), col("tp") + col("fn")).as("rec"),
@@ -490,10 +615,22 @@ object Curation {
     * `(bin, n, n_cur, frac_cur)`, populated bins only.
     */
   def nbCalibrationBins(docs: DataFrame, idCol: String, textCol: String,
-      isCurated: Column, lo: Int = -5, hi: Int = 4): DataFrame = {
-    require(lo <= hi, s"nbCalibrationBins: lo ($lo) must be <= hi ($hi)")
-    val scored = nbQualityScore(docs, idCol, textCol, isCurated)
-    docs.select(col(idCol).as("doc_id"), isCurated.as("__lab"))
+      isCurated: Column, lo: Int = -5, hi: Int = 4): DataFrame =
+    nbBinsFromScores(nbQualityScore(docs, idCol, textCol, isCurated),
+      docs.select(col(idCol).as("doc_id"), isCurated.as("label")), lo, hi)
+
+  /** [[nbCalibrationBins]]' report tail over an ALREADY-SCORED table
+    * — the composable form ([[nbEvalFromScores]]' twin): score ONCE
+    * (in-plan or via the stored model), derive eval AND bins from the
+    * same scored table. Contracts unchanged: `scored(doc_id, score,
+    * pred_curated)`, `labels(doc_id, label)`, unique `doc_id` both
+    * sides, NULL-score docs excluded (they are [[nbEvalFromScores]]'
+    * `n_null`).
+    */
+  def nbBinsFromScores(scored: DataFrame, labels: DataFrame,
+      lo: Int = -5, hi: Int = 4): DataFrame = {
+    require(lo <= hi, s"nbBinsFromScores: lo ($lo) must be <= hi ($hi)")
+    labels.select(col("doc_id"), col("label").as("__lab"))
       .join(scored, "doc_id")
       .filter(col("score").isNotNull)
       .withColumn("bin",

@@ -745,10 +745,38 @@ object Dedup {
     * at any corpus scale. Output: one row per cluster,
     * `(cluster_id, doc_id, n_tokens, n_members)` — the deduped corpus
     * with its provenance (`n_members` = how many copies collapsed).
+    *
+    * This overload labels with the fixed-unroll [[clusterLabels]]
+    * (oracle-expressible: the DuckDB mirror unrolls the same rounds);
+    * production survivor selection over an unbounded-diameter pair
+    * graph wants [[clusterLabelsConverged]]'s fixed point — feed its
+    * output to [[keepBestFromLabels]], which this overload shares
+    * verbatim (survivor invariance under deeper iteration is
+    * OpsSpec-pinned on a bounded-diameter fixture).
     */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, iterations: Int): DataFrame = {
-    val labels = clusterLabels(docs, idCol, pairs, iterations)
+      pairs: DataFrame, iterations: Int): DataFrame =
+    keepBestFromLabels(clusterLabels(docs, idCol, pairs, iterations),
+      docs, idCol, textCol)
+
+  /** [[keepBest]]'s selection tail over an ALREADY-LABELED corpus:
+    * `labels(doc_id, cluster_id)` is any cluster labeling —
+    * [[clusterLabels]]' fixed unroll, [[clusterLabelsConverged]]'s
+    * fixed point, or a stored label table from a previous run. The
+    * survivor depends only on the label PARTITION (which docs share a
+    * cluster), not on which iteration scheme produced it, so a deeper
+    * labeling that reaches the same components keeps the same
+    * survivors.
+    *
+    * CONTRACT: `idCol` must be UNIQUE over `docs` and `labels` must
+    * hold exactly one row per doc (the [[graft.ops.Bpe.applyMerges]]
+    * contract): duplicated ids multiply through the quality join and
+    * inflate `n_members` with phantom copies — silently, not as an
+    * error. [[clusterLabels]]' own output satisfies this by
+    * construction (its groupBy collapses to one row per doc_id).
+    */
+  def keepBestFromLabels(labels: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     // LEFT join + coalesced defaults: qualityFilter emits NO row for a
     // zero-token doc (its unigram aggregate has no rows), and an inner
     // join would silently delete such docs from their clusters — a
@@ -763,7 +791,8 @@ object Dedup {
     val best = byCluster.orderBy(
       coalesce(col("keep"), lit(false)).desc,
       coalesce(col("n_tokens"), lit(0L)).desc, col("doc_id").asc)
-    labels.join(quality, Seq("doc_id"), "left")
+    labels.select(col("doc_id"), col("cluster_id"))
+      .join(quality, Seq("doc_id"), "left")
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .withColumn("__rn", row_number().over(best))
       .filter(col("__rn") === 1)

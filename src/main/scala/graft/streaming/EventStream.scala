@@ -778,10 +778,19 @@ object EventStream {
     * run would renumber batches from 0 over them and the cumulative
     * glob would double-count, the exact corruption the guard exists to
     * prevent.
+    *
+    * "Committed" is checked EXACTLY: only numerically-named batch
+    * files count (`HDFSMetadataLog` writes batch N as the file `N`).
+    * A bare `*` glob would also match dot-prefixed debris — a crashed
+    * pre-commit temp write (`.<id>.<uuid>.tmp`) or a `.crc` sidecar —
+    * and declare a never-committed checkpoint "committed", skipping
+    * the fresh-store guard on exactly the runs where the guard
+    * matters most (a first run that crashed mid-offset-write).
     */
   private def isCommittedCheckpoint(spark: SparkSession, checkpointDir: String): Boolean =
-    listStore(s"$checkpointDir/offsets", "*",
-      spark.sparkContext.hadoopConfiguration).nonEmpty
+    listStore(s"$checkpointDir/offsets", "[0-9]*",
+      spark.sparkContext.hadoopConfiguration)
+      .exists(st => st.getPath.getName.forall(_.isDigit))
 
   /** Fail fast on a reused cumulative store: a CHECKPOINT-LESS run of
     * any cumulative-store stream ([[driftStream]], [[profileStream]],

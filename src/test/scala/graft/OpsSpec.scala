@@ -145,6 +145,23 @@ class OpsSpec extends SparkSpec {
       EventStream.nbScoreStream(spark, in, store4, model, priors)
     }
     assert(e4.getMessage.contains("batch_*"), e4.getMessage)
+    // a crashed pre-commit offset write is NOT a committed checkpoint
+    // (ADVICE r17): HDFSMetadataLog stages batch N as dot-prefixed
+    // '.<N>.<uuid>.tmp' before renaming to 'N' — only the renamed
+    // digit-named file proves a commit, so dot debris in offsets/
+    // must NOT skip the fresh-store guard
+    val store5 = java.nio.file.Files.createTempDirectory("ckfresh-st5").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store5, "profile_batch_0"))
+    val crashedCkpt = java.nio.file.Files.createTempDirectory("ckfresh-ck5").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(crashedCkpt, "offsets"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crashedCkpt, "offsets", ".0.1f2e3d.tmp"), Array[Byte](0))
+    val e5 = intercept[IllegalArgumentException] {
+      EventStream.profileStream(spark, in, store5, checkpointDir = Some(crashedCkpt))
+    }
+    assert(e5.getMessage.contains("profile_batch_*"), e5.getMessage)
   }
 
   test("profile stream restart: checkpoint resumes batch-id-stable, card stays exact") {
@@ -667,6 +684,35 @@ class OpsSpec extends SparkSpec {
       s"(keep, n_tokens) tie falls to min id; empty member 8 counted but never wins: ${got(5L)}")
     assert(got(7L) == ((7L, 0L, 1L)),
       s"all-empty singleton cluster must still emit its row: ${got(7L)}")
+  }
+
+  test("dedup: keepBestFromLabels — survivors invariant under deeper labeling on a bounded-diameter graph") {
+    // keepBest's selection depends only on the label PARTITION: on a
+    // fixture whose pair graph has diameter <= 3, the fixed 3-round
+    // unroll already reaches the fixed point, so the converged labeling
+    // (production) and a deeper unroll must pick the SAME survivors
+    // through the shared keepBestFromLabels tail
+    val pass16a = "the alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar"
+    val pass16b = "the apple berry cherry damson elder feijoa grape honey icaco jambul kiwi lemon mango nutmeg olive"
+    val pass20 = "the papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 golf2 hotel2"
+    val fail30 = "the " + Seq.fill(29)("zz").mkString(" ")
+    val docs = Seq(
+      (1L, fail30), (2L, pass16a), (3L, pass20),
+      (4L, pass16b), (5L, pass16a), (6L, pass16b),
+      (7L, "   "), (8L, "")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (5L, 8L)).toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaUnroll = rows(Dedup.keepBest(docs, "doc_id", "text", pairs, iterations = 3))
+    val viaConverged = rows(Dedup.keepBestFromLabels(
+      Dedup.clusterLabelsConverged(docs, "doc_id", pairs), docs, "doc_id", "text"))
+    val viaDeeper = rows(Dedup.keepBestFromLabels(
+      Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 6), docs, "doc_id", "text"))
+    assert(viaConverged == viaUnroll,
+      s"converged labels changed survivors:\nconv=$viaConverged\nunroll=$viaUnroll")
+    assert(viaDeeper == viaUnroll,
+      s"deeper unroll changed survivors:\ndeep=$viaDeeper\nunroll=$viaUnroll")
   }
 
   test("dedup: incremental spans equal the full run restricted to the batch") {
@@ -1265,6 +1311,38 @@ class OpsSpec extends SparkSpec {
     assert(run(0.5).keySet == Set(10L), s"top-fraction selection: ${run(0.5)}")
   }
 
+  test("dsirSelect: threshold selection equals enumeration through an exact weight tie") {
+    // four candidates share ONE text -> identical quantized weights, so
+    // the keepFrac cutoff lands INSIDE the tie set and the boundary
+    // slice must hand out the slack by ascending doc_id — exactly what
+    // sorting the full table on (logw DESC, doc_id) would select
+    val docs = Seq(
+      (1L, "x y x", "en"), (2L, "x y y", "en"),                // target
+      (20L, "x y x y", "de"), (21L, "x y", "de"),              // distinct weights
+      (30L, "x z", "de"), (31L, "x z", "de"),                  // the tie set:
+      (32L, "x z", "de"), (33L, "x z", "de"),                  //  4 identical docs
+      (40L, "q r s", "de"), (41L, "q r", "de")                 // disjoint tail
+    ).toDF("doc_id", "text", "lang")
+    def run(frac: Double) = Curation
+      .dsirSelect(docs, "doc_id", "text", col("lang") === "en",
+        buckets = 1024, keepFrac = frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // keepFrac = 1.0 keeps every candidate — the full weight table
+    val all = run(1.0)
+    assert(all.map(_._1).toSet == Set(20L, 21L, 30L, 31L, 32L, 33L, 40L, 41L),
+      s"keepFrac=1.0 must keep all candidates: ${all.toSeq}")
+    val tieW = all.filter(t => t._1 >= 30 && t._1 <= 33).map(_._3).distinct
+    assert(tieW.length == 1, s"fixture must produce an exact weight tie: ${all.toSeq}")
+    // enumeration ground truth from the full table, per keepFrac
+    for (frac <- Seq(0.2, 0.4, 0.5, 0.6, 0.8)) {
+      val k = math.max(1, math.floor(all.length * frac).toInt)
+      val expected = all.sortBy(t => (-t._3, t._1)).take(k).toSet
+      val got = run(frac).toSet
+      assert(got == expected,
+        s"frac=$frac: threshold selection diverged from enumeration:\ngot=$got\nexp=$expected")
+    }
+  }
+
   test("epochShuffle: seeded permutation — every doc once, dense per-shard positions, seed changes the order") {
     val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
     def run(seed: String, n: Int) = Curation.epochShuffle(docs, "doc_id", seed, n)
@@ -1388,6 +1466,71 @@ class OpsSpec extends SparkSpec {
     val priorOnly = full.find(_._1 == 3L).get
     assert(got == Set((9L, priorOnly._2, priorOnly._3)),
       s"all-OOV doc must score the prior alone: $got vs $priorOnly")
+  }
+
+  test("nbScoreBatch: opt-in smoothed-OOV constant — hand-computed, additive, default unchanged") {
+    // training fixture: en docs {"a a b", ""}, web docs {"b c", "a c"}
+    // -> t_cur = 3 (a,a,b), t_web = 4 (b,c,a,c), vocab = {a,b,c}, v = 3
+    // -> smoothed-OOV lr = ln((t_web+v)/(t_cur+v)) = ln(7/6),
+    //    quantized to 0.154151; priors nd_cur = nd_web = 2 -> ln(1) = 0
+    val docs = Seq(
+      (1L, "a a b", "en"), (3L, "", "en"), (2L, "b c", "de"), (7L, "a c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val (lr, priors) = Curation.nbModel(docs, "doc_id", "text", col("lang") === "en")
+    val oovC = math.log(7.0 / 6.0)
+    def one(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getDouble(1), r.getBoolean(2))
+    }
+    // all-OOV doc: score = prior + 2 * 0.154151 = 0.308302, flips the
+    // keep decision that the zero-contribution default leaves at the
+    // prior (0 -> pred_curated = false)
+    val allOov = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    assert(one(Curation.nbScoreBatch(allOov, "doc_id", "text", lr, priors,
+        oovLr = Some(oovC))) == ((9L, 0.308302, true)),
+      "all-OOV doc must score prior + n_oov * quantized constant")
+    assert(!one(Curation.nbScoreBatch(allOov, "doc_id", "text", lr, priors))._3,
+      "default (no oovLr) must stay zero-contribution: prior 0 -> not kept")
+    // mixed doc "a zz": lr(a) = round(ln(3/6) - ln(2/7), 6) = 0.559616,
+    // so score = round(0.559616 + 0.154151 + 0, 6) = 0.713767
+    val mixed = Seq((9L, "a zz")).toDF("doc_id", "text")
+    assert(one(Curation.nbScoreBatch(mixed, "doc_id", "text", lr, priors,
+        oovLr = Some(oovC))) == ((9L, 0.713767, true)),
+      "mixed doc must add the in-vocab lr and one OOV constant")
+    // in-vocab-only batch: the OOV option must change NOTHING
+    val inVocab = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val withO = one(Curation.nbScoreBatch(inVocab, "doc_id", "text", lr, priors,
+      oovLr = Some(oovC)))
+    val withoutO = one(Curation.nbScoreBatch(inVocab, "doc_id", "text", lr, priors))
+    assert(withO == withoutO, s"no OOV tokens -> identical score: $withO vs $withoutO")
+  }
+
+  test("nb eval: NULL label lands in n_null — quadrants + n_null partition the corpus (ADVICE r17)") {
+    // hand-made scored/labels tables through the composable tail: doc 3
+    // has a NULL prediction, doc 4 a NULL label — BOTH must land in
+    // n_null (never silently vanish), so the five columns partition
+    val scored = Seq(
+      (1L, Option(1.5), Option(true)), (2L, Option(-0.5), Option(false)),
+      (3L, Option.empty[Double], Option.empty[Boolean]), (4L, Option(2.0), Option(true))
+    ).toDF("doc_id", "score", "pred_curated")
+    val labels = Seq(
+      (1L, Option(true)), (2L, Option(true)), (3L, Option(false)), (4L, Option.empty[Boolean])
+    ).toDF("doc_id", "label")
+    val r = Curation.nbEvalFromScores(scored, labels).collect().head
+    val (tp, fp, fn, tn, nNull) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert((tp, fp, fn, tn, nNull) == ((1L, 0L, 1L, 0L, 2L)),
+      s"confusion (tp,fp,fn,tn,n_null): ($tp,$fp,$fn,$tn,$nNull)")
+    assert(tp + fp + fn + tn + nNull == 4L, "the five columns must partition the corpus")
+    // end-to-end: a NULL isCurated label flows into n_null, not nowhere
+    val docs = Seq(
+      (1L, "a a b", Option("en")), (2L, "b c", Option("de")), (3L, "a c", Option.empty[String])
+    ).toDF("doc_id", "text", "lang")
+    val e = Curation.nbQualityEval(docs, "doc_id", "text", col("lang") === "en")
+      .collect().head
+    assert(e.getLong(0) + e.getLong(1) + e.getLong(2) + e.getLong(3) + e.getLong(4) == 3L,
+      s"NULL-label doc must be counted: $e")
+    assert(e.getLong(4) == 1L, s"the NULL-label doc lands in n_null: $e")
   }
 
   test("bpe fertility: per-group integer sums, one-division ratios, empty group NULL") {

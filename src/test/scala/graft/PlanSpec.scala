@@ -195,6 +195,22 @@ class PlanSpec extends SparkSpec {
       s"a window operator crept into the single-query top-k:\n$plan")
   }
 
+  test("dsirSelect selection is threshold-based — no TakeOrderedAndProject with corpus-sized k") {
+    // the selection keeps keepFrac·|candidates| rows — a CORPUS-SIZED
+    // k, so orderBy+limit(k)'s TakeOrderedAndProject (fine for the kNN
+    // family's constant top-k) would single-point-merge k rows from
+    // every partition; the threshold form must keep the plan free of
+    // it (the boundary weight is a bounded histogram aggregate, the
+    // selection a broadcast filter)
+    val plan = formatted(Curation.dsirSelect(
+      Tables.documents(spark, sf0001), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64, keepFrac = 0.25))
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"corpus-sized limit(k) crept back into dsirSelect:\n$plan")
+    assert(!plan.contains("GlobalLimit"),
+      s"a global limit crept back into dsirSelect:\n$plan")
+  }
+
   test("searchGroups plans BOTH rank limits as WindowGroupLimit") {
     val emb = Tables.embeddings(spark, sf0001)
     val df = Knn.searchGroups(
