@@ -41,25 +41,89 @@ import graft.ops.Tables
   */
 object ScaleGen {
 
-  /** Per-replica bijective character mapping: two independent 10-letter
-    * rotations composed, giving 100 DISTINCT bijections (k = 0 is the
-    * identity, so replica 0 IS the source corpus). One rotation is not
-    * enough: with a single 10-letter alphabet, replicas k and k+10
-    * share a mapping, so any `copies` > 10 plants exact clone groups —
-    * measured at copies=30 as a 244 → 171,816 candidate-pair explosion
-    * in the MinHash smoke (every doc gained 2 verbatim twins; the
-    * "copies² by construction" failure mode this generator exists to
-    * avoid). Two rotations keep every replica pair distinct up to
-    * copies=100.
+  /** Per-replica bijective character mapping over a 20-letter alphabet.
+    *
+    * History: v1 composed two 10-letter rotations — 100 distinct
+    * bijections, k = 0 the identity. That cap bit twice: (a) a single
+    * rotation's period-10 bug planted verbatim clone triples at
+    * copies=30 (244 → 171,816 MinHash candidate pairs — the "copies²
+    * by construction" failure mode this generator exists to avoid);
+    * (b) at the 1000× decade, STACKING a second 100-replica pass over a
+    * 100× directory re-composed first-pass mappings, so some
+    * cross-decade replica pairs came out near-verbatim and the r17
+    * `data/scale1000` could never serve pairwise-dedup smokes
+    * (SCALING.md records the caveat).
+    *
+    * v2 (round 18): replica k gets a seeded Fisher–Yates PERMUTATION of
+    * the alphabet (splitmix64 stream per replica; k = 0 stays the
+    * identity), constructed greedily with two STRUCTURAL assertions
+    * instead of a periodicity argument:
+    *   - pairwise distinct (no exact clone groups), and
+    *   - every pair of mappings agrees on ≤ [[MaxAgree]] of the 20
+    *     positions (two near-identical bijections would differ only at
+    *     occurrences of the few disagreeing letters — near-dup texts by
+    *     construction; random permutation pairs agree on ~1 position,
+    *     so the greedy retry loop virtually never re-seeds).
+    * Within a replica any bijection preserves equality and shingle
+    * structure exactly, so the source's own dup/near-dup geometry is
+    * replicated `copies` times, never mixed across replicas. The cap is
+    * now [[MaxCopies]] = 1000, enforced by construction-time checks
+    * rather than an alphabet-period proof.
     */
-  private val RotA = "aeioubcdfg"
-  private val RotB = "hjklmnpqrs"
-  private def rot(s: String, k: Int): String = {
-    val r = k % s.length
-    s.drop(r) + s.take(r)
+  private val RotAlphabet = "aeioubcdfghjklmnpqrs"
+  private val MaxCopies = 1000
+  private val MaxAgree = 8
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
   }
-  private val RotAlphabet = RotA + RotB
-  private def rotated(k: Int): String = rot(RotA, k % 10) + rot(RotB, (k / 10) % 10)
+
+  /** Deterministic Fisher–Yates over the alphabet for (replica, attempt). */
+  private def permOf(k: Int, attempt: Int): String = {
+    val a = RotAlphabet.toCharArray
+    var s = k.toLong * 1009L + attempt.toLong
+    var i = a.length - 1
+    while (i > 0) {
+      s = splitmix64(s)
+      val j = (((s % (i + 1)) + (i + 1)) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    new String(a)
+  }
+
+  private def agree(x: String, y: String): Int =
+    x.indices.count(i => x(i) == y(i))
+
+  /** The replica → target-alphabet table: index k is replica k's image
+    * of [[RotAlphabet]]. Greedy construction; each mapping is re-seeded
+    * until it is distinct from and ≥ (20 − [[MaxAgree]])-different to
+    * every earlier one, so the invariants hold for ANY copies ≤
+    * [[MaxCopies]] — checked here, not argued.
+    */
+  private[graft] def mappings(copies: Int): Array[String] = {
+    require(copies >= 1 && copies <= MaxCopies,
+      s"copies ($copies) must be in [1, $MaxCopies]")
+    val out = new Array[String](copies)
+    out(0) = RotAlphabet // replica 0 IS the source corpus
+    var k = 1
+    while (k < copies) {
+      var attempt = 0
+      var cand = permOf(k, attempt)
+      while (out.iterator.take(k).exists(p => agree(p, cand) > MaxAgree)) {
+        attempt += 1
+        require(attempt < 1000,
+          s"mappings: could not place replica $k after $attempt re-seeds")
+        cand = permOf(k, attempt)
+      }
+      out(k) = cand
+      k += 1
+    }
+    out
+  }
 
   private def withReplica(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("__k", explode(lit((0 until copies).toArray)))
@@ -112,10 +176,10 @@ object ScaleGen {
       tables: Set[String] = AllTables): Unit = {
     val unknown = tables -- AllTables
     require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")
-    require(copies >= 1 && copies <= 100,
-      s"copies ($copies) must be in [1, 100] — the per-replica text bijection " +
-        "has exactly 100 distinct mappings; beyond that replicas repeat verbatim " +
-        "and every doc gains exact clones (the copies² failure mode)")
+    require(copies >= 1 && copies <= MaxCopies,
+      s"copies ($copies) must be in [1, $MaxCopies] — the per-replica text " +
+        "bijections are constructed with pairwise-distinctness checked up to " +
+        s"$MaxCopies; beyond that extend mappings() first (the copies² failure mode)")
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -133,16 +197,24 @@ object ScaleGen {
     if (tables("documents")) {
       val docs = Tables.documents(spark, src)
       val stride = strideOf(docs, "doc_id")
-      val rot = (1 until copies).foldLeft(when(col("__k") === 0, col("text"))) {
-        (acc, k) => acc.when(col("__k") === k, translate(col("text"), RotAlphabet, rotated(k)))
-      }
+      // Per-replica alphabet images ride a broadcast-joined `copies`-row
+      // table, and `translate` takes the image as a COLUMN (StringTranslate
+      // rebuilds its dict only when the argument changes) — a 1000-branch
+      // CASE would blow the codegen/constant-pool limits the old ≤100-way
+      // foldLeft form stayed under.
+      import spark.implicits._
+      val maps = mappings(copies).zipWithIndex
+        .map { case (m, k) => (k, m) }.toSeq.toDF("__k", "__to")
       write(
         withReplica(docs, copies)
+          .join(broadcast(maps), "__k")
           .withColumn("doc_id", rekey("doc_id", stride))
           .withColumn("text",
             when(col("__k") === 0, col("text"))
-              .otherwise(concat(rot, lit(" zrep"), col("__k").cast("string"))))
-          .drop("__k"),
+              .otherwise(concat(
+                expr(s"translate(text, '$RotAlphabet', __to)"),
+                lit(" zrep"), col("__k").cast("string"))))
+          .drop("__k", "__to"),
         "documents")
     }
 
@@ -155,11 +227,12 @@ object ScaleGen {
           .withColumn("embedding",
             when(col("__k") === 0, col("embedding")).otherwise(
               // affine per-dim perturbation of replica k ≠ 0:
-              //   x·(1 + s·0.06%) + s·1e-5, s = (7k + i) mod 101 − 50
-              // (±3% multiplicative; modulus 101 is prime and > any sane
-              // copies count, so no two replicas share a pattern — mod 11
-              // would clone vectors verbatim at copies > 11, the same
-              // period bug the text rotation had at copies > 10). The
+              //   x·(1 + s·0.006%) + s·1e-6, s = (7k + i) mod 1009 − 504
+              // (±3% multiplicative; modulus 1009 is prime and >
+              // MaxCopies, so no two replicas ≤ 1000 share a pattern —
+              // the old mod 101 would clone vectors verbatim at
+              // copies > 101, the same period bug the v1 text rotation
+              // had at copies > 10, just one decade later). The
               // additive term exists for the zero hole: a purely
               // multiplicative perturbation maps zero vectors (and zero
               // components) to themselves, so an all-zero embedding —
@@ -167,8 +240,8 @@ object ScaleGen {
               // contemplate — would gain copies−1 verbatim clones.
               zip_with(col("embedding"),
                 transform(col("embedding"),
-                  (_, i) => ((col("__k") * 7 + i) % 101 - 50).cast("float")),
-                (x, s) => x * (lit(1.0f) + s * lit(0.0006f)) + s * lit(1.0e-5f))))
+                  (_, i) => ((col("__k") * 7 + i) % 1009 - 504).cast("float")),
+                (x, s) => x * (lit(1.0f) + s * lit(0.00006f)) + s * lit(1.0e-6f))))
           .withColumn("vec_id", rekey("vec_id", stride))
           .drop("__k"),
         "embeddings")

@@ -14,11 +14,36 @@ class ScaleGenSpec extends SparkSpec {
 
   private lazy val outDir = {
     val dir = java.nio.file.Files.createTempDirectory("scalegen").toString
-    // copies=13 straddles BOTH perturbation sub-periods (10 for the text
-    // rotation halves, 11 for the old embedding modulus) — the regression
-    // configuration, shrunk to fixture scale
+    // copies=13 straddled BOTH v1 perturbation sub-periods (10 for the
+    // text rotation halves, 11 for the pre-fix embedding modulus) — kept
+    // as the historical regression configuration, shrunk to fixture
+    // scale; the v2 permutation scheme has no sub-10 period to straddle
+    // but every invariant below must still hold
     ScaleGen.inflate(spark, sf0001, dir, copies = 13)
     dir
+  }
+
+  test("replica text mappings: pairwise distinct, near-disjoint, identity first, full range") {
+    // the structural guarantee that replaced v1's alphabet-period
+    // argument: for the FULL copies=1000 range every pair of replica
+    // bijections is distinct AND agrees on <= 8 of the 20 positions
+    // (two near-identical bijections would make near-dup replicas —
+    // the cross-decade hole that blocked dedup smokes on the r17
+    // data/scale1000), each mapping is a permutation of the alphabet,
+    // and replica 0 is the identity (the source corpus verbatim)
+    val ms = ScaleGen.mappings(1000)
+    assert(ms.length == 1000 && ms.distinct.length == 1000, "mappings must be pairwise distinct")
+    assert(ms(0) == "aeioubcdfghjklmnpqrs", "replica 0 must be the identity mapping")
+    assert(ms.forall(_.sorted == "aeioubcdfghjklmnpqrs".sorted),
+      "every mapping must be a permutation of the alphabet")
+    var worst = 0
+    for (i <- ms.indices; j <- (i + 1) until ms.length) {
+      val a = ms(i).indices.count(p => ms(i)(p) == ms(j)(p))
+      if (a > worst) worst = a
+    }
+    assert(worst <= 8, s"two replica mappings agree on $worst/20 positions (max allowed 8)")
+    // determinism: a second construction is bit-identical
+    assert(ScaleGen.mappings(1000).sameElements(ms), "mappings must be deterministic")
   }
 
   test("row counts are exactly copies-linear for every inflated table") {
