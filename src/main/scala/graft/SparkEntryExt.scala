@@ -372,14 +372,16 @@ object SparkEntryExt {
        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
        |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
 
-  /** NB quality-classifier CTEs (mirrors
-    * [[graft.ops.Curation.nbQualityScore]] with `lang = 'en'` as the
-    * curated class); ends at `sc(doc_id, score)`. ONE definition,
-    * four consumers (`pipeline_nb_quality`, `pipeline_nb_eval`,
-    * `pipeline_nb_bins`, `nbIncSql`) — the dataCardSql discipline.
+  /** NB TRAINING CTEs parameterized by the training predicate
+    * (mirrors [[graft.ops.Curation.nbModel]] with `lang = 'en'` as the
+    * curated class); ends at `lr(term, lr)` + `pr(nd_cur, nd_web)`
+    * with `tot(t_cur, t_web, v)` in scope. ONE definition, two
+    * consumers: [[nbScoreCtes]] (full-corpus, `TRUE`) and
+    * `pipeline_nb_oov` (corpus-minus-batch — the train/serve split
+    * that makes the batch genuinely OOV-bearing).
     */
-  private lazy val nbScoreCtes: String =
-    s"""tl AS (SELECT doc_id, lang = 'en' AS cur, $toksSql AS t FROM documents),
+  private def nbTrainCtes(pred: String): String =
+    s"""tl AS (SELECT doc_id, lang = 'en' AS cur, $toksSql AS t FROM documents WHERE $pred),
        |tok AS (SELECT doc_id, cur, unnest(t) AS term FROM tl),
        |tc AS (
        |  SELECT term,
@@ -395,12 +397,21 @@ object SparkEntryExt {
        |    round(ln((c_cur + 1)::DOUBLE / (t_cur + v)) -
        |          ln((c_web + 1)::DOUBLE / (t_web + v)), 6) AS lr
        |  FROM tc, tot),
-       |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
-       |ds AS (SELECT doc_id, sum(c * lr) AS s FROM dt JOIN lr USING (term) GROUP BY doc_id),
        |pr AS (
        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nd_cur,
        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nd_web
-       |  FROM documents),
+       |  FROM documents WHERE $pred)""".stripMargin
+
+  /** NB quality-classifier CTEs: full-corpus training + full-corpus
+    * scoring; ends at `sc(doc_id, score)`. ONE definition, four
+    * consumers (`pipeline_nb_quality`, `pipeline_nb_eval`,
+    * `pipeline_nb_bins`, `nbIncSql` and its `_inc` report derivatives)
+    * — the dataCardSql discipline.
+    */
+  private lazy val nbScoreCtes: String =
+    s"""${nbTrainCtes("TRUE")},
+       |dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+       |ds AS (SELECT doc_id, sum(c * lr) AS s FROM dt JOIN lr USING (term) GROUP BY doc_id),
        |sc AS (
        |  SELECT d.doc_id,
        |    CASE WHEN pr.nd_cur = 0 OR pr.nd_web = 0 THEN NULL
@@ -579,8 +590,27 @@ object SparkEntryExt {
       TextAnalysis.docProfile(docs, "doc_id", "text")
         .write.mode("overwrite").option("path", idxPath(tbl)).saveAsTable(tbl)
       // (source, term) distinct pairs — the per-SOURCE vocab side
-      // table `pipeline_source_cards_inc` reads
+      // table `pipeline_source_cards_inc` reads. The distinct's final
+      // aggregate holds one hash-map entry per SURVIVING pair, so its
+      // per-task working set is vocab-sized, not token-sized — on a
+      // vocab-heavy corpus the session's fixed shuffle-partition count
+      // under-splits it (measured: 5M docs with ~1000× the base vocab
+      // OOM'd a 48 GB heap across 32 final partitions at the r18 1000×
+      // smoke). Size the exchange by input VOLUME instead: one
+      // partition per ~8 MB of source parquet (text explodes 3–5× off
+      // parquet encoding, and keys dominate the map), floored at the
+      // session constant, capped at 2048. A production job does the
+      // same arithmetic with its cluster's task size.
+      val docBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val vocabParts = math.max(
+        s.sessionState.conf.numShufflePartitions,
+        math.min(2048L, docBytes / (8L << 20)).toInt)
       docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
+        .repartition(vocabParts, col("source"), col("term"))
         .distinct()
         .write.mode("overwrite").option("path", idxPath(tbl + "_srcvocab"))
         .saveAsTable(tbl + "_srcvocab")
@@ -604,6 +634,24 @@ object SparkEntryExt {
   private[graft] def nbModelIndex(s: SparkSession, d: String): String =
     storedIndexTable("nb_model", d) { tbl =>
       val (lr, priors) = Curation.nbModel(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en")
+      lr.write.mode("overwrite").option("path", idxPath(tbl))
+        .bucketBy(8, "term").saveAsTable(tbl)
+      priors.write.mode("overwrite").option("path", idxPath(tbl + "_prior"))
+        .saveAsTable(tbl + "_prior")
+    }
+
+  /** [[nbModelIndex]] trained on the corpus MINUS the scoring batch
+    * (`doc_id % nbBatchMod <> 0`) — `pipeline_nb_oov`'s artifact: the
+    * train/serve split is what makes the batch genuinely OOV-bearing,
+    * so the stored `oov_lr` constant (recorded by `nbModel` at
+    * training time) actually exercises. Same layout discipline
+    * (`bucketBy(8, term)` + 1-row priors side table).
+    */
+  private[graft] def nbOovModelIndex(s: SparkSession, d: String): String =
+    storedIndexTable("nb_oov_model", d) { tbl =>
+      val (lr, priors) = Curation.nbModel(
+        Tables.documents(s, d).filter(col("doc_id") % nbBatchMod =!= 0),
         "doc_id", "text", col("lang") === "en")
       lr.write.mode("overwrite").option("path", idxPath(tbl))
         .bucketBy(8, "term").saveAsTable(tbl)
@@ -654,6 +702,7 @@ object SparkEntryExt {
     docProfileIndex(s, d): Unit
     ivfTrainedIndex(s, d): Unit
     nbModelIndex(s, d): Unit
+    nbOovModelIndex(s, d): Unit
   }
 
   /** One PQ codebook training per (sfDir) per JVM — the model is
@@ -1650,6 +1699,18 @@ object SparkEntryExt {
           batch.select(col("doc_id"), (col("lang") === "en").as("label")),
           lo = nbBinLo, hi = nbBinHi)
         .orderBy(col("bin"))
+    }),
+    // OOV-aware crawl scoring: the model is trained on the corpus MINUS
+    // the batch (so batch terms can be genuinely out-of-vocabulary) and
+    // every OOV token contributes the train-time smoothed constant
+    // stored in the priors artifact — the bias-correcting treatment for
+    // OOV-heavy batches, fully in-plan via the stored model
+    "pipeline_nb_oov" -> ((s, d) => {
+      val tbl = nbOovModelIndex(s, d)
+      Curation.nbScoreBatchOov(
+          Tables.documents(s, d).filter(col("doc_id") % nbBatchMod === 0),
+          "doc_id", "text", s.table(tbl), s.table(tbl + "_prior"))
+        .orderBy(col("doc_id"))
     }),
     // percentile-adaptive quality cutoffs: thresholds from the corpus'
     // own distribution (exact percentile ≡ DuckDB quantile_cont)
@@ -2873,6 +2934,31 @@ object SparkEntryExt {
     // to the batch ids — model values are identical because the model
     // is the 6-dp-quantized artifact either way
     "pipeline_nb_inc" -> nbIncSql,
+    // OOV-aware scoring against the corpus-minus-batch model: the
+    // training CTEs are nbScoreCtes' own block under the split
+    // predicate (nbTrainCtes — single-sourced), the batch tokenizes
+    // separately and LEFT-joins the vocab so absent terms pick up the
+    // smoothed constant o = round(ln((t_web+v)/(t_cur+v)), 6) — the
+    // same train-time totals the engine's stored oov_lr records
+    "pipeline_nb_oov" ->
+      s"""WITH ${nbTrainCtes(s"doc_id % $nbBatchMod <> 0")},
+         |bl AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % $nbBatchMod = 0),
+         |btok AS (SELECT doc_id, unnest(t) AS term FROM bl),
+         |bdt AS (SELECT doc_id, term, count(*) AS c FROM btok GROUP BY doc_id, term),
+         |oc AS (SELECT round(ln((t_web + v)::DOUBLE / (t_cur + v)), 6) AS o FROM tot),
+         |bds AS (
+         |  SELECT doc_id,
+         |    sum(c * coalesce(lr, 0.0)) +
+         |      (SELECT o FROM oc) * CAST(sum(CASE WHEN lr IS NULL THEN c ELSE 0 END) AS DOUBLE) AS s
+         |  FROM bdt LEFT JOIN lr USING (term) GROUP BY doc_id),
+         |bsc AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN pr.nd_cur = 0 OR pr.nd_web = 0 THEN NULL
+         |      ELSE round(coalesce(bds.s, 0.0) + ln(pr.nd_cur::DOUBLE / pr.nd_web), 6)
+         |    END AS score
+         |  FROM bl b LEFT JOIN bds ON b.doc_id = bds.doc_id, pr)
+         |SELECT doc_id, score, score > 0 AS pred_curated
+         |FROM bsc ORDER BY doc_id""".stripMargin,
     // the stored-model report forms restrict the SAME score table to
     // the batch ids (model values are identical — the model is the
     // 6-dp-quantized artifact) and derive eval/bins over batch labels

@@ -427,6 +427,14 @@ object Curation {
     * does. Store the model `bucketBy(n, term)` so batch scoring's
     * term join needs no model-side exchange AND the vocab-sized scan
     * parallelizes one task per bucket.
+    *
+    * The priors row also carries `oov_lr = round(ln((t_web+V)/(t_cur+V)), 6)`
+    * — the add-1-smoothed log-ratio of a term NEVER seen in training,
+    * recorded AT TRAINING TIME from the same totals that built the
+    * model (they are not recoverable from the stored `(term, lr)`
+    * table later). [[nbScoreBatchOov]] reads it in-plan; the stored
+    * model stays self-contained for both OOV treatments. NULL on an
+    * empty training corpus (where every score is NULL anyway).
     */
   def nbModel(docs: DataFrame, idCol: String, textCol: String,
       isCurated: Column): (DataFrame, DataFrame) = {
@@ -444,8 +452,12 @@ object Curation {
             log((col("c_web") + 1).cast("double") / (col("t_web") + col("v")).cast("double")),
           6).as("lr"))
     val priors = docs.agg(
-      sum(when(isCurated, lit(1L)).otherwise(lit(0L))).as("nd_cur"),
-      sum(when(isCurated, lit(0L)).otherwise(lit(1L))).as("nd_web"))
+        sum(when(isCurated, lit(1L)).otherwise(lit(0L))).as("nd_cur"),
+        sum(when(isCurated, lit(0L)).otherwise(lit(1L))).as("nd_web"))
+      .crossJoin(totals)
+      .select(col("nd_cur"), col("nd_web"),
+        round(log((col("t_web") + col("v")).cast("double") /
+          (col("t_cur") + col("v")).cast("double")), 6).as("oov_lr"))
     (lr, priors)
   }
 
@@ -514,6 +526,46 @@ object Curation {
         log(col("nd_cur").cast("double") / col("nd_web").cast("double")), 6))
     batch.select(col(idCol).as("doc_id"))
       .join(docScores, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), score.as("score"),
+        (score > 0).as("pred_curated"))
+  }
+
+  /** [[nbScoreBatch]] with the TRAIN-TIME smoothed-OOV constant read
+    * from the priors artifact's `oov_lr` column ([[nbModel]] records
+    * it) — the crawl-scoring form, fully in-plan: no driver read of
+    * the constant, no caller plumbing of training totals. Every batch
+    * term absent from the stored model contributes `oov_lr` instead
+    * of zero, so an OOV-heavy batch is not silently biased toward the
+    * prior. Arithmetic is the [[nbScoreBatch]] `oovLr` path with the
+    * constant applied after the priors cross-join:
+    * `__s = Σ c·lr(in-vocab) + oov_lr · Σ c(OOV)` — the 6-dp-quantized
+    * constant times the integer OOV token count, so the determinism
+    * discipline is unchanged. A NULL `oov_lr` (empty training corpus)
+    * makes `__s` NULL → prior-only, which the empty-class guard turns
+    * into a NULL score anyway — both engines agree on the degenerate
+    * corpus, as always.
+    *
+    * CONTRACT: `idCol` unique over `batch` (the [[nbScoreBatch]]
+    * contract — duplicate ids multiply into d² rows through the final
+    * LEFT join).
+    */
+  def nbScoreBatchOov(batch: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, priors: DataFrame): DataFrame = {
+    val tok = batch.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val ds = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .join(model, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("double") * coalesce(col("lr"), lit(0.0d))).as("__siv"),
+        sum(when(col("lr").isNull, col("c")).otherwise(lit(0L))).as("__oov"))
+    val s = col("__siv") + col("oov_lr") * col("__oov").cast("double")
+    val score = when(col("nd_cur") === 0 || col("nd_web") === 0,
+        lit(null).cast("double"))
+      .otherwise(round(coalesce(s, lit(0.0d)) +
+        log(col("nd_cur").cast("double") / col("nd_web").cast("double")), 6))
+    batch.select(col(idCol).as("doc_id"))
+      .join(ds, Seq("doc_id"), "left")
       .crossJoin(broadcast(priors))
       .select(col("doc_id"), score.as("score"),
         (score > 0).as("pred_curated"))

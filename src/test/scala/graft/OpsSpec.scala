@@ -1505,6 +1505,36 @@ class OpsSpec extends SparkSpec {
     assert(withO == withoutO, s"no OOV tokens -> identical score: $withO vs $withoutO")
   }
 
+  test("nbScoreBatchOov: reads the train-time constant from priors, equals the explicit-constant path") {
+    // same training fixture as the oovLr test: t_cur = 3, t_web = 4,
+    // v = 3 -> priors must RECORD oov_lr = round(ln(7/6), 6) = 0.154151
+    // at training time, and the in-plan form must reproduce the
+    // explicit-constant path bit-for-bit on every batch shape
+    val docs = Seq(
+      (1L, "a a b", "en"), (3L, "", "en"), (2L, "b c", "de"), (7L, "a c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val (lr, priors) = Curation.nbModel(docs, "doc_id", "text", col("lang") === "en")
+    val pRow = priors.collect().head
+    assert(pRow.getDouble(pRow.fieldIndex("oov_lr")) == 0.154151,
+      s"priors must carry the quantized train-time OOV constant: $pRow")
+    val oovC = math.log(7.0 / 6.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    for (batch <- Seq(
+        Seq((9L, "zz zz")),                      // all-OOV
+        Seq((9L, "a zz")),                       // mixed
+        Seq((9L, "a b c")),                      // in-vocab only
+        Seq((9L, "a zz"), (10L, ""), (11L, "zz b zz")))) {  // incl. zero-token
+      val b = batch.toDF("doc_id", "text")
+      val viaPriors = rows(Curation.nbScoreBatchOov(b, "doc_id", "text", lr, priors))
+      val viaConst = rows(Curation.nbScoreBatch(b, "doc_id", "text", lr, priors,
+        oovLr = Some(oovC)))
+      assert(viaPriors == viaConst,
+        s"priors-column path diverged from the explicit constant:\n$viaPriors\n$viaConst")
+    }
+  }
+
   test("nb eval: NULL label lands in n_null — quadrants + n_null partition the corpus (ADVICE r17)") {
     // hand-made scored/labels tables through the composable tail: doc 3
     // has a NULL prediction, doc 4 a NULL label — BOTH must land in
