@@ -13,7 +13,14 @@ object RunQ {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE sizes shuffle partitions independently of
+      // parallelism for big-decade smokes: a production job sets
+      // spark.sql.shuffle.partitions to its data volume as routine, and
+      // the 1000x corpus' doc-x-bucket-keyed aggregates (~1.3B groups)
+      // need more than the harness's 32 (measured: AGGREGATE_OUT_OF_MEMORY
+      // at 32, clean at 256)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

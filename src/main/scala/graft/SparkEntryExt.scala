@@ -584,42 +584,61 @@ object SparkEntryExt {
     * the card from these narrow tables — the ingest-time step that
     * drops the cascade cost out of every card refresh.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` sized for a
+    * VOCAB-KEYED exchange over `d`'s documents, restoring the session
+    * value after. A vocab-keyed final aggregate (term/pair distincts,
+    * per-term model counts) holds one hash-map entry per SURVIVING
+    * key, so its per-task working set is vocab-sized, not token-sized
+    * — on a vocab-heavy corpus the session's fixed partition count
+    * under-splits it (measured: 5M docs with ~1000× the base vocab
+    * OOM'd a 48 GB heap across 32 final partitions at the r18 1000×
+    * smoke). Sizing: one partition per ~8 MB of source parquet (text
+    * explodes 3–5× off parquet encoding, and keys dominate the map),
+    * floored at the session constant, capped at 2048 — the arithmetic
+    * a production job does with its cluster's task size. A scoped
+    * conf override (not `repartition`) so the map-side PARTIAL
+    * aggregate stays in the plan — an explicit repartition below the
+    * aggregate would ship every raw token occurrence across the
+    * exchange instead of per-input-partition-distinct keys. The
+    * session constant stays right for the row-keyed exchanges
+    * (doc_id-sized state) everywhere else.
+    */
+  private def withVocabSizedShuffle[T](s: SparkSession, d: String)(body: => T): T = {
+    val docBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val parts = math.max(
+      s.sessionState.conf.numShufflePartitions,
+      math.min(2048L, docBytes / (8L << 20)).toInt)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def docProfileIndex(s: SparkSession, d: String): String =
     storedIndexTable("doc_profile", d) { tbl =>
       val docs = Tables.documents(s, d)
       TextAnalysis.docProfile(docs, "doc_id", "text")
         .write.mode("overwrite").option("path", idxPath(tbl)).saveAsTable(tbl)
       // (source, term) distinct pairs — the per-SOURCE vocab side
-      // table `pipeline_source_cards_inc` reads. The distinct's final
-      // aggregate holds one hash-map entry per SURVIVING pair, so its
-      // per-task working set is vocab-sized, not token-sized — on a
-      // vocab-heavy corpus the session's fixed shuffle-partition count
-      // under-splits it (measured: 5M docs with ~1000× the base vocab
-      // OOM'd a 48 GB heap across 32 final partitions at the r18 1000×
-      // smoke). Size the exchange by input VOLUME instead: one
-      // partition per ~8 MB of source parquet (text explodes 3–5× off
-      // parquet encoding, and keys dominate the map), floored at the
-      // session constant, capped at 2048. A production job does the
-      // same arithmetic with its cluster's task size.
-      val docBytes = {
-        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-        p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
+      // table `pipeline_source_cards_inc` reads; vocab-keyed final
+      // state, so the exchange is volume-sized (the OOM lesson —
+      // see withVocabSizedShuffle)
+      withVocabSizedShuffle(s, d) {
+        docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
+          .distinct()
+          .write.mode("overwrite").option("path", idxPath(tbl + "_srcvocab"))
+          .saveAsTable(tbl + "_srcvocab")
+        // the global vocab is the pair table's term projection — derive
+        // it from the NARROW stored table rather than paying a second
+        // full-corpus tokenize+explode pass
+        s.table(tbl + "_srcvocab").select(col("term")).distinct()
+          .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
+          .saveAsTable(tbl + "_vocab")
       }
-      val vocabParts = math.max(
-        s.sessionState.conf.numShufflePartitions,
-        math.min(2048L, docBytes / (8L << 20)).toInt)
-      docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("term"))
-        .repartition(vocabParts, col("source"), col("term"))
-        .distinct()
-        .write.mode("overwrite").option("path", idxPath(tbl + "_srcvocab"))
-        .saveAsTable(tbl + "_srcvocab")
-      // the global vocab is the pair table's term projection — derive
-      // it from the NARROW stored table rather than paying a second
-      // full-corpus tokenize+explode pass
-      s.table(tbl + "_srcvocab").select(col("term")).distinct()
-        .write.mode("overwrite").option("path", idxPath(tbl + "_vocab"))
-        .saveAsTable(tbl + "_vocab")
     }
 
   /** Stored NB quality-classifier model — the trained `(term, lr)`
@@ -635,8 +654,12 @@ object SparkEntryExt {
     storedIndexTable("nb_model", d) { tbl =>
       val (lr, priors) = Curation.nbModel(Tables.documents(s, d),
         "doc_id", "text", col("lang") === "en")
-      lr.write.mode("overwrite").option("path", idxPath(tbl))
-        .bucketBy(8, "term").saveAsTable(tbl)
+      // the per-term class-count aggregate's final state is vocab-sized
+      // — volume-size its exchange (the docProfileIndex OOM lesson)
+      withVocabSizedShuffle(s, d) {
+        lr.write.mode("overwrite").option("path", idxPath(tbl))
+          .bucketBy(8, "term").saveAsTable(tbl)
+      }
       priors.write.mode("overwrite").option("path", idxPath(tbl + "_prior"))
         .saveAsTable(tbl + "_prior")
     }
@@ -653,8 +676,10 @@ object SparkEntryExt {
       val (lr, priors) = Curation.nbModel(
         Tables.documents(s, d).filter(col("doc_id") % nbBatchMod =!= 0),
         "doc_id", "text", col("lang") === "en")
-      lr.write.mode("overwrite").option("path", idxPath(tbl))
-        .bucketBy(8, "term").saveAsTable(tbl)
+      withVocabSizedShuffle(s, d) {
+        lr.write.mode("overwrite").option("path", idxPath(tbl))
+          .bucketBy(8, "term").saveAsTable(tbl)
+      }
       priors.write.mode("overwrite").option("path", idxPath(tbl + "_prior"))
         .saveAsTable(tbl + "_prior")
     }
@@ -1006,6 +1031,44 @@ object SparkEntryExt {
        |SELECT doc_id, score, score > 0 AS pred_curated
        |FROM sc WHERE doc_id % $nbBatchMod = 0
        |ORDER BY doc_id""".stripMargin
+
+  /** Confusion-matrix report tail over a score relation
+    * `src(doc_id, score)` — ONE definition, two consumers
+    * (`pipeline_nb_eval` over the full `sc`, `pipeline_nb_eval_inc`
+    * over the batch restriction): the [[nbTrainCtes]] discipline
+    * applied to the report END of the chain, so a fix to the
+    * quadrant/n_null logic (e.g. r18's `OR d.lang IS NULL`) can never
+    * land in one copy and miss the other.
+    */
+  private def nbEvalReportSql(src: String): String =
+    s"""cm AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN score > 0 AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN score IS NULL OR d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+       |  FROM $src JOIN documents d USING (doc_id))
+       |SELECT tp, fp, fn, tn, n_null,
+       |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,
+       |  round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS rec,
+       |  round((2 * tp)::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+       |  round((tp + tn)::DOUBLE / nullif(tp + fp + fn + tn, 0), 6) AS acc
+       |FROM cm""".stripMargin
+
+  /** Calibration-bins report tail over a score relation
+    * `src(doc_id, score)` — [[nbEvalReportSql]]'s twin
+    * (`pipeline_nb_bins` / `pipeline_nb_bins_inc`).
+    */
+  private def nbBinsReportSql(src: String): String =
+    s"""SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+       |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur
+       |FROM $src JOIN documents d USING (doc_id)
+       |WHERE score IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
 
   /** Shared oracle for `sim_ivf_bq` AND `stream_idx_search` (the
     * streaming serving loop over the same stored index — per-query
@@ -2965,57 +3028,17 @@ object SparkEntryExt {
     "pipeline_nb_eval_inc" ->
       s"""WITH $nbScoreCtes,
          |b AS (SELECT doc_id, score FROM sc WHERE doc_id % $nbBatchMod = 0),
-         |cm AS (
-         |  SELECT
-         |    CAST(sum(CASE WHEN score > 0 AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-         |    CAST(sum(CASE WHEN score IS NULL OR d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
-         |  FROM b JOIN documents d USING (doc_id))
-         |SELECT tp, fp, fn, tn, n_null,
-         |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,
-         |  round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS rec,
-         |  round((2 * tp)::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1,
-         |  round((tp + tn)::DOUBLE / nullif(tp + fp + fn + tn, 0), 6) AS acc
-         |FROM cm""".stripMargin,
+         |${nbEvalReportSql("b")}""".stripMargin,
     "pipeline_nb_bins_inc" ->
       s"""WITH $nbScoreCtes,
          |b AS (SELECT doc_id, score FROM sc WHERE doc_id % $nbBatchMod = 0)
-         |SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
-         |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur
-         |FROM b JOIN documents d USING (doc_id)
-         |WHERE score IS NOT NULL
-         |GROUP BY 1
-         |ORDER BY bin""".stripMargin,
+         |${nbBinsReportSql("b")}""".stripMargin,
     "pipeline_nb_bins" ->
       s"""WITH $nbScoreCtes
-         |SELECT greatest($nbBinLo, least($nbBinHi, CAST(floor(score) AS BIGINT))) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
-         |  round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS frac_cur
-         |FROM sc JOIN documents d USING (doc_id)
-         |WHERE score IS NOT NULL
-         |GROUP BY 1
-         |ORDER BY bin""".stripMargin,
+         |${nbBinsReportSql("sc")}""".stripMargin,
     "pipeline_nb_eval" ->
       s"""WITH $nbScoreCtes,
-         |cm AS (
-         |  SELECT
-         |    CAST(sum(CASE WHEN score > 0 AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN score > 0 AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(sum(CASE WHEN NOT (score > 0) AND d.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-         |    CAST(sum(CASE WHEN score IS NULL OR d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
-         |  FROM sc JOIN documents d USING (doc_id))
-         |SELECT tp, fp, fn, tn, n_null,
-         |  round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS prec,
-         |  round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS rec,
-         |  round((2 * tp)::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1,
-         |  round((tp + tn)::DOUBLE / nullif(tp + fp + fn + tn, 0), 6) AS acc
-         |FROM cm""".stripMargin,
+         |${nbEvalReportSql("sc")}""".stripMargin,
     "pipeline_dsir" ->
       s"""WITH tl AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS t FROM documents),
          |gr AS (

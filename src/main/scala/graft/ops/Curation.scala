@@ -680,7 +680,11 @@ object Curation {
     * `n_null`).
     */
   def nbBinsFromScores(scored: DataFrame, labels: DataFrame,
-      lo: Int = -5, hi: Int = 4): DataFrame = {
+      lo: Int, hi: Int): DataFrame = {
+    // no default clamp range: the shared engine/oracle constants live
+    // with the registry (nbBinLo/nbBinHi) and every caller passes them
+    // explicitly — a third copy of the literals here is exactly the
+    // drift the r17 single-sourcing fix removed
     require(lo <= hi, s"nbBinsFromScores: lo ($lo) must be <= hi ($hi)")
     labels.select(col("doc_id"), col("label").as("__lab"))
       .join(scored, "doc_id")
