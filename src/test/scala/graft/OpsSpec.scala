@@ -1535,6 +1535,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("nbScoreBatchOov degenerate corpora: empty-training oov_lr is NULL, scores stay NULL both ways") {
+    // empty training corpus -> totals are NULL/0, so the recorded
+    // constant must be NULL (not NaN/Infinity from ln(0/0)) and every
+    // downstream score must be NULL via the empty-class guard — the
+    // engines-must-agree-on-degenerate-corpora rule
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val (lr0, pr0) = Curation.nbModel(empty, "doc_id", "text", col("lang") === "en")
+    val p0 = pr0.collect().head
+    assert(p0.isNullAt(p0.fieldIndex("oov_lr")),
+      s"empty-corpus oov_lr must be NULL, got $p0")
+    val batch = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val scored = Curation.nbScoreBatchOov(batch, "doc_id", "text", lr0, pr0)
+      .orderBy(col("doc_id")).collect()
+    assert(scored.length == 2 && scored.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      s"empty-class corpus must NULL every score/pred: ${scored.toSeq}")
+    // one-class corpus (all curated): same guard, same NULLs — and the
+    // constant is still well-defined (t_web = 0 is fine: ln((0+v)/(t_cur+v)))
+    val oneClass = Seq((1L, "a a", "en"), (2L, "b", "en")).toDF("doc_id", "text", "lang")
+    val (lr1, pr1) = Curation.nbModel(oneClass, "doc_id", "text", col("lang") === "en")
+    val p1 = pr1.collect().head
+    assert(!p1.isNullAt(p1.fieldIndex("oov_lr")),
+      s"one-class corpus still records a finite constant: $p1")
+    val s1 = Curation.nbScoreBatchOov(batch, "doc_id", "text", lr1, pr1)
+      .orderBy(col("doc_id")).collect()
+    assert(s1.forall(r => r.isNullAt(1)),
+      s"one-class corpus (nd_web = 0) must NULL every score: ${s1.toSeq}")
+  }
+
   test("nb eval: NULL label lands in n_null — quadrants + n_null partition the corpus (ADVICE r17)") {
     // hand-made scored/labels tables through the composable tail: doc 3
     // has a NULL prediction, doc 4 a NULL label — BOTH must land in
