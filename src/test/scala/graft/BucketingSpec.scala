@@ -127,6 +127,30 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stored NB model: the term join never re-shuffles the model side") {
+    // pipeline_nb_inc (and the _inc report forms, nb_oov, stream_nb_score)
+    // probe the bucketBy(8, term) model table; only the batch-token side
+    // may exchange on term. Same pin idiom as the gram-df index: resolve
+    // the stored scan's own term attribute id, then assert no Exchange
+    // keys on it — the "no model-side join exchange" claim the
+    // train-once economics rest on, now plan-pinned.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("pipeline_nb_inc")(spark, sf0001)
+      assert(df.count() > 0)
+      val planStr = df.queryExecution.executedPlan.toString
+      val scan = "graft_nb_model\\S*\\[term#(\\d+),".r.findFirstMatchIn(planStr)
+      assert(scan.isDefined, s"stored NB model scan missing:\n$planStr")
+      val tid = scan.get.group(1)
+      assert(planStr.contains("Bucketed: true"),
+        s"stored NB model scan must read bucketed:\n$planStr")
+      val storedExchange = s"Exchange hashpartitioning\\(term#$tid\\D".r
+      assert(storedExchange.findFirstIn(planStr).isEmpty,
+        s"stored NB model side must not re-shuffle (term#$tid):\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
