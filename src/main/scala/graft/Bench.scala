@@ -21,11 +21,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // SPARK_GRAFT_SHUFFLE: see RunQ — shuffle sizing is a data-volume
-      // knob, not a parallelism knob; default stays the CPU count for
-      // the sf0.1 suite
+      // SPARK_GRAFT_SHUFFLE: dev override only — see RunQ. Lazy-plan
+      // split-safety rides the volume-sized AQE initial partition
+      // number; AQE coalescing keeps the sf0.1 suite's task counts.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        VolumeConf.initialPartitions(sfDir, cpus.toInt).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -13,14 +13,20 @@ object RunQ {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // SPARK_GRAFT_SHUFFLE sizes shuffle partitions independently of
-      // parallelism for big-decade smokes: a production job sets
-      // spark.sql.shuffle.partitions to its data volume as routine, and
-      // the 1000x corpus' doc-x-bucket-keyed aggregates (~1.3B groups)
-      // need more than the harness's 32 (measured: AGGREGATE_OUT_OF_MEMORY
-      // at 32, clean at 256)
+      // SPARK_GRAFT_SHUFFLE is a dev override only (r18 history: the
+      // 1000x corpus' doc-x-bucket aggregates OOM'd at 32 fixed
+      // partitions). The load-bearing knob is now the volume-sized AQE
+      // initial partition number below: lazy library plans read the
+      // shuffle conf at execution time, so only an AQE-level initial
+      // count gives them split-safety without a per-query env var —
+      // exactly what a production job sets from its data volume.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        VolumeConf.initialPartitions(sfDir, cpus.toInt).toString)
+      // explicit coalesce target: the oversplit is merged back toward
+      // task-sized partitions, so small decades keep their task counts
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -73,6 +73,12 @@ object ScaleGen {
   private val RotAlphabet = "aeioubcdfghjklmnpqrs"
   private val MaxCopies = 1000
   private val MaxAgree = 8
+  // splitmix seed stream stride between replicas: replica k's attempt a
+  // seeds at k·SeedStride + a, so cross-replica seed disjointness holds
+  // ONLY while every attempt count stays < SeedStride — permOf/mappings
+  // require() it. Prime, and > MaxCopies' worst observed retry depth by
+  // orders of magnitude (random 20-perm pairs agree on ~1 position).
+  private val SeedStride = 1009L
 
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -83,8 +89,12 @@ object ScaleGen {
 
   /** Deterministic Fisher–Yates over the alphabet for (replica, attempt). */
   private def permOf(k: Int, attempt: Int): String = {
+    require(attempt >= 0 && attempt < SeedStride,
+      s"permOf: attempt ($attempt) must stay < SeedStride ($SeedStride) — " +
+        "replica k+1's attempt 0 seeds at (k+1)·SeedStride, so a deeper retry " +
+        "would alias another replica's seed stream and could emit its mapping")
     val a = RotAlphabet.toCharArray
-    var s = k.toLong * 1009L + attempt.toLong
+    var s = k.toLong * SeedStride + attempt.toLong
     var i = a.length - 1
     while (i > 0) {
       s = splitmix64(s)
@@ -115,7 +125,9 @@ object ScaleGen {
       var cand = permOf(k, attempt)
       while (out.iterator.take(k).exists(p => agree(p, cand) > MaxAgree)) {
         attempt += 1
-        require(attempt < 1000,
+        // the retry cap MUST stay < SeedStride (permOf re-asserts): at
+        // attempt = SeedStride the seed stream aliases replica k+1's
+        require(attempt < SeedStride,
           s"mappings: could not place replica $k after $attempt re-seeds")
         cand = permOf(k, attempt)
       }

@@ -602,21 +602,38 @@ object SparkEntryExt {
     * exchange instead of per-input-partition-distinct keys. The
     * session constant stays right for the row-keyed exchanges
     * (doc_id-sized state) everywhere else.
+    *
+    * Sizing input: the FULL `documents.parquet` byte size of `d`, not
+    * the (possibly filtered) DataFrame the caller trains on — e.g.
+    * [[nbOovModelIndex]] trains on corpus-minus-batch. That is
+    * deliberate: the partition count only needs an UPPER bound on the
+    * training input's volume (a filtered corpus gets at most a few
+    * partitions more than it strictly needs, and AQE coalescing
+    * absorbs the slack), and the full-table size is readable without
+    * resolving the caller's plan. A caller feeding a frame NOT derived
+    * from `d`'s documents table must not use this helper.
+    *
+    * The set/restore is serialized under [[vocabShuffleLock]]: the
+    * conf key is SESSION-shared mutable state, and two index builders
+    * racing here ([[storedIndexTable]] only serializes per KIND) could
+    * interleave set/restore and leave one build under-split or the
+    * session constant clobbered with a stale value.
     */
-  private def withVocabSizedShuffle[T](s: SparkSession, d: String)(body: => T): T = {
-    val docBytes = {
-      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-      p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
+  private val vocabShuffleLock = new Object
+  private def withVocabSizedShuffle[T](s: SparkSession, d: String)(body: => T): T =
+    vocabShuffleLock.synchronized {
+      val docBytes = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val parts = VolumeConf.volumeSizedPartitions(docBytes,
+        s.sessionState.conf.numShufflePartitions)
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, parts.toString)
+      try body finally s.conf.set(key, prev)
     }
-    val parts = math.max(
-      s.sessionState.conf.numShufflePartitions,
-      math.min(2048L, docBytes / (8L << 20)).toInt)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, parts.toString)
-    try body finally s.conf.set(key, prev)
-  }
 
   private def docProfileIndex(s: SparkSession, d: String): String =
     storedIndexTable("doc_profile", d) { tbl =>

@@ -18,6 +18,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // volume-sized AQE initial partition count (see RunQ): lazy plans
+      // get split-safety at any sfDir volume, AQE coalesces it back at
+      // the verify scale factors
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        VolumeConf.initialPartitions(sfDir, cpus.toInt).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -305,11 +305,20 @@ object Curation {
     // Int.MaxValue ceiling; the boundary weight is the unique w* with
     // cum_above(w*) < k <= cum_above(w*) + cnt(w*)
     val tot = broadcast(hist.agg(sum(col("__cnt")).as("__n")))
+    // Lazy local checkpoint on the 1-row boundary: it feeds TWO joins
+    // (above / atBoundary), and Catalyst inlines the sub-plan into each
+    // — ReusedExchange did NOT canonicalize the two copies across the
+    // upstream checkpoint cuts (verified in the executed plan: the
+    // histogram windows + totals ran twice per action). The cut
+    // materializes the boundary once; each branch then broadcasts a
+    // 1-row ExistingRDD. Lazy, so plan construction stays action-free
+    // (the cells/weights/hist discipline).
     val boundary = broadcast(cum.crossJoin(tot)
       .withColumn("__k", greatest(lit(1L),
         floor(col("__n") * lit(keepFrac)).cast("long")))
       .filter(col("__above") < col("__k") && col("__k") <= col("__above") + col("__cnt"))
-      .select(col("logw").as("__wstar"), (col("__k") - col("__above")).as("__slack")))
+      .select(col("logw").as("__wstar"), (col("__k") - col("__above")).as("__slack"))
+      .localCheckpoint(false))
     // strictly-above docs pass on a broadcast scan predicate; the
     // boundary TIE SET (exact 6-dp collisions only) takes a ranked
     // slice by doc_id — __wstar is non-foldable, so the window keeps a

@@ -209,6 +209,16 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized limit(k) crept back into dsirSelect:\n$plan")
     assert(!plan.contains("GlobalLimit"),
       s"a global limit crept back into dsirSelect:\n$plan")
+    // the 1-row boundary (w*, slack) feeds BOTH the strictly-above join
+    // and the tie-set join; without its localCheckpoint cut Catalyst
+    // inlines the histogram/prefix sub-plan into each branch and
+    // ReusedExchange does NOT canonicalize the copies across the
+    // upstream checkpoint cuts (r18 ADVICE, verified in the executed
+    // plan: the boundary computation ran twice per action). The cut
+    // leaves the main plan free of the boundary's k-selection
+    // arithmetic — both branches must scan the checkpointed RDD.
+    assert(!plan.contains("greatest(1,"),
+      s"boundary sub-plan inlined into the selection joins (checkpoint cut lost):\n$plan")
   }
 
   test("searchGroups plans BOTH rank limits as WindowGroupLimit") {
