@@ -340,8 +340,8 @@ object SparkEntryExt {
     * symmetric self-join (`minhashPairsCte`) and the asymmetric
     * batch-vs-corpus join (`dedup_incremental`).
     */
-  private lazy val minhashBandsCte: String =
-    s"""tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+  private def minhashBandsCteFrom(src: String): String =
+    s"""tl AS (SELECT doc_id, $toksSql AS t FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, unnest(${ngramSql("t", 3)}) AS sh
        |  FROM tl),
@@ -355,8 +355,15 @@ object SparkEntryExt {
        |  SELECT doc_id, seed // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS key
        |  FROM mh GROUP BY doc_id, band)""".stripMargin
 
-  private lazy val minhashPairsCte: String =
-    s"""WITH $minhashBandsCte,
+  private lazy val minhashBandsCte: String = minhashBandsCteFrom("documents")
+
+  /** The pairs chain WITHOUT the leading WITH, parameterized over the
+    * `(doc_id, text)` source relation — composable inside a larger
+    * WITH chain (`pipeline_e2e` runs it over the cleaned+quality-ok
+    * corpus, not raw documents).
+    */
+  private def minhashPairsBodyFrom(src: String): String =
+    s"""${minhashBandsCteFrom(src)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -371,6 +378,9 @@ object SparkEntryExt {
        |  JOIN sets sb ON cand.doc_b = sb.doc_id
        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
        |      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5)""".stripMargin
+
+  private lazy val minhashPairsCte: String =
+    "WITH " + minhashPairsBodyFrom("documents")
 
   /** NB TRAINING CTEs parameterized by the training predicate
     * (mirrors [[graft.ops.Curation.nbModel]] with `lang = 'en'` as the
@@ -426,23 +436,32 @@ object SparkEntryExt {
     * discipline. Expects `prs(doc_a, doc_b, …)` in scope (the
     * minhashPairsCte product).
     */
-  private lazy val clusterLabelCtes: String =
-    s"""edges AS (
+  private def clusterLabelCtesFrom(docsSrc: String): String =
+    // MATERIALIZED levels: DuckDB 1.0 INLINES a CTE at every reference
+    // and each propagation level references the previous one TWICE (its
+    // own rows + the edge join), so the unmaterialized chain re-derives
+    // the whole upstream (prs' band self-join, and in pipeline_e2e the
+    // clean→quality→minhash lineage) 2^rounds times — measured as a
+    // 19-CPU-minute oracle stall on a 393-doc corpus. Materialization
+    // is semantics-neutral; each level now computes once.
+    s"""edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM prs
        |  UNION ALL SELECT doc_b, doc_a FROM prs),
-       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |l1 AS (SELECT doc_id, min(label) AS label FROM (
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM $docsSrc),
+       |l1 AS MATERIALIZED (SELECT doc_id, min(label) AS label FROM (
        |  SELECT doc_id, label FROM l0
        |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l0 l ON e.dst = l.doc_id)
        |  GROUP BY doc_id),
-       |l2 AS (SELECT doc_id, min(label) AS label FROM (
+       |l2 AS MATERIALIZED (SELECT doc_id, min(label) AS label FROM (
        |  SELECT doc_id, label FROM l1
        |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l1 l ON e.dst = l.doc_id)
        |  GROUP BY doc_id),
-       |l3 AS (SELECT doc_id, min(label) AS label FROM (
+       |l3 AS MATERIALIZED (SELECT doc_id, min(label) AS label FROM (
        |  SELECT doc_id, label FROM l2
        |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
        |  GROUP BY doc_id)""".stripMargin
+
+  private lazy val clusterLabelCtes: String = clusterLabelCtesFrom("documents")
 
   /** DuckDB mirror of [[Layout.zValue]]: unrolled Morton interleave. */
   private def zSql(a: String, b: String, bits: Int): String =
@@ -1048,6 +1067,36 @@ object SparkEntryExt {
        |SELECT doc_id, score, score > 0 AS pred_curated
        |FROM sc WHERE doc_id % $nbBatchMod = 0
        |ORDER BY doc_id""".stripMargin
+
+  /** Shared oracle for `pipeline_nb_oov` AND `stream_nb_oov` (the
+    * [[nbIncSql]] pairing applied to the OOV-aware form): training
+    * CTEs under the corpus-minus-batch predicate (nbTrainCtes —
+    * single-sourced), batch terms LEFT-join the vocab so absent terms
+    * pick up the smoothed constant
+    * `o = round(ln((t_web+v)/(t_cur+v)), 6)` — the same train-time
+    * totals the engine's stored `oov_lr` records. Per-DOC purity
+    * makes micro-batch slicing invisible, so the batch and streaming
+    * forms check against this ONE SQL.
+    */
+  private[graft] lazy val nbOovSql: String =
+    s"""WITH ${nbTrainCtes(s"doc_id % $nbBatchMod <> 0")},
+       |bl AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % $nbBatchMod = 0),
+       |btok AS (SELECT doc_id, unnest(t) AS term FROM bl),
+       |bdt AS (SELECT doc_id, term, count(*) AS c FROM btok GROUP BY doc_id, term),
+       |oc AS (SELECT round(ln((t_web + v)::DOUBLE / (t_cur + v)), 6) AS o FROM tot),
+       |bds AS (
+       |  SELECT doc_id,
+       |    sum(c * coalesce(lr, 0.0)) +
+       |      (SELECT o FROM oc) * CAST(sum(CASE WHEN lr IS NULL THEN c ELSE 0 END) AS DOUBLE) AS s
+       |  FROM bdt LEFT JOIN lr USING (term) GROUP BY doc_id),
+       |bsc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN pr.nd_cur = 0 OR pr.nd_web = 0 THEN NULL
+       |      ELSE round(coalesce(bds.s, 0.0) + ln(pr.nd_cur::DOUBLE / pr.nd_web), 6)
+       |    END AS score
+       |  FROM bl b LEFT JOIN bds ON b.doc_id = bds.doc_id, pr)
+       |SELECT doc_id, score, score > 0 AS pred_curated
+       |FROM bsc ORDER BY doc_id""".stripMargin
 
   /** Confusion-matrix report tail over a score relation
     * `src(doc_id, score)` — ONE definition, two consumers
@@ -1718,6 +1767,65 @@ object SparkEntryExt {
     "pipeline_dsir" -> ((s, d) =>
       Curation.dsirSelect(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)),
+    // THE integration surface a production corpus build runs, composed
+    // as ONE oracle-checked chain (r18 verdict item 7): clean →
+    // quality gate → keep-best near-dup dedup → DSIR threshold select
+    // (en survivors are the target and all pass; the selected quarter
+    // of non-en survivors joins them) → per-lang token-budget mix →
+    // seeded epoch shuffle → sequence packing in the SHUFFLED order.
+    // Every stage is the registered operator with its registered
+    // knobs; what this query adds is the CROSS-OPERATOR contract
+    // surface (id uniqueness, zero-token row loss, text-version
+    // consistency — the class the r17 keepBest bug lived in), which
+    // only an end-to-end oracle can catch. Stage boundaries carry lazy
+    // localCheckpoints (the curate fan-out discipline — each stage's
+    // output feeds 2+ consumers); at 100 TB each boundary is a staged
+    // parquet table instead (Curation.curate's stagePath form).
+    // Packing consumes the epoch order via a synthetic monotone key
+    // shard·2^40 + pos (pos is dense within shard, so lexicographic
+    // (shard, pos) order is preserved for any corpus below 2^40 docs
+    // per shard); packSequences' cumsum is order-key-agnostic
+    // (property-tested identity for any sharding).
+    "pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cleaned = Clean.removeBoilerplate(docs, "doc_id", "text",
+          sep = " the ", minDocs = 3)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(false)
+      val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
+        .filter(col("reason") === "ok").select(col("doc_id"))
+      val qdocs = cleaned.join(okIds, Seq("doc_id")).localCheckpoint(false)
+      val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+      val survivors = Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
+        .select(col("doc_id"))
+      val sdocs = qdocs.join(survivors, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(false)
+      val dsirSel = Curation.dsirSelect(sdocs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
+      val pool = sdocs.filter(col("lang") === "en")
+        .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
+        .localCheckpoint(false)
+      val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
+        budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+      val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
+      val order = Curation.epochShuffle(selected, "doc_id",
+        seed = epochSeed, nShards = epochShards)
+      val keyed = selected.join(order, Seq("doc_id"))
+        .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
+        .localCheckpoint(false)
+      val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
+      packed.select(col("doc_id").as("__ord"), col("n_tokens"),
+          col("seq_start"), col("seq_end"), col("offset"))
+        .join(keyed.select(col("__ord"), col("doc_id"), col("lang"),
+          col("shard"), col("pos")), Seq("__ord"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"),
+          col("n_tokens"), col("seq_start"), col("seq_end"), col("offset"))
+        .orderBy(col("shard"), col("pos"))
+    }),
     // reproducible training-order: seeded hash-mod shards + dense
     // within-shard positions; no global sort anywhere (the one
     // exchange is the shard exchange, per-task state is one shard)
@@ -3014,31 +3122,9 @@ object SparkEntryExt {
     // to the batch ids — model values are identical because the model
     // is the 6-dp-quantized artifact either way
     "pipeline_nb_inc" -> nbIncSql,
-    // OOV-aware scoring against the corpus-minus-batch model: the
-    // training CTEs are nbScoreCtes' own block under the split
-    // predicate (nbTrainCtes — single-sourced), the batch tokenizes
-    // separately and LEFT-joins the vocab so absent terms pick up the
-    // smoothed constant o = round(ln((t_web+v)/(t_cur+v)), 6) — the
-    // same train-time totals the engine's stored oov_lr records
-    "pipeline_nb_oov" ->
-      s"""WITH ${nbTrainCtes(s"doc_id % $nbBatchMod <> 0")},
-         |bl AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % $nbBatchMod = 0),
-         |btok AS (SELECT doc_id, unnest(t) AS term FROM bl),
-         |bdt AS (SELECT doc_id, term, count(*) AS c FROM btok GROUP BY doc_id, term),
-         |oc AS (SELECT round(ln((t_web + v)::DOUBLE / (t_cur + v)), 6) AS o FROM tot),
-         |bds AS (
-         |  SELECT doc_id,
-         |    sum(c * coalesce(lr, 0.0)) +
-         |      (SELECT o FROM oc) * CAST(sum(CASE WHEN lr IS NULL THEN c ELSE 0 END) AS DOUBLE) AS s
-         |  FROM bdt LEFT JOIN lr USING (term) GROUP BY doc_id),
-         |bsc AS (
-         |  SELECT b.doc_id,
-         |    CASE WHEN pr.nd_cur = 0 OR pr.nd_web = 0 THEN NULL
-         |      ELSE round(coalesce(bds.s, 0.0) + ln(pr.nd_cur::DOUBLE / pr.nd_web), 6)
-         |    END AS score
-         |  FROM bl b LEFT JOIN bds ON b.doc_id = bds.doc_id, pr)
-         |SELECT doc_id, score, score > 0 AS pred_curated
-         |FROM bsc ORDER BY doc_id""".stripMargin,
+    // OOV-aware scoring against the corpus-minus-batch model — SQL
+    // single-sourced in nbOovSql (shared with `stream_nb_oov`)
+    "pipeline_nb_oov" -> nbOovSql,
     // the stored-model report forms restrict the SAME score table to
     // the batch ids (model values are identical — the model is the
     // 6-dp-quantized artifact) and derive eval/bins over batch labels
@@ -3112,6 +3198,96 @@ object SparkEntryExt {
          |LEFT JOIN cq_r qr USING (doc_id)
          |LEFT JOIN wr w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the composed end-to-end curation chain: every stage's SQL is the
+    // registered operator's own oracle form, chained over the previous
+    // stage's survivors (clean/quality via the shared CTE builders,
+    // minhash+labels via the parameterized bodies over the
+    // quality-passed cleaned corpus, DSIR/mix/shuffle/pack as the
+    // pipeline_dsir / pipeline_mix_pack / pipeline_epoch_shuffle
+    // fragments with the same engine-matched constants)
+    "pipeline_e2e" ->
+      s"""WITH ${OracleSql.cleanCtes("cl", "documents")},
+         |cq_src AS MATERIALIZED (
+         |  SELECT doc_id, clean_text AS text FROM cl_out WHERE n_kept > 0),
+         |${OracleSql.qualityCtes("cq", "cq_src")},
+         |qr AS MATERIALIZED (SELECT doc_id, n_tokens, reason FROM cq_r),
+         |qd AS MATERIALIZED (
+         |  SELECT s.doc_id, s.text FROM cq_src s JOIN qr r USING (doc_id)
+         |  WHERE r.reason = 'ok'),
+         |${minhashPairsBodyFrom("qd")},
+         |${clusterLabelCtesFrom("qd")},
+         |kb AS (
+         |  -- keepBest's total order is (keep DESC, n_tokens DESC, doc_id);
+         |  -- every qd member has reason = 'ok' so keep is uniformly true
+         |  -- and drops out of the ranking
+         |  SELECT doc_id FROM (
+         |    SELECT l.doc_id,
+         |      row_number() OVER (PARTITION BY l.label
+         |        ORDER BY r.n_tokens DESC, l.doc_id) AS rn
+         |    FROM l3 l JOIN qr r USING (doc_id))
+         |  WHERE rn = 1),
+         |sd AS MATERIALIZED (
+         |  SELECT k.doc_id, q.text, d.lang
+         |  FROM kb k JOIN qd q USING (doc_id) JOIN documents d USING (doc_id)),
+         |dtl AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS t FROM sd),
+         |dgr AS MATERIALIZED (
+         |  SELECT doc_id, tgt, ${h32Sql("g")} % 256 AS b
+         |  FROM (SELECT doc_id, tgt, unnest(list_concat(t, ${ngramSql("t", 2)})) AS g
+         |        FROM dtl)),
+         |dbc AS MATERIALIZED (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM dgr GROUP BY 1),
+         |dtot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM dbc),
+         |dm AS (
+         |  SELECT b, round(ln((ct + 1.0) / (tt + 256.0))
+         |    - ln((cr + 1.0) / (tr + 256.0)), 6) AS lr
+         |  FROM dbc, dtot),
+         |ddb AS (SELECT doc_id, b, count(*) AS c FROM dgr WHERE NOT tgt GROUP BY 1, 2),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, sum(c::DOUBLE * lr) AS logw
+         |  FROM ddb JOIN dm USING (b) GROUP BY 1),
+         |dcnt AS (SELECT count(*) AS n FROM dw),
+         |dsel AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY round(logw, 6) DESC, doc_id) AS rn
+         |    FROM dw), dcnt
+         |  WHERE rn <= greatest(1, CAST(floor(n * 0.25) AS BIGINT))),
+         |pool AS (
+         |  SELECT doc_id, lang FROM sd WHERE lang = 'en'
+         |  UNION ALL
+         |  SELECT s.doc_id, s.lang FROM sd s JOIN dsel USING (doc_id)),
+         |mx AS (
+         |  SELECT p.doc_id, p.lang, r.n_tokens, ${h32Sql("p.doc_id::VARCHAR")} AS h
+         |  FROM pool p JOIN qr r USING (doc_id) WHERE r.n_tokens > 0),
+         |mw AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM mx),
+         |msel AS (
+         |  SELECT doc_id, lang, n_tokens FROM mw
+         |  WHERE cum_before < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END),
+         |eo AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(hh % $epochShards AS INT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY hh % $epochShards ORDER BY hh, doc_id) - 1
+         |      AS BIGINT) AS pos
+         |  FROM (SELECT *, ${h32Sql(s"'$epochSeed:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |        FROM msel)),
+         |pk AS (
+         |  -- CAST: see q_pack_sequences — HUGEINT window sums must not
+         |  -- reach the compared output
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard, pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM eo)
+         |SELECT doc_id, lang, shard, pos, n_tokens,
+         |  prev // 512 AS seq_start,
+         |  (prev + n_tokens - 1) // 512 AS seq_end,
+         |  prev % 512 AS offset
+         |FROM pk
+         |ORDER BY shard, pos""".stripMargin,
     "text_pii" ->
       s"""WITH p AS (
          |  SELECT doc_id,

@@ -157,7 +157,13 @@ object SparkEntryStream {
     // continuous crawl filtering against the STORED NB model: docs
     // scored per micro-batch by nbScoreBatch; scores over two batches
     // ≡ the one-shot pipeline_nb_inc (SAME oracle — per-doc purity)
-    "stream_nb_score" -> ((s, d) => runNbScoreOnce(s, d)))
+    "stream_nb_score" -> ((s, d) => runNbScoreOnce(s, d)),
+    // the OOV-aware streaming form: the model is trained on the
+    // corpus MINUS the batch (nbOovModelIndex — genuinely OOV-bearing
+    // micro-batches) and absent terms contribute the stored oov_lr
+    // constant; scores over two batches ≡ the one-shot
+    // pipeline_nb_oov (SAME oracle — per-doc purity again)
+    "stream_nb_oov" -> ((s, d) => runNbScoreOnce(s, d, oov = true)))
 
   /** Drive [[EventStream.driftStream]]: even-id vectors are the static
     * baseline, odd-id vectors stream in TWO micro-batches (split at
@@ -332,19 +338,28 @@ object SparkEntryStream {
     * depends only on its own tokens and the static model, so the
     * slicing cannot move anything). Scores were 6-dp quantized
     * in-plan, so the read-back needs no re-rounding.
+    *
+    * `oov = true` is the `stream_nb_oov` drive: the model comes from
+    * [[SparkEntryExt.nbOovModelIndex]] (trained on corpus MINUS this
+    * batch, so the streamed micro-batches are genuinely OOV-bearing)
+    * and scoring flows through `nbScoreBatchOov` — accumulated scores
+    * ≡ the one-shot `pipeline_nb_oov` against the SAME shared oracle.
     */
-  private def runNbScoreOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  private def runNbScoreOnce(spark: SparkSession, sfDir: String,
+      oov: Boolean = false): DataFrame = {
     val in = java.nio.file.Files.createTempDirectory("graft-nbsc-in").toString
     val store = java.nio.file.Files.createTempDirectory("graft-nbsc-store").toString + "/scores"
     scratchDirs.add(in)
     scratchDirs.add(store)
-    val tbl = SparkEntryExt.nbModelIndex(spark, sfDir)
+    val tbl =
+      if (oov) SparkEntryExt.nbOovModelIndex(spark, sfDir)
+      else SparkEntryExt.nbModelIndex(spark, sfDir)
     val m = SparkEntryExt.nbBatchMod
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % m === 0)
       .select(col("doc_id"), col("text"))
     docs.filter(col("doc_id") % (2 * m) === 0).write.mode("append").parquet(in)
     val q = EventStream.nbScoreStream(spark, in, store,
-      spark.table(tbl), spark.table(tbl + "_prior"))
+      spark.table(tbl), spark.table(tbl + "_prior"), oov = oov)
     try {
       EventStream.drainAll(spark, q, in)
       docs.filter(col("doc_id") % (2 * m) =!= 0).write.mode("append").parquet(in)
@@ -486,6 +501,9 @@ object SparkEntryStream {
     // literally the pipeline_nb_inc oracle: per-doc purity against
     // the static stored model makes the micro-batch slicing invisible
     "stream_nb_score" -> SparkEntryExt.nbIncSql,
+    // literally the pipeline_nb_oov oracle: same purity argument over
+    // the corpus-minus-batch stored model + the oov_lr constant
+    "stream_nb_oov" -> SparkEntryExt.nbOovSql,
     // identical to the batch hourly oracle — stream must converge to it
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

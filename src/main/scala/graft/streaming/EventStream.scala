@@ -462,10 +462,20 @@ object EventStream {
     * RESTART: the [[searchStream]] contract — committed
     * `checkpointDir` resumes batch-id-stable; otherwise the
     * fresh-store guard refuses a store with surviving `batch_*` dirs.
+    *
+    * `oov = true` scores through
+    * [[graft.ops.Curation.nbScoreBatchOov]] instead: every batch term
+    * absent from the stored model contributes the train-time smoothed
+    * constant carried in the priors artifact's `oov_lr` column — the
+    * bias-correcting treatment for crawl batches whose vocabulary the
+    * stored model has never seen (the batch side's `pipeline_nb_oov`
+    * form). Same per-doc purity, so the accumulated store still
+    * equals the one-shot batch scoring against the same model.
     */
   def nbScoreStream(spark: SparkSession, inputDir: String, storeDir: String,
       model: DataFrame, priors: DataFrame,
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      oov: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureProgressRetention(spark)
     if (!checkpointDir.exists(isCommittedCheckpoint(spark, _)))
       requireFreshStore(spark, storeDir, Seq("batch_*"), "nbScoreStream",
@@ -478,8 +488,10 @@ object EventStream {
       .outputMode("append")
     checkpointDir.fold(base)(d => base.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Curation.nbScoreBatch(batch, "doc_id", "text", model, priors)
-          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+        val scored =
+          if (oov) graft.ops.Curation.nbScoreBatchOov(batch, "doc_id", "text", model, priors)
+          else graft.ops.Curation.nbScoreBatch(batch, "doc_id", "text", model, priors)
+        scored.write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
         ()
       }
       .start()

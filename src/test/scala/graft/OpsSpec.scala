@@ -270,6 +270,57 @@ class OpsSpec extends SparkSpec {
       "restarted stream scores must equal the one-shot batch pass")
   }
 
+  test("nbScore stream OOV restart: stored oov_lr flows through, scores equal the batch OOV pass") {
+    // the stream_nb_oov contract (r18 verdict item 5): the streaming
+    // scorer must apply the TRAIN-TIME smoothed constant to terms the
+    // stored model has never seen — the zero-contribution default
+    // would silently bias OOV-heavy crawl batches toward the prior.
+    // Model trained on a corpus the batch is NOT part of, batch docs
+    // carry genuinely-OOV terms, restart mid-stream: accumulated
+    // scores must equal the one-shot nbScoreBatchOov AND differ from
+    // the zero-default scorer on the OOV-bearing docs (proving the
+    // constant actually flowed, not just that slicing is invisible).
+    val in = java.nio.file.Files.createTempDirectory("nboov-in").toString
+    val store = java.nio.file.Files.createTempDirectory("nboov-st").toString + "/scores"
+    val ckpt = java.nio.file.Files.createTempDirectory("nboov-ck").toString
+    // class token totals deliberately ASYMMETRIC (curated 7, web 5):
+    // a symmetric fixture has oov_lr = ln((t_web+v)/(t_cur+v)) = ln 1
+    // = 0 and the constant-flowed assertion below would be vacuous
+    val corpus = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c"), (4L, "b b a c c"))
+      .toDF("doc_id", "text")
+    val (lr, priors) = Curation.nbModel(corpus, "doc_id", "text", $"doc_id" % 2 === 0)
+    val batch = Seq((10L, "a zz qq"), (11L, "zz zz"), (12L, "b c"), (13L, "qq a"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    val expected = rows(Curation.nbScoreBatchOov(batch, "doc_id", "text", lr, priors))
+    val zeroDefault = rows(Curation.nbScoreBatch(batch, "doc_id", "text", lr, priors))
+    assert(expected != zeroDefault,
+      "fixture must carry OOV terms that move scores, or the pin proves nothing")
+    batch.filter($"doc_id" <= 11).write.mode("append").parquet(in)
+    val q1 = EventStream.nbScoreStream(spark, in, store, lr, priors, Some(ckpt), oov = true)
+    try EventStream.drainAll(spark, q1, in) finally q1.stop()
+    batch.filter($"doc_id" > 11).write.mode("append").parquet(in)
+    val q2 = EventStream.nbScoreStream(spark, in, store, lr, priors, Some(ckpt), oov = true)
+    try {
+      q2.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (q2.recentProgress.iterator.map(_.numInputRows).sum < 2 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q2.processAllAvailable()
+      }
+      val batchIds = q2.recentProgress.map(_.batchId)
+      assert(batchIds.nonEmpty && batchIds.min >= 1,
+        s"restart must continue batch numbering, planned ${batchIds.toSeq}")
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$store/batch_*")
+    assert(got.count() == 4, "every doc scored exactly once across the restart")
+    assert(rows(got.select($"doc_id", $"score")) == expected,
+      "restarted OOV stream scores must equal the one-shot nbScoreBatchOov pass")
+  }
+
   test("upsert stream restart: checkpoint resumes past committed batches") {
     // Without a checkpoint a restarted upsertStream re-lists the whole
     // input dir as batch 0 — value-idempotent (pin above) but a
@@ -713,6 +764,32 @@ class OpsSpec extends SparkSpec {
       s"converged labels changed survivors:\nconv=$viaConverged\nunroll=$viaUnroll")
     assert(viaDeeper == viaUnroll,
       s"deeper unroll changed survivors:\ndeep=$viaDeeper\nunroll=$viaUnroll")
+  }
+
+  test("dedup: converged keepBest equals dedup_keep_best's unroll on the harness corpus") {
+    // the nearDupPipeline precedent (r18 verdict item 6): the fixture
+    // pin above proves survivor invariance on a toy graph; this pin
+    // exercises the PRODUCTION path — keepBestFromLabels over
+    // clusterLabelsConverged — against the registered dedup_keep_best
+    // query (the oracle-checked 3-round unroll) on the real sf0.01
+    // corpus with its real LSH pair set. The corpus' near-dup
+    // components are bounded-diameter by construction there, so the
+    // two labelings must realize the same partition and the shared
+    // keepBestFromLabels tail the same survivors, row for row.
+    val sf001 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf001)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 8)
+      .filter(col("jaccard") >= 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaQuery = rows(SparkEntry.queries("dedup_keep_best")(spark, sf001))
+    val viaConverged = rows(Dedup.keepBestFromLabels(
+      Dedup.clusterLabelsConverged(docs, "doc_id", pairs), docs, "doc_id", "text"))
+    assert(viaQuery.nonEmpty, "harness corpus must produce survivor rows")
+    assert(viaConverged == viaQuery,
+      s"production converged path diverged from the oracle-checked unroll: " +
+        s"${(viaConverged -- viaQuery).take(3)} vs ${(viaQuery -- viaConverged).take(3)}")
   }
 
   test("dedup: incremental spans equal the full run restricted to the batch") {
