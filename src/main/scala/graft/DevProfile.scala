@@ -19,7 +19,9 @@ object DevProfile {
     "sessionize" -> profileSessionize,
     "cluster" -> profileCluster,
     "interference" -> profileInterference,
-    "mmneardup" -> profileMmNearDup)
+    "mmneardup" -> profileMmNearDup,
+    "semdedup" -> profileSemDedup,
+    "e2e" -> profileE2e)
 
   def main(args: Array[String]): Unit = {
     val stage = args.headOption.getOrElse("flagship")
@@ -29,6 +31,11 @@ object DevProfile {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // volume-sized AQE initial partitions, the RunQ discipline — the
+      // profiled stages run at big decades too
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        VolumeConf.initialPartitions(sfDir, 32).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -159,5 +166,100 @@ object DevProfile {
     time("v_embed_text AFTER")(SparkEntry.queries("v_embed_text")(spark, sfDir).count())
     time("v_embed_text AFTER2")(SparkEntry.queries("v_embed_text")(spark, sfDir).count())
     time("rag_flagship AFTER")(SparkEntry.queries("rag_flagship")(spark, sfDir).count())
+  }
+
+  /** Semantic-dedup fourth-decade smoke, stage by stage. Two bit
+    * widths: the registered query's bits=4 (whose 16 buckets saturate
+    * the hot-bucket cap on a corpus over 16·maxBucketSize vectors —
+    * the guard excludes them all and zero pairs emerge, the
+    * documented recall/guard trade-off), then the VOLUME-SIZED width
+    * from `SPARK_GRAFT_BITS` (default 14: 16k buckets ≈ N/16k per
+    * bucket at 2M vectors — the knob a production deployment sets
+    * from its corpus size, exactly like shuffle partitions).
+    */
+  private def profileSemDedup(spark: SparkSession, sfDir: String): Unit = {
+    val emb = Tables.embeddings(spark, sfDir)
+    time("corpus count")(println("  n=" + emb.count()))
+    for (bits <- Seq(4, sys.env.getOrElse("SPARK_GRAFT_BITS", "14").toInt)) {
+      val bkt = emb.withColumn("__b", SimilaritySearch.signBucket("embedding", bits))
+        .groupBy(col("__b")).count()
+      time(s"bits=$bits bucket histogram") {
+        val r = bkt.agg(count(lit(1)), max(col("count")), min(col("count"))).head()
+        println(s"  buckets=${r.getLong(0)} max=${r.getLong(1)} min=${r.getLong(2)}")
+      }
+      val pairs = SimilaritySearch.cosineNearDup(emb, "vec_id", "embedding",
+        threshold = 0.4, bits = bits)
+      time(s"bits=$bits candidate+verified pairs")(println("  pairs=" + pairs.count()))
+      // constructing the converged form RUNS the label-propagation
+      // rounds (eager per-round localCheckpoints) — time it as its own
+      // stage or the loop cost vanishes from the attribution
+      val dedup = time(s"bits=$bits converged label propagation (construction)") {
+        SimilaritySearch.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.4, bits = bits, iterations = 0)
+      }
+      time(s"bits=$bits semanticDedup final agg") {
+        val r = dedup.agg(count(lit(1)),
+          sum(when(col("keep"), 1L).otherwise(0L))).head()
+        println(s"  rows=${r.getLong(0)} kept=${r.getLong(1)}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** pipeline_e2e stage by stage — the composed-bill attribution the
+    * 100× row records. Mirrors the registered query; each stage's lazy
+    * checkpoint materializes under its own timer.
+    */
+  private def profileE2e(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    val cleaned = Clean.removeBoilerplate(docs, "doc_id", "text",
+        sep = " the ", minDocs = 3)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint(false)
+    time("1 clean")(println("  n=" + cleaned.count()))
+    val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
+      .filter(col("reason") === "ok").select(col("doc_id"))
+    val qdocs = cleaned.join(okIds, Seq("doc_id")).localCheckpoint(false)
+    time("2 quality gate")(println("  n=" + qdocs.count()))
+    val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 8)
+      .filter(col("jaccard") >= 0.5)
+      .localCheckpoint(false)
+    time("3a LSH pairs")(println("  n=" + pairs.count()))
+    // keepBest's label rounds run EAGERLY at construction (per-round
+    // localCheckpoints) — time the construction or the loop cost
+    // vanishes from the attribution (the semdedup-profile lesson)
+    val survivors = time("3b label propagation (construction)") {
+      Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
+        .select(col("doc_id"))
+    }
+    val sdocs = qdocs.join(survivors, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(false)
+    time("3c keep-best survivors")(println("  n=" + sdocs.count()))
+    val dsirSel = time("4a DSIR select (construction)") {
+      graft.ops.Curation.dsirSelect(sdocs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
+    }
+    val pool = sdocs.filter(col("lang") === "en")
+      .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
+      .localCheckpoint(false)
+    time("4b DSIR select + pool")(println("  n=" + pool.count()))
+    val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
+      budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+    val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
+    val order = graft.ops.Curation.epochShuffle(selected, "doc_id",
+      seed = "epoch1", nShards = 8)
+    val keyed = selected.join(order, Seq("doc_id"))
+      .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
+      .localCheckpoint(false)
+    time("5-6 mix + epoch shuffle")(println("  n=" + keyed.count()))
+    val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
+    val out = packed.select(col("doc_id").as("__ord"), col("n_tokens"),
+        col("seq_start"), col("seq_end"), col("offset"))
+      .join(keyed.select(col("__ord"), col("doc_id"), col("lang"),
+        col("shard"), col("pos")), Seq("__ord"))
+    time("7 pack + join back")(println("  n=" + out.count()))
   }
 }

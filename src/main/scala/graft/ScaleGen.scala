@@ -108,6 +108,83 @@ object ScaleGen {
   private def agree(x: String, y: String): Int =
     x.indices.count(i => x(i) == y(i))
 
+  /** Per-replica SIGNED PERMUTATION of embedding dimensions — the
+    * v2 text discipline applied to vectors (round 19). History: the
+    * r17/r18 embeddings transform was the per-dim affine ±3% alone,
+    * which is exact-clone-free but NOT near-clone-free in the metric
+    * that matters: scaling each coordinate by 1±3% leaves a replica
+    * pair of the same source vector at cosine ≈ 0.9998, so every
+    * source vector's replicas form a near-dup CLIQUE and any
+    * embedding-pair operator (semantic dedup) pays ~copies² pairs by
+    * construction — the exact failure mode the text permutations
+    * exist to avoid. A signed permutation is ORTHOGONAL: within a
+    * replica every dot product, norm, and neighbor structure is
+    * preserved exactly (the bijection argument, verbatim), while a
+    * replica pair of one source vector relates by the random isometry
+    * P_i^T·P_j — cross-replica cosines fall to the background
+    * distribution (E ≈ 0, sd ≈ 1/√dim) instead of ≈ 1.
+    *
+    * Element k of the result is replica k's mapping as parallel
+    * arrays: `perm(i)` = the 0-based SOURCE dimension written to
+    * output dim i, `sign(i)` ∈ {−1, +1}. Replica 0 is the identity
+    * (the source corpus, untouched). Structural assertions mirror
+    * [[mappings]]: pairwise, two replicas may agree (same source dim
+    * AND same sign at an output position) on at most dim/4 positions
+    * (random pairs agree on ~0.5) — two near-identical isometries
+    * would leave the relating transform near-identity and the replica
+    * pair near-parallel. Seeded from the SAME splitmix stream
+    * discipline (stride [[SeedStride]] per replica, attempt offset,
+    * retry cap < stride).
+    */
+  private[graft] def signedPerms(copies: Int, dim: Int): Array[(Array[Int], Array[Float])] = {
+    require(copies >= 1 && copies <= MaxCopies,
+      s"copies ($copies) must be in [1, $MaxCopies]")
+    require(dim >= 8, s"dim ($dim) must be >= 8 — fewer dims cannot keep " +
+      s"${MaxCopies} signed permutations pairwise non-near-identical")
+    val maxAgree = math.max(2, dim / 4)
+    def permOfK(k: Int, attempt: Int): (Array[Int], Array[Float]) = {
+      require(attempt >= 0 && attempt < SeedStride,
+        s"signedPerms: attempt ($attempt) must stay < SeedStride ($SeedStride)")
+      val p = Array.tabulate(dim)(identity)
+      val sg = new Array[Float](dim)
+      // offset the stream from the TEXT mappings' (k·stride + attempt)
+      // seeds so the two generators never consume the same stream
+      var s = (k.toLong + MaxCopies.toLong) * SeedStride + attempt.toLong
+      var i = dim - 1
+      while (i > 0) {
+        s = splitmix64(s)
+        val j = (((s % (i + 1)) + (i + 1)) % (i + 1)).toInt
+        val t = p(i); p(i) = p(j); p(j) = t
+        i -= 1
+      }
+      var d = 0
+      while (d < dim) {
+        s = splitmix64(s)
+        sg(d) = if ((s & 1L) == 0L) 1.0f else -1.0f
+        d += 1
+      }
+      (p, sg)
+    }
+    def agreeSp(a: (Array[Int], Array[Float]), b: (Array[Int], Array[Float])): Int =
+      (0 until dim).count(i => a._1(i) == b._1(i) && a._2(i) == b._2(i))
+    val out = new Array[(Array[Int], Array[Float])](copies)
+    out(0) = (Array.tabulate(dim)(identity), Array.fill(dim)(1.0f))
+    var k = 1
+    while (k < copies) {
+      var attempt = 0
+      var cand = permOfK(k, attempt)
+      while (out.iterator.take(k).exists(p => agreeSp(p, cand) > maxAgree)) {
+        attempt += 1
+        require(attempt < SeedStride,
+          s"signedPerms: could not place replica $k after $attempt re-seeds")
+        cand = permOfK(k, attempt)
+      }
+      out(k) = cand
+      k += 1
+    }
+    out
+  }
+
   /** The replica → target-alphabet table: index k is replica k's image
     * of [[RotAlphabet]]. Greedy construction; each mapping is re-seeded
     * until it is distinct from and ≥ (20 − [[MaxAgree]])-different to
@@ -230,32 +307,49 @@ object ScaleGen {
         "documents")
     }
 
-    // embeddings: re-key + per-replica deterministic per-dim scaling
+    // embeddings: re-key + per-replica affine perturbation composed
+    // with a per-replica SIGNED PERMUTATION of dimensions (v2, r19 —
+    // see signedPerms: the affine form alone left replica pairs at
+    // cosine ≈ 0.9998, near-dup cliques by construction)
     if (tables("embeddings")) {
       val emb = Tables.embeddings(spark, src)
       val stride = strideOf(emb, "vec_id")
+      // the corpus is fixed-dim by construction; read it once so the
+      // permutation table matches the data (a head() driver action,
+      // the strideOf precedent)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      import spark.implicits._
+      val perms = signedPerms(copies, dim).zipWithIndex
+        .map { case ((p, sg), k) => (k, p, sg) }.toSeq
+        .toDF("__k", "__perm", "__sgn")
       write(
         withReplica(emb, copies)
+          .join(broadcast(perms), "__k")
           .withColumn("embedding",
-            when(col("__k") === 0, col("embedding")).otherwise(
-              // affine per-dim perturbation of replica k ≠ 0:
-              //   x·(1 + s·0.006%) + s·1e-6, s = (7k + i) mod 1009 − 504
-              // (±3% multiplicative; modulus 1009 is prime and >
-              // MaxCopies, so no two replicas ≤ 1000 share a pattern —
-              // the old mod 101 would clone vectors verbatim at
-              // copies > 101, the same period bug the v1 text rotation
-              // had at copies > 10, just one decade later). The
-              // additive term exists for the zero hole: a purely
-              // multiplicative perturbation maps zero vectors (and zero
-              // components) to themselves, so an all-zero embedding —
-              // the collapsed-encoder case the ANN hot-bucket guards
-              // contemplate — would gain copies−1 verbatim clones.
-              zip_with(col("embedding"),
-                transform(col("embedding"),
-                  (_, i) => ((col("__k") * 7 + i) % 1009 - 504).cast("float")),
-                (x, s) => x * (lit(1.0f) + s * lit(0.00006f)) + s * lit(1.0e-6f))))
+            when(col("__k") === 0, col("embedding")).otherwise {
+              // output dim i reads SOURCE dim p = __perm[i], affine-
+              // perturbed and sign-flipped:
+              //   out[i] = sgn[i] · (x[p]·(1 + s·0.006%) + s·1e-6),
+              //   s = (7k + p) mod 1009 − 504
+              // (±3% multiplicative; prime modulus > MaxCopies so no two
+              // replicas ≤ 1000 share a pattern). The additive term
+              // closes the zero hole: a purely multiplicative+orthogonal
+              // transform maps all-zero embeddings — the
+              // collapsed-encoder case the ANN hot-bucket guards
+              // contemplate — to themselves verbatim across replicas.
+              // s is derived from the SOURCE dim p (available inside the
+              // lambda) so the whole transform is one zip_with over the
+              // (perm, sign) arrays indexing `embedding` directly — no
+              // shared subtree for the HOF to re-evaluate per element
+              // (the bqRerank lesson).
+              zip_with(col("__perm"), col("__sgn"), (p, sg) => {
+                val s = ((col("__k") * 7 + p) % 1009 - 504).cast("float")
+                sg * (element_at(col("embedding"), p + 1) *
+                  (lit(1.0f) + s * lit(0.00006f)) + s * lit(1.0e-6f))
+              })
+            })
           .withColumn("vec_id", rekey("vec_id", stride))
-          .drop("__k"),
+          .drop("__k", "__perm", "__sgn"),
         "embeddings")
     }
 

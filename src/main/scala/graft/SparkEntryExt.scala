@@ -611,10 +611,11 @@ object SparkEntryExt {
     * — on a vocab-heavy corpus the session's fixed partition count
     * under-splits it (measured: 5M docs with ~1000× the base vocab
     * OOM'd a 48 GB heap across 32 final partitions at the r18 1000×
-    * smoke). Sizing: one partition per ~8 MB of source parquet (text
-    * explodes 3–5× off parquet encoding, and keys dominate the map),
-    * floored at the session constant, capped at 2048 — the arithmetic
-    * a production job does with its cluster's task size. A scoped
+    * smoke). Sizing: one partition per [[VolumeConf]]'s bytes-per-
+    * partition constant of source parquet (text explodes 3–5× off
+    * parquet encoding, and keys dominate the map), floored at the
+    * session constant, capped at 2048 — the arithmetic a production
+    * job does with its cluster's task size. A scoped
     * conf override (not `repartition`) so the map-side PARTIAL
     * aggregate stays in the plan — an explicit repartition below the
     * aggregate would ship every raw token occurrence across the

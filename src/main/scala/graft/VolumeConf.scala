@@ -29,12 +29,19 @@ package graft
 object VolumeConf {
 
   /** One shuffle partition per this many bytes of source parquet.
-    * Text explodes 3–5× off parquet encoding and keys dominate the
-    * aggregate maps, so ~8 MB of parquet is a comfortably task-sized
-    * final-aggregate working set at ordinary (≥ 1.5 GB/core) executor
-    * memory.
+    * Text explodes 3–5× off parquet encoding, keys dominate the
+    * aggregate maps, and the widest key spaces (dsirSelect's
+    * doc×bucket cells: ~1.3B groups off 963 MB at the 1000× decade)
+    * multiply rows per source byte again — 2 MB of parquet per
+    * partition puts that worst case at the partition count the r18
+    * smoke proved clean (~500 at 1000×), and OVER-splitting is nearly
+    * free under AQE: the coalescer merges the small-decade surplus
+    * back toward `advisoryPartitionSizeInBytes`, so the initial
+    * number costs shuffle-file count, not task count. (r18 used 8 MB,
+    * tuned for the narrower vocab-keyed stored builds; one constant
+    * now serves both, sized by the widest consumer.)
     */
-  val BytesPerShufflePartition: Long = 8L << 20
+  val BytesPerShufflePartition: Long = 2L << 20
 
   /** Upper bound — past this, per-partition scheduling overhead beats
     * the marginal split-safety (and the harness runs single-JVM).

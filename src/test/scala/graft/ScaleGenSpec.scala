@@ -75,6 +75,70 @@ class ScaleGenSpec extends SparkSpec {
       s"inflation changed the largest duplicate-vector group: $srcMax -> $outMax")
   }
 
+  test("replica signed permutations: orthogonal, pairwise non-near-identical, identity first, full range") {
+    // the mappings() guarantee applied to vectors (v2, r19): every
+    // replica transform is a signed permutation (an exact isometry —
+    // within-replica geometry replicates verbatim), replica 0 is the
+    // identity, and no pair agrees (same source dim AND sign) on more
+    // than dim/4 output positions — two near-identical isometries
+    // would leave replica pairs of one source vector near-parallel,
+    // the cosine-space clone hole the affine-only r17/r18 transform
+    // had (replica pairs at cosine ~0.9998)
+    val dim = 64
+    val sp = ScaleGen.signedPerms(1000, dim)
+    assert(sp.length == 1000)
+    assert(sp(0)._1.sameElements(Array.tabulate(dim)(identity)) &&
+      sp(0)._2.forall(_ == 1.0f), "replica 0 must be the identity isometry")
+    sp.foreach { case (p, sg) =>
+      assert(p.sorted.sameElements(Array.tabulate(dim)(identity)),
+        "every perm must be a permutation of the dims")
+      assert(sg.forall(s => s == 1.0f || s == -1.0f), "signs must be exactly ±1")
+    }
+    var worst = 0
+    for (i <- sp.indices; j <- (i + 1) until sp.length) {
+      val a = (0 until dim).count(d =>
+        sp(i)._1(d) == sp(j)._1(d) && sp(i)._2(d) == sp(j)._2(d))
+      if (a > worst) worst = a
+    }
+    assert(worst <= dim / 4,
+      s"two signed perms agree on $worst/$dim positions (max allowed ${dim / 4})")
+    // determinism: a second construction is bit-identical
+    val sp2 = ScaleGen.signedPerms(1000, dim)
+    assert(sp.indices.forall(k =>
+      sp(k)._1.sameElements(sp2(k)._1) && sp(k)._2.sameElements(sp2(k)._2)),
+      "signedPerms must be deterministic")
+  }
+
+  test("no cross-replica NEAR-PARALLEL embedding clones (cosine bounded away from 1)") {
+    // the structural guarantee the sim_semdedup smoke rests on: a
+    // replica pair of one source vector relates by a random isometry,
+    // so its cosine sits in the background band (sd ≈ 1/√dim), never
+    // near 1 — the affine-only transform failed this at ~0.9998 for
+    // EVERY pair, a near-dup clique per source vector
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val srcMax = Tables.embeddings(spark, sf0001)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val stride = srcMax + 1
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    var worst = 0.0
+    emb.groupBy(_._1 % stride).foreach { case (_, replicas) =>
+      val vs = replicas.map(_._2)
+      for (i <- vs.indices; j <- (i + 1) until vs.length) {
+        val c = math.abs(cos(vs(i), vs(j)))
+        if (c > worst) worst = c
+      }
+    }
+    assert(worst < 0.9,
+      f"a cross-replica pair of one source vector reads |cosine| = $worst%.4f — " +
+        "the near-parallel clone hole is back")
+  }
+
   test("ids never collide and fact join alignment is preserved") {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
     assert(docs.select(col("doc_id")).distinct().count() == docs.count())
