@@ -1198,10 +1198,10 @@ object SparkEntryExt {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  private def bucketSql(col: String): String =
-    s"""(CASE WHEN $col[1] > 0 THEN 8 ELSE 0 END + CASE WHEN $col[2] > 0 THEN 4 ELSE 0 END
-       | + CASE WHEN $col[3] > 0 THEN 2 ELSE 0 END + CASE WHEN $col[4] > 0 THEN 1 ELSE 0 END)::BIGINT"""
-      .stripMargin
+  private def bucketSql(col: String, bits: Int = 4): String =
+    (0 until bits)
+      .map(i => s"CASE WHEN $col[${i + 1}] > 0 THEN ${1L << (bits - 1 - i)} ELSE 0 END")
+      .mkString("(", " + ", ")::BIGINT")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk" -> ((s, d) =>
@@ -1925,6 +1925,18 @@ object SparkEntryExt {
     "sim_semdedup" -> ((s, d) =>
       SimilaritySearch.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4, iterations = 3)
+        .orderBy(col("id"))),
+    // the production form of the same operator: the quantizer width is
+    // SELF-SIZED in-plan from a 1-row broadcast count (bits =
+    // bitLength(n div 256), clamped — integer-exact, so the oracle
+    // computes the identical width), because a fixed bits=4 saturates
+    // the hot-bucket guard at the 1000× decade (every bucket > cap →
+    // zero pairs). At verify scale the formula clamps to the same 4
+    // bits, so this checks the sizing arithmetic cross-engine; the
+    // width divergence is exercised in ScalaTest and at scale1000
+    "sim_semdedup_vol" -> ((s, d) =>
+      SimilaritySearch.semanticDedupVol(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, targetBucket = 256, iterations = 3)
         .orderBy(col("id"))),
     // Sorscher-et-al. prototypicality pruning: keep the hardest half of
     // every trained cluster (cosine-to-own-centroid ascending). Reuses
@@ -3978,6 +3990,33 @@ object SparkEntryExt {
          |  SELECT doc_id, label FROM l2
          |  UNION ALL SELECT e.src AS doc_id, l.label FROM edges e JOIN l2 l ON e.dst = l.doc_id)
          |  GROUP BY doc_id)
+         |SELECT doc_id AS id, label AS cluster_id, (label = doc_id) AS keep
+         |FROM l3
+         |ORDER BY id""".stripMargin,
+    // mirrors semanticDedupVol: bits = bitLength(count div 256) clamped
+    // to [4, 16] (integer `//` + bin-string length — the engine's exact
+    // arithmetic), bucket = top-bits prefix of the 16-bit sign bucket,
+    // hot-bucket guard included (count window over the bucket key),
+    // then the shared 3-round label chain
+    "sim_semdedup_vol" ->
+      s"""WITH bt AS (
+         |  SELECT least(16, greatest(4, length(bin(greatest(count(*) // 256, 1))))) AS bits
+         |  FROM embeddings),
+         |bkt AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 16)} >> (16 - bits) AS bucket
+         |  FROM embeddings, bt),
+         |g AS (
+         |  SELECT vec_id, embedding, bucket FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |      count(*) OVER (PARTITION BY bucket) AS bsz FROM bkt)
+         |  WHERE bsz <= ${Dedup.DefaultMaxBucketSize}),
+         |prs AS (
+         |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+         |  FROM g a JOIN g b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b2.embedding")} >= 0.4),
+         |ids AS (SELECT vec_id AS doc_id FROM embeddings),
+         |${clusterLabelCtesFrom("ids")}
          |SELECT doc_id AS id, label AS cluster_id, (label = doc_id) AS keep
          |FROM l3
          |ORDER BY id""".stripMargin,

@@ -812,12 +812,25 @@ object SimilaritySearch {
       s"maxBucketSize ($maxBucketSize) must be >= 2 — no bucket could pair")
     val v = vectors.withColumn("__bucket",
       if (bits > 0) signBucket(vecCol, bits) else lit(0L))
-    val guarded =
-      if (bits > 0) {
-        val w = Window.partitionBy(col("__bucket"))
-        v.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize)
-      } else v
+    val guarded = if (bits > 0) bucketSizeGuard(v, maxBucketSize) else v
+    bucketPairJoin(guarded, idCol, vecCol, threshold)
+  }
+
+  /** Hot-bucket guard over a frame carrying `__bucket`: the size window
+    * partitions on the same key the pair join shuffles on, so the guard
+    * reuses that exchange rather than adding one.
+    */
+  private def bucketSizeGuard(v: DataFrame, maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("__bucket"))
+    v.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+  }
+
+  /** Within-bucket pair scoring over a frame carrying `__bucket` —
+    * the shared tail of [[cosineNearDup]] and [[cosineNearDupVol]].
+    */
+  private def bucketPairJoin(guarded: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val a = guarded.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__bucket"))
     val b = guarded.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__bucket"))
     a.join(b, "__bucket")
@@ -825,6 +838,72 @@ object SimilaritySearch {
       .withColumn("score", VectorOps.cosine(col("va"), col("vb")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Upper bound on [[volumeSizedBits]]: the dynamic bucket reads the
+    * sign bits of the leading `MaxDynBits` vector components, so the
+    * embedding dim must be ≥ this (element_at past the array end is an
+    * ANSI error, not a silent null). 2^16 = 65,536 buckets is also
+    * where a data-independent sign quantizer stops being the right tool
+    * — past that, train centroids (see the object scaladoc).
+    */
+  val MaxDynBits = 16
+
+  /** Volume-sized sign-bucket width: the number of bucket bits that puts
+    * the EXPECTED bucket population in [targetBucket/2, targetBucket),
+    * computed IN-PLAN from a corpus-count column —
+    * `bits = bitLength(n div targetBucket)` clamped to
+    * `[minBits, maxBits]`. Integer-exact (integral `div` + the length
+    * of the `bin` string — no float `log2` whose half-ulp at an exact
+    * power of two could round differently across engines), so the
+    * DuckDB oracle reproduces it bit for bit.
+    *
+    * This is [[graft.VolumeConf]]'s shuffle-sizing discipline applied
+    * to the quantizer knob itself: a fixed `bits` that is right at
+    * verify scale saturates the hot-bucket guard three decades up
+    * (measured, SCALING.md: bits=4 at 2M vectors puts ~125k members in
+    * every one of the 16 buckets, the guard excludes them all, recall
+    * collapses to zero). The knob must grow with the data — in-plan,
+    * from a 1-row broadcast count, never from an env var or a
+    * driver-side action.
+    */
+  def volumeSizedBits(n: Column, targetBucket: Int,
+      minBits: Int = 4, maxBits: Int = MaxDynBits): Column = {
+    require(targetBucket >= 2, s"targetBucket ($targetBucket) must be >= 2")
+    require(1 <= minBits && minBits <= maxBits && maxBits <= MaxDynBits,
+      s"need 1 <= minBits ($minBits) <= maxBits ($maxBits) <= $MaxDynBits")
+    least(lit(maxBits), greatest(lit(minBits),
+      length(bin(greatest(
+        call_function("div", n.cast("long"), lit(targetBucket.toLong)),
+        lit(1L)))).cast("int")))
+  }
+
+  /** [[cosineNearDup]] with the bucket width SELF-SIZED from the corpus
+    * volume ([[volumeSizedBits]]): the count is a 1-row broadcast
+    * aggregate and the bucket is the top `bits` bits of the static
+    * [[MaxDynBits]]-bit sign bucket (one integer shift — coarser widths
+    * are exact prefixes of finer ones, so the only dynamic piece of the
+    * quantizer is the shift amount). Requires embedding dim ≥
+    * [[MaxDynBits]]. The hot-bucket guard still applies, but volume
+    * sizing is what keeps it a degenerate-cluster backstop instead of
+    * the recall cliff a fixed width turns it into at scale.
+    */
+  def cosineNearDupVol(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetBucket: Int = 256,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2 — no bucket could pair")
+    val n = vectors.agg(count(lit(1)).cast("long").as("__n"))
+    val v = vectors.crossJoin(broadcast(n))
+      .withColumn("__bucket", call_function("shiftright",
+        signBucket(vecCol, MaxDynBits),
+        lit(MaxDynBits) - volumeSizedBits(col("__n"), targetBucket)))
+      .drop("__n")
+    bucketPairJoin(bucketSizeGuard(v, maxBucketSize), idCol, vecCol, threshold)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
@@ -843,9 +922,30 @@ object SimilaritySearch {
     * `iterations` hops.
     */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int, iterations: Int = 0): DataFrame = {
-    val pairs = cosineNearDup(vectors, idCol, vecCol, threshold, bits)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      threshold: Double, bits: Int, iterations: Int = 0): DataFrame =
+    semDedupFromPairs(vectors, idCol,
+      cosineNearDup(vectors, idCol, vecCol, threshold, bits), iterations)
+
+  /** [[semanticDedup]] over [[cosineNearDupVol]] candidates — the form
+    * whose quantizer width grows with the corpus instead of saturating
+    * the hot-bucket guard at a fixed 2^bits (the `sim_semdedup` 1000×
+    * lesson: bits=4 at 2M vectors excludes every bucket and keeps all
+    * 2M rows as singletons). Same output contract as [[semanticDedup]].
+    */
+  def semanticDedupVol(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Int = 256, iterations: Int = 0,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+    semDedupFromPairs(vectors, idCol,
+      cosineNearDupVol(vectors, idCol, vecCol, threshold, targetBucket, maxBucketSize),
+      iterations)
+
+  /** Shared label-propagation + min-id-keep tail of the two
+    * semantic-dedup fronts (every id keeps its row; members of excluded
+    * hot buckets simply contribute no pairs and stay singletons).
+    */
+  private def semDedupFromPairs(vectors: DataFrame, idCol: String,
+      nearDupPairs: DataFrame, iterations: Int): DataFrame = {
+    val pairs = nearDupPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val ids = vectors.select(col(idCol))
     val labels =
       if (iterations <= 0) Dedup.clusterLabelsConverged(ids, idCol, pairs)

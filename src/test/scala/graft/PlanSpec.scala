@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on the bucket key:\n$plan")
   }
 
+  test("cosineNearDupVol: pair join stays a bucket equi-join; the corpus count " +
+      "joins as a 1-row broadcast, never a shuffle") {
+    val plan = formatted(SimilaritySearch.cosineNearDupVol(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", threshold = 0.4))
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs join anywhere in the vol plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the bucket key:\n$plan")
+    // the in-plan bits count: at most the two 1-row broadcasts (one per
+    // join side — each side re-derives the bucket from its own count
+    // broadcast), never a shuffled join against the corpus. formatted()
+    // prints every node twice (tree + details), so 1–2 joins = 2–4 hits
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj >= 2 && bnlj <= 4,
+      s"count side must be 1-row broadcast joins (got $bnlj BNLJ mentions):\n$plan")
+  }
+
   test("salted join: the exchange carries the salt, no broadcast join") {
     val plan = formatted(SparkEntry.queries("q_salted_join")(spark, sf0001))
     assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -367,4 +367,49 @@ class SimilaritySpec extends SparkSpec {
       .filter(abs(col("score") - col("expect")) > lit(1e-12))
     assert(full.count() == 0, "returned scores must be full-width cosine")
   }
+
+  test("volumeSizedBits: integer-exact bit-length formula, clamped to [4, 16]") {
+    import spark.implicits._
+    // (count, expected bits at targetBucket=256): below 1,280 docs the
+    // clamp floor holds; 2^18 → 2^10 buckets-worth → 11 bits; the 1000×
+    // corpus count (2M) → 13; astronomically large clamps at 16
+    val cases = Seq(1L -> 4, 500L -> 4, 2000L -> 4, 262144L -> 11,
+      2000000L -> 13, (1L << 40) -> 16)
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), SimilaritySearch.volumeSizedBits(col("n"), 256).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.foreach { case (n, want) =>
+      assert(got(n) == want, s"bits($n) = ${got(n)}, want $want")
+    }
+  }
+
+  test("semanticDedupVol ≡ semanticDedup at the clamp floor (prefix property: " +
+      "top-4 bits of the 16-bit bucket ARE the 4-bit bucket)") {
+    val emb = Tables.embeddings(spark, sf0001) // 500 vectors → bits clamps to 4
+    val fixed = SimilaritySearch.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, bits = 4, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val vol = SimilaritySearch.semanticDedupVol(emb, "vec_id", "embedding",
+      threshold = 0.4, targetBucket = 256, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(vol == fixed, "volume-sized form must equal the fixed form where the widths agree")
+  }
+
+  test("cosineNearDupVol widens with the corpus: 500 vectors at targetBucket=4 " +
+      "score the bits=7 pair set, not the bits=4 one") {
+    // 500 div 4 = 125 → bitLength 7: the dynamic width must leave the
+    // clamp floor and match the STATIC 7-bit quantizer exactly (the
+    // dynamic piece is only the shift amount)
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vol = pairs(SimilaritySearch.cosineNearDupVol(
+      emb, "vec_id", "embedding", threshold = 0.4, targetBucket = 4))
+    val at7 = pairs(SimilaritySearch.cosineNearDup(
+      emb, "vec_id", "embedding", threshold = 0.4, bits = 7))
+    val at4 = pairs(SimilaritySearch.cosineNearDup(
+      emb, "vec_id", "embedding", threshold = 0.4, bits = 4))
+    assert(vol == at7, "dynamic width must reproduce the static bits=7 pair set")
+    assert(vol != at4, "fixture must distinguish bits=7 from the clamp floor")
+  }
 }
