@@ -53,7 +53,11 @@ object DevProfile {
   private def time[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime(); val g0 = gcMillis
     val r = f
-    println(f"[profile] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  gc=${gcMillis - g0}%d ms")
+    // the at= stamp exposes UNTIMED gaps between consecutive stages
+    // (the 1000× e2e mystery: stage timers summed to 21 s of a 480 s
+    // session — the gap, not the stages, was the bill)
+    println(f"[profile] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"gc=${gcMillis - g0}%d ms  at=${java.time.LocalTime.now}")
     r
   }
 
@@ -207,25 +211,40 @@ object DevProfile {
   }
 
   /** pipeline_e2e stage by stage — the composed-bill attribution the
-    * 100× row records. Mirrors the registered query; each stage's lazy
-    * checkpoint materializes under its own timer.
+    * 100× row records. Mirrors the registered query. ATTRIBUTION
+    * LESSON (found at 1000×): a `localCheckpoint(false)` is lazy only
+    * for its FINAL stage — under AQE, `AdaptiveSparkPlanExec.execute()`
+    * runs every upstream query stage (all shuffles) at checkpoint
+    * CONSTRUCTION to pick the final plan. So every checkpoint
+    * construction sits under its own `*-construct` timer; the count()
+    * timers measure only the final-stage tail. (The registered query's
+    * wall-clock is unaffected — this is profiler placement, not a plan
+    * change.)
     */
   private def profileE2e(spark: SparkSession, sfDir: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
-    val cleaned = Clean.removeBoilerplate(docs, "doc_id", "text",
-        sep = " the ", minDocs = 3)
-      .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .localCheckpoint(false)
+    val cleaned = time("1-construct clean checkpoint") {
+      Clean.removeBoilerplate(docs, "doc_id", "text",
+          sep = " the ", minDocs = 3)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(false)
+    }
     time("1 clean")(println("  n=" + cleaned.count()))
-    val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
-      .filter(col("reason") === "ok").select(col("doc_id"))
-    val qdocs = cleaned.join(okIds, Seq("doc_id")).localCheckpoint(false)
+    val okIds = time("2-construct qualityFilter") {
+      TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
+        .filter(col("reason") === "ok").select(col("doc_id"))
+    }
+    val qdocs = time("2-construct checkpoint") {
+      cleaned.join(okIds, Seq("doc_id")).localCheckpoint(false)
+    }
     time("2 quality gate")(println("  n=" + qdocs.count()))
-    val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
-        shingleN = 3, numHashes = 16, rowsPerBand = 8)
-      .filter(col("jaccard") >= 0.5)
-      .localCheckpoint(false)
+    val pairs = time("3a-construct LSH checkpoint") {
+      Dedup.minHashLsh(qdocs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+        .localCheckpoint(false)
+    }
     time("3a LSH pairs")(println("  n=" + pairs.count()))
     // keepBest's label rounds run EAGERLY at construction (per-round
     // localCheckpoints) — time the construction or the loop cost
@@ -234,26 +253,32 @@ object DevProfile {
       Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
         .select(col("doc_id"))
     }
-    val sdocs = qdocs.join(survivors, Seq("doc_id"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .localCheckpoint(false)
+    val sdocs = time("3c-construct checkpoint") {
+      qdocs.join(survivors, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(false)
+    }
     time("3c keep-best survivors")(println("  n=" + sdocs.count()))
     val dsirSel = time("4a DSIR select (construction)") {
       graft.ops.Curation.dsirSelect(sdocs, "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
     }
-    val pool = sdocs.filter(col("lang") === "en")
-      .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
-      .localCheckpoint(false)
+    val pool = time("4b-construct checkpoint") {
+      sdocs.filter(col("lang") === "en")
+        .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
+        .localCheckpoint(false)
+    }
     time("4b DSIR select + pool")(println("  n=" + pool.count()))
     val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
       budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
     val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
     val order = graft.ops.Curation.epochShuffle(selected, "doc_id",
       seed = "epoch1", nShards = 8)
-    val keyed = selected.join(order, Seq("doc_id"))
-      .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
-      .localCheckpoint(false)
+    val keyed = time("5-6-construct checkpoint") {
+      selected.join(order, Seq("doc_id"))
+        .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
+        .localCheckpoint(false)
+    }
     time("5-6 mix + epoch shuffle")(println("  n=" + keyed.count()))
     val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
     val out = packed.select(col("doc_id").as("__ord"), col("n_tokens"),

@@ -325,4 +325,27 @@ class PropertySpec extends SparkSpec {
     assert(bins.map(_.getLong(2)).sum == ev.getLong(0) + ev.getLong(2),
       "per-bin curated counts must sum to tp + fn")
   }
+
+  test("property: volumeSizedBits window — 2^(bits-1) <= max(1, n div target) < 2^bits " +
+      "inside the clamp range, monotone in n") {
+    val ns = samples(Gen.chooseNum(0L, 1L << 50), 60) ++
+      Seq(0L, 1L, 255L, 256L, 257L, (1L << 20) - 1, 1L << 20, Long.MaxValue / 2)
+    val target = 256
+    val got = ns.distinct.map(n => (n, n)).toDF("n", "n2")
+      .select(col("n"), SimilaritySearch.volumeSizedBits(col("n"), target).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (n, bits) =>
+      assert(bits >= 4 && bits <= 16, s"clamp violated: bits($n) = $bits")
+      val q = math.max(1L, n / target)
+      // inside the clamp range the window must hold exactly; at the
+      // clamp edges only the matching inequality survives
+      if (bits > 4) assert(q >= (1L << (bits - 1)), s"n=$n bits=$bits: q=$q below window")
+      if (bits < 16) assert(q < (1L << bits), s"n=$n bits=$bits: q=$q above window")
+    }
+    // monotone: more data can never pick a coarser quantizer
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((n1, b1), (n2, b2)) =>
+      assert(b1 <= b2, s"bits must be monotone in n: bits($n1)=$b1 > bits($n2)=$b2")
+    }
+  }
 }
