@@ -649,10 +649,24 @@ object SparkEntryExt {
       }
       val parts = VolumeConf.volumeSizedPartitions(docBytes,
         s.sessionState.conf.numShufflePartitions)
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, parts.toString)
-      try body finally s.conf.set(key, prev)
+      // Under AQE + partition coalescing, SQLConf.numShufflePartitions
+      // reads `coalescePartitions.initialPartitionNum` whenever that
+      // key is SET — and the harness sessions (RunQ/Bench/Verify) set
+      // it volume-sized. Overriding only `spark.sql.shuffle.partitions`
+      // would be silently shadowed there (today the two sizings share
+      // VolumeConf over the same directory so the shadowing is
+      // harmless, but the moment they diverge the vocab build would
+      // fall back to the session width with no error), so the scoped
+      // override sets BOTH keys and restores both — the AQE key back
+      // to its prior value, or unset if the session never set it.
+      val keys = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      keys.foreach(k => s.conf.set(k, parts.toString))
+      try body finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }
 
   private def docProfileIndex(s: SparkSession, d: String): String =

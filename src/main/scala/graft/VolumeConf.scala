@@ -74,7 +74,18 @@ object VolumeConf {
     * would).
     */
   def initialPartitions(sfDir: String, cpus: Int): Int = {
+    val bytes = docBytes(sfDir)
+    // A zero-byte probe (missing/mistyped path, non-local layout) must
+    // not degrade the sizing SILENTLY: the session would come up at the
+    // CPU floor and a big-decade run would hit exactly the under-split
+    // aggregate OOM this sizing exists to prevent, with nothing in the
+    // output pointing at the dead probe.
+    if (bytes == 0L)
+      System.err.println(
+        s"[graft] WARNING: volume probe read 0 bytes at $sfDir/documents.parquet" +
+          " — AQE initial partitions fall back to the CPU/env floor; at a big" +
+          " decade this under-splits wide-key aggregates (check the path)")
     val explicit = sys.env.get("SPARK_GRAFT_SHUFFLE").flatMap(_.toIntOption)
-    volumeSizedPartitions(docBytes(sfDir), math.max(cpus, explicit.getOrElse(0)))
+    volumeSizedPartitions(bytes, math.max(cpus, explicit.getOrElse(0)))
   }
 }

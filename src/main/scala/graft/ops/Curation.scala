@@ -311,8 +311,13 @@ object Curation {
     // upstream checkpoint cuts (verified in the executed plan: the
     // histogram windows + totals ran twice per action). The cut
     // materializes the boundary once; each branch then broadcasts a
-    // 1-row ExistingRDD. Lazy, so plan construction stays action-free
-    // (the cells/weights/hist discipline).
+    // 1-row ExistingRDD. NOTE: "lazy" defers only the final stage —
+    // under AQE (on by default) localCheckpoint(false) executes every
+    // UPSTREAM shuffle stage at construction (AdaptiveSparkPlanExec
+    // materializes stages inside execute()), so calling dsirSelect
+    // launches the histogram/prefix work before any action; do not
+    // construct this plan on a conditional/explain-only path expecting
+    // it to be free.
     val boundary = broadcast(cum.crossJoin(tot)
       .withColumn("__k", greatest(lit(1L),
         floor(col("__n") * lit(keepFrac)).cast("long")))

@@ -361,4 +361,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"dimension tables (region/nation/customer) not broadcast:\n$plan")
   }
+
+  test("AQE initial-partition key shadows spark.sql.shuffle.partitions (both-keys pin)") {
+    // Under AQE + partition coalescing (both on by default in Spark 4),
+    // SQLConf.numShufflePartitions reads
+    // coalescePartitions.initialPartitionNum whenever that key is SET —
+    // the harness sessions set it volume-sized, so a scoped override
+    // that touches ONLY spark.sql.shuffle.partitions is silently
+    // shadowed there. This pin encodes the fact that forces
+    // withVocabSizedShuffle to set/restore BOTH keys; if a Spark
+    // upgrade changes the precedence, this fails and the override
+    // logic must be re-audited.
+    val s = spark
+    val keyS = "spark.sql.shuffle.partitions"
+    val keyI = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevS = s.conf.get(keyS)
+    val prevI = s.conf.getOption(keyI)
+    try {
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+      s.conf.set(keyI, "3")
+      s.conf.set(keyS, "7")
+      assert(s.sessionState.conf.numShufflePartitions == 3,
+        "shuffle.partitions override NOT shadowed by the AQE initial key — " +
+          "precedence changed; re-audit withVocabSizedShuffle's set/restore")
+      s.conf.set(keyI, "7")
+      assert(s.sessionState.conf.numShufflePartitions == 7)
+    } finally {
+      s.conf.set(keyS, prevS)
+      prevI match {
+        case Some(v) => s.conf.set(keyI, v)
+        case None    => s.conf.unset(keyI)
+      }
+    }
+  }
 }
