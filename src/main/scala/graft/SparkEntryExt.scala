@@ -3898,7 +3898,9 @@ object SparkEntryExt {
          |WHERE ${h32Sql("d.doc_id::VARCHAR")} % 100 < r.rate
          |ORDER BY d.doc_id""".stripMargin,
     // Efraimidis–Spirakis keys: ln(u)/w with u = (h32(id)+1)/2^32 —
-    // same double arithmetic as the Spark side
+    // same double arithmetic as the Spark side. Zero/NULL-weight docs
+    // are excluded exactly (zero inclusion probability — the engine's
+    // registered contract), hence the w > 0 admission predicate.
     "q_weighted_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS w,
@@ -3908,7 +3910,7 @@ object SparkEntryExt {
          |  SELECT doc_id, lang,
          |    row_number() OVER (PARTITION BY lang
          |      ORDER BY ln((h + 1) / 4294967296.0) / w DESC, doc_id) AS rk
-         |  FROM t)
+         |  FROM t WHERE w > 0)
          |SELECT doc_id, lang AS stratum, rk FROM r
          |WHERE rk <= 12
          |ORDER BY stratum, rk""".stripMargin,

@@ -645,9 +645,14 @@ object TextAnalysis {
     * weight (token count → uniform-over-tokens, quality score →
     * quality-tilted), but the draw is a pure function of ids and
     * weights: reruns, retries, and engine swaps select the same rows.
-    * Non-positive weights raise at execution (a silent drop would skew
-    * the sample unobservably). Output: (doc_id, stratum, rk) with rk
-    * the 1-based draw order within the stratum.
+    * Zero/NULL weights are EXCLUDED exactly (lim w→0+ of the inclusion
+    * odds is 0, so the drop is the mathematically exact treatment —
+    * the [[tokenBudgetSample]] convention; one empty crawl doc must not
+    * abort a corpus-sized sampling job). A NEGATIVE weight has no
+    * limiting interpretation — it is a caller bug and raises at
+    * execution (a silent drop there would skew the sample
+    * unobservably). Output: (doc_id, stratum, rk) with rk the 1-based
+    * draw order within the stratum.
     *
     * Scale: same `WindowGroupLimit` shape as [[quotaSample]] — the
     * rank-over-key window has a literal bound, so every map task prunes
@@ -658,13 +663,19 @@ object TextAnalysis {
       weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val u = (h32(col(idCol).cast("string")) + 1).cast("double") / lit(4294967296.0)
-    val key = when(col(weightCol) <= 0, raise_error(concat(
-        lit(s"weightedSample: non-positive weight in '$weightCol' for id "),
+    // The negative-weight raise lives in the WHEN branch of the
+    // admission predicate itself, so the guard is evaluated for every
+    // input row BEFORE the row can be filtered away — Catalyst cannot
+    // prune the check together with the rows it rejects.
+    val admit = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"weightedSample: negative weight in '$weightCol' for id "),
         col(idCol).cast("string"))))
-      .otherwise(log(u) / col(weightCol).cast("double"))
+      .otherwise(col(weightCol) > 0)
+    val key = log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(key.desc, col(idCol))
     docs
+      .filter(admit)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= lit(k))
       .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"), col("rk"))

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Robustness sweep: EVERY batch query in the registry over a
+  * degenerate corpus the synthetic sfDirs never contain — NULL /
+  * empty / whitespace-only / single-char / huge / single-token text,
+  * exotic Unicode (Thai, CJK, emoji+ZWJ, combining marks, RTL, BOM,
+  * control chars, non-ASCII spaces), NULL lang, and zero / denormal /
+  * huge / NULL / duplicate embeddings. The DuckDB oracle gate proves
+  * engine≡oracle on well-formed data; this sweep proves the engine
+  * side doesn't crash or emit NaN/Inf when a real crawl's garbage
+  * reaches it. In-contract adversarial only: ids stay unique and
+  * embedding ELEMENTS stay non-null (the documented ingest contract);
+  * whole-row NULL embeddings and NULL text are in contract — a failed
+  * embed job or empty fetch is normal crawl debris.
+  *
+  * Two invariants per query: (1) it executes to completion; (2) no
+  * NaN/Infinity anywhere in the collected output (the repo-wide
+  * "NULL, never NaN/Inf" degenerate-value discipline, here enforced
+  * registry-wide instead of per-operator). Streaming queries are
+  * exercised by their own restart/purity specs and excluded here.
+  */
+class AdversarialCorpusSpec extends SparkSpec {
+
+  test("every batch query completes on the adversarial corpus with finite output") {
+    val dir = AdversarialCorpusSpec.corpusDir(spark, sf0001)
+    val batch = SparkEntry.queries.filter { case (k, _) => !k.startsWith("stream_") }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    batch.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val rows = fn(spark, dir).collect()
+        val bad = rows.iterator.flatMap(AdversarialCorpusSpec.nonFinite).take(1).toList
+        if (bad.nonEmpty) failures += s"$name: non-finite output value ${bad.head}"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(300)
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} of ${batch.size} queries broke on the adversarial corpus:\n  " +
+        failures.mkString("\n  "))
+  }
+}
+
+object AdversarialCorpusSpec {
+
+  /** Walk any collected value (rows, arrays, maps nest) for NaN/Inf. */
+  def nonFinite(v: Any): Iterator[String] = v match {
+    case null => Iterator.empty
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) Iterator(d.toString) else Iterator.empty
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) Iterator(f.toString) else Iterator.empty
+    case r: Row => r.toSeq.iterator.flatMap(nonFinite)
+    case s: scala.collection.Seq[_] => s.iterator.flatMap(nonFinite)
+    case m: scala.collection.Map[_, _] => m.valuesIterator.flatMap(nonFinite)
+    case _ => Iterator.empty
+  }
+
+  /** Build (once per JVM) a temp sfDir: sf0.001's relational/event
+    * tables copied verbatim, documents + embeddings replaced by the
+    * adversarial versions below with byte-identical schemas.
+    */
+  private val memo = new java.util.concurrent.atomic.AtomicReference[String]()
+  def corpusDir(spark: SparkSession, baseSf: String): String = synchronized {
+    Option(memo.get()).getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+      val base = new java.io.File(baseSf)
+      base.listFiles().foreach { f =>
+        if (f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(dir, f.getName))
+      }
+      writeDocuments(spark, s"$dir/documents.parquet")
+      writeEmbeddings(spark, s"$dir/embeddings.parquet")
+      memo.set(dir)
+      dir
+    }
+  }
+
+  // ---- adversarial documents: 500 rows, ids 0..499 --------------------
+  // 0..469 well-formed (seeded vocab mixture: the model-shaped ops —
+  // NB, BPE, DSIR, LSH — need enough signal to train); 470..489 the
+  // degenerate rows; 490..499 tiny-but-valid stubs.
+  private def writeDocuments(spark: SparkSession, path: String): Unit = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "engine", "corpus",
+      "query", "vector", "token", "shard", "merge", "index", "batch", "court",
+      "case", "filing", "motion", "appeal", "clause", "statute", "the", "of",
+      "and", "to", "in", "a", "is", "for", "with", "on")
+    val langs = Vector("en", "fr", "de", "es", "zh")
+    def normalText(id: Int): String = {
+      val n = 30 + rnd.nextInt(50)
+      val words = (0 until n).map { i =>
+        val w = vocab(rnd.nextInt(vocab.size))
+        val tail = if (rnd.nextInt(12) == 0) s" ${1000 + rnd.nextInt(9000)}" else ""
+        val break = if (i > 0 && i % 20 == 0) "\n\n" else ""
+        s"$break$w$tail"
+      }
+      words.mkString(" ")
+    }
+    val normal = (0 until 470).map { id =>
+      // exact-dup pair (410,411) and a near-dup pair (400,401) so the
+      // dedup family has hits among the well-formed rows
+      val text =
+        if (id == 411) null // placeholder, patched below
+        else normalText(id)
+      (id.toLong, text, langs(id % 5), s"src${id % 20}")
+    }.toArray
+    normal(411) = (411L, normal(410)._2, normal(410)._3, normal(410)._4)
+    normal(401) = (401L, normal(400)._2.replaceFirst("\\w+", "changed"),
+      normal(400)._3, normal(400)._4)
+    val nasty: Seq[(Long, String, String, String)] = Seq(
+      (470L, null, "en", "src0"),                               // NULL text
+      (471L, "", "en", "src1"),                                 // empty
+      (472L, " \t\n \r\n  ", "fr", "src2"),                     // whitespace only
+      (473L, "a", "de", "src3"),                                // single char
+      (474L, ("lorem ipsum dolor sit amet consectetur " * 800).trim, "en", "src4"), // ~30k chars
+      (475L, "!!! ??? ... ;;; --- ((( ))) \"\"\" '''", "es", "src5"), // punct only
+      (476L, "1234567890 42 42 42 007", "en", "src6"),          // digits only
+      (477L, ("spam " * 4000).trim, "en", "src7"),              // one token repeated
+      (478L, "สวัสดีครับ นี่คือเอกสารทดสอบ ภาษาไทยไม่มีช่องว่างระหว่างคำ", "th", "src8"),
+      (479L, "这是一个测试文档没有空格标点符号也很少词汇密度极高", "zh", "src9"),
+      (480L, "👩‍👩‍👧‍👦 🚀🚀🚀 test 🎉 éé café", "en", "src10"),
+      (481L, "هذا نص تجريبي باللغة العربية من اليمين إلى اليسار", "ar", "src11"),
+      (482L, "\ufeffstart \u0007bell \u001besc end", "en", "src12"), // BOM + control chars
+      (483L, "a perfectly normal document with a null language tag", null, "src13"),
+      (484L, "unknown language code document body here", "xx", "src14"),
+      (485L, "x" * 20000, "en", "src15"),                       // one 20k-char token
+      (486L, "\n\n\n\n", "fr", "src16"),                        // newlines only
+      (487L, "\t,\t,\t", "de", "src17"),                        // tabs + commas
+      (488L, "\u00a0\u2003word\u2009word\u00a0end", "es", "src18"), // non-ASCII spaces
+      (489L, "abcщфы中文ไทยabc 123 мир", "en", "src19"))        // mixed scripts
+    val stubs = (490 until 500).map(id =>
+      (id.toLong, s"one two three ${id}", langs(id % 5), s"src${id % 20}"))
+    val rows = (normal.toSeq ++ nasty ++ stubs).map { case (id, t, l, s) =>
+      Row(id, t, l, s, if (t == null) null else t.length.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  // ---- adversarial embeddings: 500 rows, dim 64, ids 0..499 -----------
+  // 0..489 clustered (10 label centers + noise — kmeans/IVF/PQ need
+  // structure); 490..499 the degenerate vectors.
+  private def writeEmbeddings(spark: SparkSession, path: String): Unit = {
+    val rnd = new scala.util.Random(4242)
+    val dim = 64
+    val centers = Array.tabulate(10, dim)((l, d) =>
+      math.sin(l * 7 + d * 13).toFloat)
+    def normalVec(label: Int): Array[Float] =
+      Array.tabulate(dim)(d => centers(label)(d) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val normal = (0 until 490).map { id =>
+      (id.toLong, normalVec(id % 10), id % 10)
+    }
+    val nasty: Seq[(Long, Array[Float], Int)] = Seq(
+      (490L, Array.fill(dim)(0f), 0),                    // zero vector
+      (491L, Array.fill(dim)(1e-30f), 1),                // denormal floats
+      (492L, Array.fill(dim)(1e10f), 2),                 // huge components
+      (493L, null, 3),                                   // NULL embedding
+      (494L, Array.fill(dim)(0.5f), 4),                  // constant vector
+      (495L, Array.tabulate(dim)(d => centers(5)(d)), 5),       // exact duplicate pair
+      (496L, Array.tabulate(dim)(d => centers(5)(d)), 5),
+      (497L, Array.tabulate(dim)(d => if (d % 2 == 0) 1f else -1f), 6),
+      (498L, Array.tabulate(dim)(d => if (d == 0) 1f else 0f), 7), // one-hot
+      (499L, Array.fill(dim)(-1e10f), 8))                // huge negative
+    val rows = (normal ++ nasty).map { case (id, v, l) =>
+      Row(id, if (v == null) null else v.toSeq, l)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+}

@@ -162,10 +162,29 @@ class TokenBudgetSpec extends SparkSpec {
     assert(shuffled == got, "draw must not depend on partitioning")
   }
 
-  test("weighted sample: non-positive weight raises at execution, k >= 1 enforced") {
-    val bad = weighted.union(Seq((992L, "a", "x", 0L)).toDF("doc_id", "lang", "text", "w"))
+  test("weighted sample: zero/NULL weight excluded exactly, negative raises, k >= 1") {
+    // zero and NULL weights have zero inclusion probability — the draw
+    // over the augmented frame must be IDENTICAL to the base draw (the
+    // excluded rows change no rank), at any k
+    val aug = weighted.union(Seq(
+      (992L, "a", "x", 0L)).toDF("doc_id", "lang", "text", "w"))
+      .union(Seq((993L, "a", "x", null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "lang", "text", "w"))
+    def draw(df: org.apache.spark.sql.DataFrame, k: Int) =
+      TextAnalysis.weightedSample(df, "doc_id", "lang", "w", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    for (k <- Seq(3, 1000)) {
+      val got = draw(aug, k)
+      assert(!got.exists(t => t._1 == 992L || t._1 == 993L),
+        s"zero/NULL-weight doc drawn at k=$k")
+      assert(got == draw(weighted, k),
+        s"excluded rows must not perturb the draw (k=$k)")
+    }
+    // a NEGATIVE weight is a caller bug with no limiting
+    // interpretation — still raises at execution, naming the operator
+    val neg = weighted.union(Seq((994L, "a", "x", -1L)).toDF("doc_id", "lang", "text", "w"))
     val e = intercept[Exception] {
-      TextAnalysis.weightedSample(bad, "doc_id", "lang", "w", 3).collect()
+      TextAnalysis.weightedSample(neg, "doc_id", "lang", "w", 3).collect()
     }
     assert(e.getMessage != null && e.getMessage.contains("weightedSample"),
       s"error must name the operator, got: ${e.getMessage}")
