@@ -44,6 +44,32 @@ class AdversarialCorpusSpec extends SparkSpec {
       s"${failures.size} of ${batch.size} queries broke on the adversarial corpus:\n  " +
         failures.mkString("\n  "))
   }
+
+  test("every streaming query completes on the adversarial corpus with finite output") {
+    // Streams are the garbage-heavy case by construction (a crawl's
+    // micro-batches arrive unfiltered), so the doc-backed streaming
+    // operators get the same sweep. Events-backed streams reread the
+    // well-formed sf0.001 events copy — they run, but the adversarial
+    // signal is in the documents-backed ones (nb_score/nb_oov/quality/
+    // data_card/dedup/novel/index/search/delete).
+    val dir = AdversarialCorpusSpec.corpusDir(spark, sf0001)
+    val streams = SparkEntry.queries.filter { case (k, _) => k.startsWith("stream_") }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    streams.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val rows = fn(spark, dir).collect()
+        val bad = rows.iterator.flatMap(AdversarialCorpusSpec.nonFinite).take(1).toList
+        if (bad.nonEmpty) failures += s"$name: non-finite output value ${bad.head}"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(300)
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} of ${streams.size} streaming queries broke on the adversarial corpus:\n  " +
+        failures.mkString("\n  "))
+  }
 }
 
 object AdversarialCorpusSpec {
