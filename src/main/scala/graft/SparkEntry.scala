@@ -274,7 +274,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -284,7 +284,7 @@ object SparkEntry {
         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
         |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |sess AS (
         |  SELECT user_id, ts,
         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

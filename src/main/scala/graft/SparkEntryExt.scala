@@ -1596,7 +1596,9 @@ object SparkEntryExt {
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_correlation" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        // try_cast: malformed/nested props must NULL per row, not abort
+        // the scan under ANSI mode (the eventsJson contract)
+        .withColumn("k", get_json_object(col("props"), "$.k").try_cast("double"))
         .groupBy(col("event_type"))
         .agg(
           round(corr(col("value"), col("k")), 6).as("corr_vk"),
@@ -1683,8 +1685,18 @@ object SparkEntryExt {
     // envelopes on BOTH dimensions — the write-side layout that makes
     // scan pruning work on either column
     "q_zorder" -> ((s, d) => {
+      // The locality AUDIT admits only rows inside the configured
+      // 2^12 x 2^12 grid: a NULL or out-of-range key has no locality
+      // to audit, and crawl-shaped debris must not abort a read-only
+      // report. The WRITE-side relayout (Layout.zOrdered) keeps the
+      // loud zValue guard — silently losing or mis-bucketing rows in
+      // a re-layout is data loss, and there the caller must decide
+      // where the debris goes.
+      val grid = 1L << 12
       val ev = Tables.events(s, d)
-        .withColumn("vb", floor(col("value")).cast("long"))
+        .withColumn("vb", floor(col("value")).try_cast("long"))
+        .filter(col("user_id").isNotNull && col("user_id") >= 0 && col("user_id") < grid &&
+          col("vb").isNotNull && col("vb") >= 0 && col("vb") < grid)
       Layout.zBucketStats(ev, "user_id", "vb", bits = 12, bucketShift = 14)
         .orderBy(col("z_bucket"))
     }),
@@ -3640,7 +3652,7 @@ object SparkEntryExt {
         |  round(covar_samp(value, k), 4) AS covar_vk,
         |  count(*) AS n
         |FROM (SELECT event_type, value,
-        |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
         |      FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -3833,8 +3845,12 @@ object SparkEntryExt {
          |FROM g
          |ORDER BY event_type""".stripMargin,
     "q_zorder" ->
-      s"""WITH e AS (
-         |  SELECT user_id, CAST(floor(value) AS BIGINT) AS vb FROM events),
+      s"""WITH e0 AS (
+         |  SELECT user_id, TRY_CAST(floor(value) AS BIGINT) AS vb FROM events),
+         |e AS (
+         |  SELECT user_id, vb FROM e0
+         |  WHERE user_id IS NOT NULL AND user_id >= 0 AND user_id < 4096
+         |    AND vb IS NOT NULL AND vb >= 0 AND vb < 4096),
          |z AS (SELECT user_id, vb, ${zSql("user_id", "vb", 12)} AS zv FROM e)
          |SELECT zv >> 14 AS z_bucket, count(*) AS n,
          |  min(user_id) AS min_a, max(user_id) AS max_a,

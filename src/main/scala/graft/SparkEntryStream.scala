@@ -519,7 +519,7 @@ object SparkEntryStream {
         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
         |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events)
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
         |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM flagged

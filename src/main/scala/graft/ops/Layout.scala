@@ -24,7 +24,10 @@ object Layout {
     val max = 1L << bits
     def guarded(c: Column, name: String): Column =
       when(c.isNull || c < 0 || c >= max,
-        raise_error(concat(lit(s"zValue: $name out of [0, $max): "), c.cast("string"))))
+        // coalesce: concat with a NULL key would NULL the whole
+        // message and raise an unreadable "null" — name the culprit
+        raise_error(concat(lit(s"zValue: $name out of [0, $max): "),
+          coalesce(c.cast("string"), lit("NULL")))))
         .otherwise(c.cast("long"))
     val ga = guarded(a, "first column")
     val gb = guarded(b, "second column")

@@ -95,7 +95,11 @@ object Relational {
   /** JSON scalar extraction from the `props` payload column. */
   def eventsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: crawl-shaped props carry malformed/nested/
+      // overflowing JSON, and under ANSI mode (Spark 4 default) a plain
+      // cast ABORTS the whole scan on the first bad row — ingest
+      // analytics must degrade per-row to NULL instead
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -116,6 +120,13 @@ object Relational {
       unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 1800000000L,
       lit(1L)).otherwise(lit(0L))
     Tables.events(spark, sfDir)
+      // CONTRACT (shared with the streaming sessionizer): session
+      // identity requires a non-null user key AND a non-null event
+      // time — a null-key event belongs to no user's timeline and a
+      // null-time event has no position on one. Excluded explicitly
+      // on both the batch and stream sides so the stream≡batch
+      // guarantee holds on crawl-shaped input too.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("session_id", sum(newSession).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, 0)))

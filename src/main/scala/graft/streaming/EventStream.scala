@@ -147,6 +147,12 @@ object EventStream {
     import spark.implicits._
     withStatePartitions(spark, 8) {
       val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+        // CONTRACT (shared with Relational.sessionize): session
+        // identity requires a non-null user key and a non-null event
+        // time — and the typed EvRow encoder holds a primitive Long
+        // user_id, so an unfiltered NULL would abort the stream with
+        // NOT_NULL_ASSERT_VIOLATION instead of degrading per row
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id")).as[EvRow]
       val q = statefulSessionCounts(stream).writeStream
         .outputMode("update")

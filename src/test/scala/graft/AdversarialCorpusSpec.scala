@@ -95,17 +95,58 @@ object AdversarialCorpusSpec {
   def corpusDir(spark: SparkSession, baseSf: String): String = synchronized {
     Option(memo.get()).getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+      val replaced = Set("documents.parquet", "embeddings.parquet", "events.parquet")
       val base = new java.io.File(baseSf)
       base.listFiles().foreach { f =>
-        if (f.getName != "documents.parquet" && f.getName != "embeddings.parquet")
+        if (!replaced.contains(f.getName))
           java.nio.file.Files.copy(f.toPath,
             java.nio.file.Paths.get(dir, f.getName))
       }
       writeDocuments(spark, s"$dir/documents.parquet")
       writeEmbeddings(spark, s"$dir/embeddings.parquet")
+      writeEvents(spark, baseSf, s"$dir/events.parquet")
       memo.set(dir)
       dir
     }
+  }
+
+  // ---- adversarial events: the sf0.001 stream plus debris -------------
+  // NULL timestamps (the classic watermark production failure), NULL
+  // user/type/value keys, malformed / overflowing / nested JSON props,
+  // epoch and far-future timestamps, duplicate-instant bursts, and
+  // huge-but-finite values (1e100 — sums must stay finite; 1e308 would
+  // overflow ANY engine's double sum and is out of contract).
+  // event_ids stay unique (the documented ingest contract).
+  private def writeEvents(spark: SparkSession, baseSf: String, path: String): Unit = {
+    val baseEvents = ops.Tables.events(spark, baseSf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val sharedInstant = ts("2024-01-02 03:04:05")
+    val nasty: Seq[Row] = Seq(
+      Row(10000L, null, 13L, "error", 1.0, "{\"k\": 1}"),          // NULL ts
+      Row(10001L, ts("1970-01-01 00:00:00"), 13L, "signup", 2.0, "{\"k\": 2}"), // epoch
+      Row(10002L, ts("2100-01-01 00:00:00"), 12L, "purchase", 3.0, "{\"k\": 3}"), // far future
+      Row(10003L, sharedInstant, null, "click", 4.0, "{\"k\": 4}"), // NULL user
+      Row(10004L, sharedInstant, 12L, null, 5.0, "{\"k\": 5}"),     // NULL type
+      Row(10005L, sharedInstant, 12L, "click", null, "{\"k\": 6}"), // NULL value
+      Row(10006L, sharedInstant, 12L, "click", 1e100, "{\"k\": 7}"), // huge value
+      Row(10007L, sharedInstant, 12L, "click", -1e100, "{\"k\": 8}"),
+      Row(10008L, sharedInstant, 12L, "click", 9.0, null),          // NULL props
+      Row(10009L, sharedInstant, 12L, "click", 10.0, ""),           // empty props
+      Row(10010L, sharedInstant, 12L, "click", 11.0, "not json"),   // malformed
+      Row(10011L, sharedInstant, 12L, "click", 12.0, "{\"k\": null}"),
+      Row(10012L, sharedInstant, 12L, "click", 13.0, "{\"k\": {\"a\": 1}}"), // nested
+      Row(10013L, sharedInstant, 12L, "click", 14.0, "{\"k\": 99999999999999999999}"), // overflow
+      Row(10014L, sharedInstant, 12L, "weird\ttype\n", 15.0, "{\"k\": 9}"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    baseEvents.unionByName(spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(nasty).asJava),
+        schema))
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   // ---- adversarial documents: 500 rows, ids 0..499 --------------------
