@@ -3680,9 +3680,9 @@ object SparkEntryExt {
         |    o_totalprice
         |  FROM orders)
         |SELECT yr, mo, count(*) AS n, min(dow) AS min_dow, max(age_days) AS max_age_days,
-        |  round(sum(sqrt(o_totalprice)), 4) AS sum_sqrt_price,
+        |  round(sum(CASE WHEN o_totalprice >= 0 THEN sqrt(o_totalprice) END), 4) AS sum_sqrt_price,
         |  round(avg(pow(o_totalprice, 2) / 1e9), 4) AS avg_sq_price_b,
-        |  round(sum(ln(o_totalprice)), 4) AS sum_ln_price,
+        |  round(sum(CASE WHEN o_totalprice > 0 THEN ln(o_totalprice) END), 4) AS sum_ln_price,
         |  round(max(abs(o_totalprice - 100000.0)), 2) AS max_abs_dev
         |FROM b GROUP BY yr, mo
         |ORDER BY yr, mo""".stripMargin,

@@ -168,9 +168,16 @@ object Relational {
         count(lit(1)).as("n"),
         min(col("dow")).as("min_dow"),
         max(col("age_days")).as("max_age_days"),
-        round(sum(sqrt(col("o_totalprice"))), 4).as("sum_sqrt_price"),
+        // domain guards: a warehouse accumulates refund/correction rows
+        // with negative totals, and sqrt(neg) is NaN (which POISONS the
+        // whole sum — one bad row NaNs the group) while DuckDB's
+        // ln(neg) ERRORS; out-of-domain inputs degrade to NULL per row
+        // on both engines instead
+        round(sum(when(col("o_totalprice") >= 0, sqrt(col("o_totalprice")))), 4)
+          .as("sum_sqrt_price"),
         round(avg(pow(col("o_totalprice"), 2) / 1e9), 4).as("avg_sq_price_b"),
-        round(sum(log(col("o_totalprice"))), 4).as("sum_ln_price"),
+        round(sum(when(col("o_totalprice") > 0, log(col("o_totalprice")))), 4)
+          .as("sum_ln_price"),
         round(max(abs(col("o_totalprice") - 100000.0)), 2).as("max_abs_dev"))
       .orderBy(col("yr"), col("mo"))
 

@@ -95,7 +95,8 @@ object AdversarialCorpusSpec {
   def corpusDir(spark: SparkSession, baseSf: String): String = synchronized {
     Option(memo.get()).getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
-      val replaced = Set("documents.parquet", "embeddings.parquet", "events.parquet")
+      val replaced = Set("documents.parquet", "embeddings.parquet",
+        "events.parquet", "orders.parquet", "lineitem.parquet")
       val base = new java.io.File(baseSf)
       base.listFiles().foreach { f =>
         if (!replaced.contains(f.getName))
@@ -105,6 +106,7 @@ object AdversarialCorpusSpec {
       writeDocuments(spark, s"$dir/documents.parquet")
       writeEmbeddings(spark, s"$dir/embeddings.parquet")
       writeEvents(spark, baseSf, s"$dir/events.parquet")
+      writeWarehouse(spark, baseSf, dir)
       memo.set(dir)
       dir
     }
@@ -147,6 +149,54 @@ object AdversarialCorpusSpec {
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(nasty).asJava),
         schema))
       .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  // ---- adversarial warehouse: orders/lineitem plus debris -------------
+  // NULL foreign keys (an order no customer claims; a line item whose
+  // order/part/supplier is unknown), NULL/negative/huge-but-finite
+  // measures, NULL status/flag strings, epoch and far-future dates —
+  // the referential rot a real warehouse accumulates. Primary keys
+  // (o_orderkey; (l_orderkey, l_linenumber)) stay unique and non-null.
+  private def writeWarehouse(spark: SparkSession, baseSf: String, dir: String): Unit = {
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    val nastyOrders: Seq[Row] = Seq(
+      Row(900001L, null, "O", 100.0, ts("2024-03-01 00:00:00"), "1-URGENT"),   // orphan order
+      Row(900002L, 7L, null, 200.0, ts("2024-03-02 00:00:00"), "2-HIGH"),      // NULL status
+      Row(900003L, 7L, "O", null, ts("2024-03-03 00:00:00"), "3-MEDIUM"),      // NULL price
+      Row(900004L, 7L, "O", -500.0, ts("2024-03-04 00:00:00"), "4-NOT SPECIFIED"), // refund
+      Row(900005L, 7L, "O", 1e100, ts("2024-03-05 00:00:00"), "5-LOW"),        // huge price
+      Row(900006L, 7L, "O", 300.0, null, "1-URGENT"),                          // NULL date
+      Row(900007L, 7L, "O", 400.0, ts("1970-01-01 00:00:00"), null),           // epoch + NULL prio
+      Row(900008L, 999999L, "O", 500.0, ts("2100-01-01 00:00:00"), "2-HIGH"))  // dangling FK, far future
+    val lineitemSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    val nastyLines: Seq[Row] = Seq(
+      Row(900001L, null, null, 1, 1.0, 10.0, 0.1, 0.02, "N", "O", ts("2024-03-01 00:00:00")), // NULL part/supp
+      Row(900001L, 5L, 5L, 2, null, 20.0, 0.1, 0.02, "N", "O", ts("2024-03-01 00:00:00")),    // NULL qty
+      Row(900002L, 5L, 5L, 1, -3.0, 30.0, 0.1, 0.02, "R", "F", ts("2024-03-02 00:00:00")),    // return qty
+      Row(900003L, 5L, 5L, 1, 2.0, null, null, null, null, null, null),                       // NULL everything
+      Row(900004L, 5L, 5L, 1, 2.0, 1e100, 0.5, 0.5, "A", "F", ts("1970-01-01 00:00:00")),     // huge price, epoch
+      Row(900005L, 5L, 5L, 1, 2.0, 40.0, 1.5, -0.1, "N", "O", ts("2100-01-01 00:00:00")))     // out-of-range rates
+    def augment(table: String, schema: StructType, nasty: Seq[Row]): Unit =
+      spark.read.parquet(s"$baseSf/$table.parquet")
+        // cast to the target schema first: the generator's timestamp
+        // flavor (NTZ vs UTC) must not make the union ambiguous
+        .select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
+        .unionByName(spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(nasty).asJava),
+          schema))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    augment("orders", ordersSchema, nastyOrders)
+    augment("lineitem", lineitemSchema, nastyLines)
   }
 
   // ---- adversarial documents: 500 rows, ids 0..499 --------------------
