@@ -1692,9 +1692,15 @@ object SparkEntryExt {
       // loud zValue guard — silently losing or mis-bucketing rows in
       // a re-layout is data loss, and there the caller must decide
       // where the debris goes.
+      // NOTE: Spark's floor(double) is already LongType and CLAMPS
+      // overflow (1e100 -> Long.MaxValue, never NULL), while the
+      // oracle's TRY_CAST(floor(..) AS BIGINT) NULLs it — the grid
+      // range filter below is the REAL guard that keeps the two
+      // engines row-identical; do not widen/remove it without
+      // revisiting that asymmetry.
       val grid = 1L << 12
       val ev = Tables.events(s, d)
-        .withColumn("vb", floor(col("value")).try_cast("long"))
+        .withColumn("vb", floor(col("value")))
         .filter(col("user_id").isNotNull && col("user_id") >= 0 && col("user_id") < grid &&
           col("vb").isNotNull && col("vb") >= 0 && col("vb") < grid)
       Layout.zBucketStats(ev, "user_id", "vb", bits = 12, bucketShift = 14)

@@ -669,7 +669,9 @@ object TextAnalysis {
     // prune the check together with the rows it rejects.
     val admit = when(col(weightCol) < 0, raise_error(concat(
         lit(s"weightedSample: negative weight in '$weightCol' for id "),
-        col(idCol).cast("string"))))
+        // coalesce: a NULL id would NULL the concat and raise an
+        // unreadable "null" (the Layout.zValue lesson)
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(col(weightCol) > 0)
     val key = log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(col(stratumCol))

@@ -4,32 +4,39 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Robustness sweep: EVERY batch query in the registry over a
-  * degenerate corpus the synthetic sfDirs never contain — NULL /
-  * empty / whitespace-only / single-char / huge / single-token text,
-  * exotic Unicode (Thai, CJK, emoji+ZWJ, combining marks, RTL, BOM,
-  * control chars, non-ASCII spaces), NULL lang, and zero / denormal /
-  * huge / NULL / duplicate embeddings. The DuckDB oracle gate proves
-  * engine≡oracle on well-formed data; this sweep proves the engine
-  * side doesn't crash or emit NaN/Inf when a real crawl's garbage
-  * reaches it. In-contract adversarial only: ids stay unique and
-  * embedding ELEMENTS stay non-null (the documented ingest contract);
-  * whole-row NULL embeddings and NULL text are in contract — a failed
-  * embed job or empty fetch is normal crawl debris.
+/** Robustness sweep: EVERY registry query — batch and streaming —
+  * over a degenerate corpus the synthetic sfDirs never contain.
+  * Documents: NULL / empty / whitespace-only / single-char / huge /
+  * single-token text, exotic Unicode (Thai, CJK, emoji+ZWJ, combining
+  * marks, RTL, BOM, control chars, non-ASCII spaces), NULL lang.
+  * Embeddings: zero / denormal / huge / NULL / duplicate vectors.
+  * Events: NULL timestamps/users/values, malformed/nested/overflowing
+  * JSON props, epoch and far-future instants. Warehouse
+  * (orders/lineitem): NULL foreign keys, NULL/negative/huge measures,
+  * NULL status strings. The DuckDB oracle gate proves engine≡oracle
+  * on well-formed data; this sweep proves the engine side doesn't
+  * crash or emit NaN/Inf when a real crawl's garbage reaches it.
+  * In-contract adversarial only: ids stay unique and embedding
+  * ELEMENTS stay non-null (the documented ingest contract); whole-row
+  * NULL embeddings and NULL text are in contract — a failed embed job
+  * or empty fetch is normal crawl debris.
   *
   * Two invariants per query: (1) it executes to completion; (2) no
   * NaN/Infinity anywhere in the collected output (the repo-wide
   * "NULL, never NaN/Inf" degenerate-value discipline, here enforced
-  * registry-wide instead of per-operator). Streaming queries are
-  * exercised by their own restart/purity specs and excluded here.
+  * registry-wide instead of per-operator).
   */
 class AdversarialCorpusSpec extends SparkSpec {
 
-  test("every batch query completes on the adversarial corpus with finite output") {
+  /** Run every registry query whose name passes `keep`; collect ALL
+    * failures (abort or non-finite output) so one broken query never
+    * hides the others.
+    */
+  private def sweep(keep: String => Boolean, what: String): Unit = {
     val dir = AdversarialCorpusSpec.corpusDir(spark, sf0001)
-    val batch = SparkEntry.queries.filter { case (k, _) => !k.startsWith("stream_") }
+    val qs = SparkEntry.queries.filter { case (k, _) => keep(k) }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    batch.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val rows = fn(spark, dir).collect()
         val bad = rows.iterator.flatMap(AdversarialCorpusSpec.nonFinite).take(1).toList
@@ -41,34 +48,22 @@ class AdversarialCorpusSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size} of ${batch.size} queries broke on the adversarial corpus:\n  " +
+      s"${failures.size} of ${qs.size} $what broke on the adversarial corpus:\n  " +
         failures.mkString("\n  "))
+  }
+
+  test("every batch query completes on the adversarial corpus with finite output") {
+    sweep(!_.startsWith("stream_"), "batch queries")
   }
 
   test("every streaming query completes on the adversarial corpus with finite output") {
     // Streams are the garbage-heavy case by construction (a crawl's
-    // micro-batches arrive unfiltered), so the doc-backed streaming
-    // operators get the same sweep. Events-backed streams reread the
-    // well-formed sf0.001 events copy — they run, but the adversarial
-    // signal is in the documents-backed ones (nb_score/nb_oov/quality/
-    // data_card/dedup/novel/index/search/delete).
-    val dir = AdversarialCorpusSpec.corpusDir(spark, sf0001)
-    val streams = SparkEntry.queries.filter { case (k, _) => k.startsWith("stream_") }
-    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    streams.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val rows = fn(spark, dir).collect()
-        val bad = rows.iterator.flatMap(AdversarialCorpusSpec.nonFinite).take(1).toList
-        if (bad.nonEmpty) failures += s"$name: non-finite output value ${bad.head}"
-      } catch {
-        case e: Throwable =>
-          failures += s"$name: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | ").take(300)
-      }
-    }
-    assert(failures.isEmpty,
-      s"${failures.size} of ${streams.size} streaming queries broke on the adversarial corpus:\n  " +
-        failures.mkString("\n  "))
+    // micro-batches arrive unfiltered). The doc-backed streaming
+    // operators (nb_score/nb_oov/quality/data_card/dedup/novel/index/
+    // search/delete) see the adversarial documents; the events-backed
+    // ones (hourly/sessionize/join/cms/drift) see the adversarial
+    // events debris — NULL timestamps and keys included.
+    sweep(_.startsWith("stream_"), "streaming queries")
   }
 }
 
@@ -87,14 +82,23 @@ object AdversarialCorpusSpec {
     case _ => Iterator.empty
   }
 
-  /** Build (once per JVM) a temp sfDir: sf0.001's relational/event
-    * tables copied verbatim, documents + embeddings replaced by the
-    * adversarial versions below with byte-identical schemas.
+  /** Build (once per JVM) a temp sfDir: sf0.001's small dimension
+    * tables copied verbatim; documents, embeddings, events, orders,
+    * and lineitem replaced by the adversarial versions below with
+    * byte-identical schemas. Deleted on JVM exit (the
+    * SparkEntryStream staged-dir discipline).
     */
   private val memo = new java.util.concurrent.atomic.AtomicReference[String]()
   def corpusDir(spark: SparkSession, baseSf: String): String = synchronized {
     Option(memo.get()).getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
       val replaced = Set("documents.parquet", "embeddings.parquet",
         "events.parquet", "orders.parquet", "lineitem.parquet")
       val base = new java.io.File(baseSf)
