@@ -120,8 +120,18 @@ object AdversarialCorpusSpec {
   // NULL timestamps (the classic watermark production failure), NULL
   // user/type/value keys, malformed / overflowing / nested JSON props,
   // epoch and far-future timestamps, duplicate-instant bursts, and
-  // huge-but-finite values (1e100 — sums must stay finite; 1e308 would
-  // overflow ANY engine's double sum and is out of contract).
+  // huge-but-finite values. Magnitude contract for measures: 1e12 —
+  // large enough to dominate any aggregate, small enough that adding a
+  // unit-scale value is still EXACT in a double (≪ 2^52 dynamic
+  // range). 1e308 would overflow any engine's sum to Inf, and ±1e100
+  // makes ANY parallel double sum ORDER-DEPENDENT (catastrophic
+  // cancellation decides which small terms survive, and partitioning
+  // decides the order — measured: q_salted_agg returned 283.94 vs
+  // 1571.36 for the same key at 4 vs 7 shuffle partitions, and a plain
+  // groupBy is equally exposed; that is IEEE-754 physics, not an
+  // engine flaw — unbounded-magnitude inputs need decimal/Kahan
+  // accumulation, which no analytics engine defaults to). Both are
+  // therefore out of the ingest contract.
   // event_ids stay unique (the documented ingest contract).
   private def writeEvents(spark: SparkSession, baseSf: String, path: String): Unit = {
     val baseEvents = ops.Tables.events(spark, baseSf)
@@ -136,8 +146,8 @@ object AdversarialCorpusSpec {
       Row(10003L, sharedInstant, null, "click", 4.0, "{\"k\": 4}"), // NULL user
       Row(10004L, sharedInstant, 12L, null, 5.0, "{\"k\": 5}"),     // NULL type
       Row(10005L, sharedInstant, 12L, "click", null, "{\"k\": 6}"), // NULL value
-      Row(10006L, sharedInstant, 12L, "click", 1e100, "{\"k\": 7}"), // huge value
-      Row(10007L, sharedInstant, 12L, "click", -1e100, "{\"k\": 8}"),
+      Row(10006L, sharedInstant, 12L, "click", 1e12, "{\"k\": 7}"), // huge value
+      Row(10007L, sharedInstant, 12L, "click", -1e12, "{\"k\": 8}"),
       Row(10008L, sharedInstant, 12L, "click", 9.0, null),          // NULL props
       Row(10009L, sharedInstant, 12L, "click", 10.0, ""),           // empty props
       Row(10010L, sharedInstant, 12L, "click", 11.0, "not json"),   // malformed
@@ -172,7 +182,7 @@ object AdversarialCorpusSpec {
       Row(900002L, 7L, null, 200.0, ts("2024-03-02 00:00:00"), "2-HIGH"),      // NULL status
       Row(900003L, 7L, "O", null, ts("2024-03-03 00:00:00"), "3-MEDIUM"),      // NULL price
       Row(900004L, 7L, "O", -500.0, ts("2024-03-04 00:00:00"), "4-NOT SPECIFIED"), // refund
-      Row(900005L, 7L, "O", 1e100, ts("2024-03-05 00:00:00"), "5-LOW"),        // huge price
+      Row(900005L, 7L, "O", 1e12, ts("2024-03-05 00:00:00"), "5-LOW"),        // huge price
       Row(900006L, 7L, "O", 300.0, null, "1-URGENT"),                          // NULL date
       Row(900007L, 7L, "O", 400.0, ts("1970-01-01 00:00:00"), null),           // epoch + NULL prio
       Row(900008L, 999999L, "O", 500.0, ts("2100-01-01 00:00:00"), "2-HIGH"))  // dangling FK, far future
@@ -188,7 +198,7 @@ object AdversarialCorpusSpec {
       Row(900001L, 5L, 5L, 2, null, 20.0, 0.1, 0.02, "N", "O", ts("2024-03-01 00:00:00")),    // NULL qty
       Row(900002L, 5L, 5L, 1, -3.0, 30.0, 0.1, 0.02, "R", "F", ts("2024-03-02 00:00:00")),    // return qty
       Row(900003L, 5L, 5L, 1, 2.0, null, null, null, null, null, null),                       // NULL everything
-      Row(900004L, 5L, 5L, 1, 2.0, 1e100, 0.5, 0.5, "A", "F", ts("1970-01-01 00:00:00")),     // huge price, epoch
+      Row(900004L, 5L, 5L, 1, 2.0, 1e12, 0.5, 0.5, "A", "F", ts("1970-01-01 00:00:00")),     // huge price, epoch
       Row(900005L, 5L, 5L, 1, 2.0, 40.0, 1.5, -0.1, "N", "O", ts("2100-01-01 00:00:00")))     // out-of-range rates
     def augment(table: String, schema: StructType, nasty: Seq[Row]): Unit =
       spark.read.parquet(s"$baseSf/$table.parquet")
