@@ -659,6 +659,10 @@ object SparkEntryExt {
       // fall back to the session width with no error), so the scoped
       // override sets BOTH keys and restores both — the AQE key back
       // to its prior value, or unset if the session never set it.
+      // (Only the AQE key can be GENUINELY unset: shuffle.partitions
+      // has a registered default, so getOption always reads back a
+      // value and the restore re-applies it — behaviorally identical
+      // to unset, just not symmetric in the conf map.)
       val keys = Seq("spark.sql.shuffle.partitions",
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
       val prev = keys.map(k => k -> s.conf.getOption(k))
@@ -1260,6 +1264,11 @@ object SparkEntryExt {
           n = 1, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    // Fixed-width (bits = 4) sign-bucket IVF — the oracle-simplest ANN
+    // form. AT SCALE prefer `sim_ivf_trained` (k-means cells sized to
+    // the corpus, multi-probe recall control) or `sim_ivf_batch`'s
+    // stored pre-bucketed index; a fixed bucket width has the same
+    // saturation failure mode sim_semdedup documents
     "sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.ivfTopK(
@@ -1695,13 +1704,17 @@ object SparkEntryExt {
       // NOTE: Spark's floor(double) is already LongType and CLAMPS
       // overflow (1e100 -> Long.MaxValue, never NULL), while the
       // oracle's TRY_CAST(floor(..) AS BIGINT) NULLs it — the grid
-      // range filter below is the REAL guard that keeps the two
-      // engines row-identical; do not widen/remove it without
-      // revisiting that asymmetry.
+      // range filter below guards the overflow asymmetry. NaN is its
+      // own asymmetry (Spark's NaN.toLong == 0L would slip INSIDE the
+      // grid, while the oracle's TRY_CAST NULLs it), so it gets an
+      // explicit isnan exclusion rather than riding the range filter.
+      // Together these keep the two engines row-identical; do not
+      // widen/remove either without revisiting both asymmetries.
       val grid = 1L << 12
       val ev = Tables.events(s, d)
         .withColumn("vb", floor(col("value")))
         .filter(col("user_id").isNotNull && col("user_id") >= 0 && col("user_id") < grid &&
+          !isnan(col("value")) &&
           col("vb").isNotNull && col("vb") >= 0 && col("vb") < grid)
       Layout.zBucketStats(ev, "user_id", "vb", bits = 12, bucketShift = 14)
         .orderBy(col("z_bucket"))
@@ -1813,52 +1826,16 @@ object SparkEntryExt {
     // only an end-to-end oracle can catch. Stage boundaries carry lazy
     // localCheckpoints (the curate fan-out discipline — each stage's
     // output feeds 2+ consumers); at 100 TB each boundary is a staged
-    // parquet table instead (Curation.curate's stagePath form).
+    // parquet table instead ([[pipelineE2eStaged]], the
+    // Curation.curate stagePath pattern — staged ≡ checkpointed is
+    // pinned row-for-row in OpsSpec).
     // Packing consumes the epoch order via a synthetic monotone key
     // shard·2^40 + pos (pos is dense within shard, so lexicographic
     // (shard, pos) order is preserved for any corpus below 2^40 docs
     // per shard); packSequences' cumsum is order-key-agnostic
     // (property-tested identity for any sharding).
-    "pipeline_e2e" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cleaned = Clean.removeBoilerplate(docs, "doc_id", "text",
-          sep = " the ", minDocs = 3)
-        .filter(col("n_kept") > 0)
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .localCheckpoint(false)
-      val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
-        .filter(col("reason") === "ok").select(col("doc_id"))
-      val qdocs = cleaned.join(okIds, Seq("doc_id")).localCheckpoint(false)
-      val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
-          shingleN = 3, numHashes = 16, rowsPerBand = 8)
-        .filter(col("jaccard") >= 0.5)
-      val survivors = Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
-        .select(col("doc_id"))
-      val sdocs = qdocs.join(survivors, Seq("doc_id"))
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .localCheckpoint(false)
-      val dsirSel = Curation.dsirSelect(sdocs, "doc_id", "text",
-        isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
-      val pool = sdocs.filter(col("lang") === "en")
-        .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
-        .localCheckpoint(false)
-      val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
-        budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
-      val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
-      val order = Curation.epochShuffle(selected, "doc_id",
-        seed = epochSeed, nShards = epochShards)
-      val keyed = selected.join(order, Seq("doc_id"))
-        .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
-        .localCheckpoint(false)
-      val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
-      packed.select(col("doc_id").as("__ord"), col("n_tokens"),
-          col("seq_start"), col("seq_end"), col("offset"))
-        .join(keyed.select(col("__ord"), col("doc_id"), col("lang"),
-          col("shard"), col("pos")), Seq("__ord"))
-        .select(col("doc_id"), col("lang"), col("shard"), col("pos"),
-          col("n_tokens"), col("seq_start"), col("seq_end"), col("offset"))
-        .orderBy(col("shard"), col("pos"))
-    }),
+    "pipeline_e2e" -> ((s, d) =>
+      pipelineE2eChain(s, d, (df, _) => df.localCheckpoint(false))),
     // reproducible training-order: seeded hash-mod shards + dense
     // within-shard positions; no global sort anywhere (the one
     // exchange is the shard exchange, per-task state is one shard)
@@ -1953,7 +1930,10 @@ object SparkEntryExt {
     // SemDeDup-style semantic dedup: cosine near-dup components over the
     // sign-bucketed embedding space, min-id representative kept. The
     // 3-round unroll is the oracle-expressible form; production default
-    // is the converged variant (iterations = 0)
+    // is the converged variant (iterations = 0). AT SCALE use
+    // `sim_semdedup_vol` below: this fixed bits=4 width saturates the
+    // hot-bucket guard at the 1000x decade (every bucket > cap -> zero
+    // pairs, SCALING.md), which the vol form's self-sizing removes
     "sim_semdedup" -> ((s, d) =>
       SimilaritySearch.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, bits = 4, iterations = 3)
@@ -2538,6 +2518,72 @@ object SparkEntryExt {
     */
   private val epochSeed = "epoch1"
   private val epochShards = 8
+
+  /** The `pipeline_e2e` chain with a pluggable stage-boundary cut —
+    * ONE body serves both execution forms so they cannot drift:
+    * the registered query cuts with a lazy `localCheckpoint` (fast,
+    * executor-local, the small-scale form), while
+    * [[pipelineE2eStaged]] cuts with a durable Parquet stage (the
+    * 100-TB form — restartable, storage-replicated, and each staged
+    * table is itself an inspectable corpus-build artifact). `cut`
+    * receives the stage name so the durable form can lay out
+    * `stagePath/{cleaned,qdocs,sdocs,pool,keyed}`.
+    */
+  private[graft] def pipelineE2eChain(s: SparkSession, d: String,
+      cut: (DataFrame, String) => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cleaned = cut(Clean.removeBoilerplate(docs, "doc_id", "text",
+        sep = " the ", minDocs = 3)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text")), "cleaned")
+    val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
+      .filter(col("reason") === "ok").select(col("doc_id"))
+    val qdocs = cut(cleaned.join(okIds, Seq("doc_id")), "qdocs")
+    val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 8)
+      .filter(col("jaccard") >= 0.5)
+    val survivors = Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
+      .select(col("doc_id"))
+    val sdocs = cut(qdocs.join(survivors, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")), "sdocs")
+    val dsirSel = Curation.dsirSelect(sdocs, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
+    val pool = cut(sdocs.filter(col("lang") === "en")
+      .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id"))), "pool")
+    val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
+      budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+    val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
+    val order = Curation.epochShuffle(selected, "doc_id",
+      seed = epochSeed, nShards = epochShards)
+    val keyed = cut(selected.join(order, Seq("doc_id"))
+      .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos")), "keyed")
+    val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
+    packed.select(col("doc_id").as("__ord"), col("n_tokens"),
+        col("seq_start"), col("seq_end"), col("offset"))
+      .join(keyed.select(col("__ord"), col("doc_id"), col("lang"),
+        col("shard"), col("pos")), Seq("__ord"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"),
+        col("n_tokens"), col("seq_start"), col("seq_end"), col("offset"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Durable-staging twin of `pipeline_e2e` — every localCheckpoint
+    * boundary becomes a Parquet table under `stagePath` (the
+    * Curation.curate stagePath pattern, extended to the full 7-stage
+    * chain). At cluster scale this is the form you run: a lost
+    * executor re-reads from storage instead of dying with its
+    * checkpoint blocks, a restarted job resumes from the last staged
+    * table, and the staged `cleaned`/`qdocs`/`sdocs` tables are the
+    * natural ingest points for downstream consumers. Pinned
+    * row-identical to the checkpointed form in OpsSpec.
+    */
+  private[graft] def pipelineE2eStaged(s: SparkSession, d: String,
+      stagePath: String): DataFrame =
+    pipelineE2eChain(s, d, (df, name) => {
+      val p = s"$stagePath/$name"
+      df.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    })
 
   /** Shingle width for the `dedup_spans` family — ONE definition
     * feeds the Spark registry entries, the CTE chain, and every

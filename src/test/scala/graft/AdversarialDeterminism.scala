@@ -29,13 +29,27 @@ object AdversarialDeterminism {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = AdversarialCorpusSpec.corpusDir(spark, "/root/testdata/sf0.001")
+    // Base data dir: first CLI arg, then the runners' env contract,
+    // then the container default — the dev audit should run on any
+    // machine's data layout, like Verify/Bench/RunQ do.
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
+    val dir = AdversarialCorpusSpec.corpusDir(spark, sfDir)
     val all = SparkEntry.queries
     var bad = 0
     all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         def runAt(parts: String): Map[String, Int] = {
+          // BOTH width keys, the withVocabSizedShuffle lesson: under
+          // AQE, coalescePartitions.initialPartitionNum (when set)
+          // shadows shuffle.partitions, so varying only the latter
+          // would silently stop varying the width if the AQE key ever
+          // reaches this session (e.g. copied harness conf) — the
+          // audit would report 0 divergences without auditing.
           spark.conf.set("spark.sql.shuffle.partitions", parts)
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", parts)
           // multiset of row renderings: order-insensitive compare, so
           // only CONTENT differences (not emission order) count
           fn(spark, dir).collect().iterator

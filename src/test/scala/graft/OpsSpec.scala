@@ -1128,6 +1128,29 @@ class OpsSpec extends SparkSpec {
     assert(staged.columns.contains("clean_text"))
   }
 
+  test("pipeline_e2e durable staging: 7-stage Parquet form identical to checkpointed form") {
+    // the 100-TB execution form of the composed curation chain: every
+    // lazy-localCheckpoint boundary becomes a Parquet stage
+    // (SparkEntryExt.pipelineE2eStaged). One shared chain body feeds
+    // both cuts, so this pin is about the CUT SEMANTICS — a Parquet
+    // write/read round-trip must not move a single packed row (schema
+    // round-trip, row order via the explicit orderBy, and no
+    // checkpoint-block-vs-storage divergence anywhere in 7 stages).
+    val sf001 = "/root/testdata/sf0.01"
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    val ckpt = SparkEntryExt.pipelineE2eChain(spark, sf001,
+      (df, _) => df.localCheckpoint(false)).collect().map(key)
+    val tmp = java.nio.file.Files.createTempDirectory("e2e_stage").toString
+    val staged = SparkEntryExt.pipelineE2eStaged(spark, sf001, tmp).collect().map(key)
+    assert(ckpt.nonEmpty, "chain produced no packed rows at sf0.01")
+    assert(staged.toSeq == ckpt.toSeq, "staged and checkpointed pipeline_e2e diverged")
+    // the staged boundaries must actually exist as readable tables —
+    // the restartability/ingest claim, not just a scratch artifact
+    for (stage <- Seq("cleaned", "qdocs", "sdocs", "pool", "keyed")) {
+      assert(spark.read.parquet(s"$tmp/$stage").count() > 0, s"empty stage $stage")
+    }
+  }
+
   test("incremental curation: quality gate first, then exact/near corpus dedup") {
     def words(p: String) = (1 to 6).map(i => s"${p}w$i").mkString(" ")
     def body(p: String) = s"${words(p + "a")} the ${words(p + "b")} the ${words(p + "c")}"
