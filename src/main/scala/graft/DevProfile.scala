@@ -21,7 +21,8 @@ object DevProfile {
     "interference" -> profileInterference,
     "mmneardup" -> profileMmNearDup,
     "semdedup" -> profileSemDedup,
-    "e2e" -> profileE2e)
+    "e2e" -> profileE2e,
+    "e2estaged" -> profileE2eStaged)
 
   def main(args: Array[String]): Unit = {
     val stage = args.headOption.getOrElse("flagship")
@@ -286,5 +287,29 @@ object DevProfile {
       .join(keyed.select(col("__ord"), col("doc_id"), col("lang"),
         col("shard"), col("pos")), Seq("__ord"))
     time("7 pack + join back")(println("  n=" + out.count()))
+  }
+
+  /** The DURABLE-STAGING twin of the e2e profile: the same chain with
+    * every checkpoint boundary a Parquet stage table
+    * (SparkEntryExt.pipelineE2eStaged — the 100-TB execution form).
+    * One total wall-clock plus a per-stage directory listing; compare
+    * against the `e2e` stage's checkpointed total at the same decade
+    * to price the storage round-trips the restartable form buys.
+    * Stage dir: SPARK_GRAFT_STAGE_DIR or a temp dir.
+    */
+  private def profileE2eStaged(spark: SparkSession, sfDir: String): Unit = {
+    val stageDir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      java.nio.file.Files.createTempDirectory("e2e_staged").toString)
+    println(s"[profile] stageDir=$stageDir")
+    val out = time("staged chain (all 7 stages + stage writes)") {
+      SparkEntryExt.pipelineE2eStaged(spark, sfDir, stageDir)
+    }
+    time("final pack count")(println("  n=" + out.count()))
+    for (name <- Seq("cleaned", "qdocs", "sdocs", "pool", "keyed")) {
+      val d = new java.io.File(s"$stageDir/$name")
+      val bytes = Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+      println(f"[profile]   stage $name%-8s ${bytes / 1e6}%9.1f MB  " +
+        s"rows=${spark.read.parquet(d.toString).count()}")
+    }
   }
 }

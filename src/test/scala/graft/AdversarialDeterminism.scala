@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
   * partitions the runners clamp from, so this doubles as a
   * state-width-invariance check). Not part of `sbt test` (it doubles
   * the sweep's cost); run manually when the adversarial corpus or a
-  * query's ordering contract changes. Last run: 0 of 176 diverge.
+  * query's ordering contract changes. Last run (r20, with BOTH width
+  * keys varied — shuffle.partitions + AQE initialPartitionNum):
+  * 0 of 176 diverge.
   */
 object AdversarialDeterminism {
   def main(args: Array[String]): Unit = {
