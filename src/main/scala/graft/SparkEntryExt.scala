@@ -1835,7 +1835,7 @@ object SparkEntryExt {
     // per shard); packSequences' cumsum is order-key-agnostic
     // (property-tested identity for any sharding).
     "pipeline_e2e" -> ((s, d) =>
-      pipelineE2eChain(s, d, (df, _) => df.localCheckpoint(false))),
+      pipelineE2eChain(s, d, (compute, _) => compute().localCheckpoint(false))),
     // reproducible training-order: seeded hash-mod shards + dense
     // within-shard positions; no global sort anywhere (the one
     // exchange is the shard exchange, per-task state is one shard)
@@ -2528,35 +2528,51 @@ object SparkEntryExt {
     * table is itself an inspectable corpus-build artifact). `cut`
     * receives the stage name so the durable form can lay out
     * `stagePath/{cleaned,qdocs,sdocs,pool,keyed}`.
+    *
+    * The stage input is a THUNK, not a DataFrame: several stages run
+    * real work at construction time, not just at action time
+    * (keepBest's label rounds eagerly localCheckpoint per iteration;
+    * dsirSelect's boundary cut executes its upstream shuffle stages
+    * under AQE), so a resume-capable cut must be able to skip a
+    * completed stage WITHOUT constructing its plan — only a deferred
+    * input makes "read the staged table instead" actually free.
     */
   private[graft] def pipelineE2eChain(s: SparkSession, d: String,
-      cut: (DataFrame, String) => DataFrame): DataFrame = {
+      cut: (() => DataFrame, String) => DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cleaned = cut(Clean.removeBoilerplate(docs, "doc_id", "text",
+    val cleaned = cut(() => Clean.removeBoilerplate(docs, "doc_id", "text",
         sep = " the ", minDocs = 3)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text").as("text")), "cleaned")
-    val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
-      .filter(col("reason") === "ok").select(col("doc_id"))
-    val qdocs = cut(cleaned.join(okIds, Seq("doc_id")), "qdocs")
-    val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
-        shingleN = 3, numHashes = 16, rowsPerBand = 8)
-      .filter(col("jaccard") >= 0.5)
-    val survivors = Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
-      .select(col("doc_id"))
-    val sdocs = cut(qdocs.join(survivors, Seq("doc_id"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")), "sdocs")
-    val dsirSel = Curation.dsirSelect(sdocs, "doc_id", "text",
-      isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
-    val pool = cut(sdocs.filter(col("lang") === "en")
-      .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id"))), "pool")
-    val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
-      budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
-    val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
-    val order = Curation.epochShuffle(selected, "doc_id",
-      seed = epochSeed, nShards = epochShards)
-    val keyed = cut(selected.join(order, Seq("doc_id"))
-      .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos")), "keyed")
+    val qdocs = cut(() => {
+      val okIds = TextAnalysis.qualityFilter(cleaned, "doc_id", "text")
+        .filter(col("reason") === "ok").select(col("doc_id"))
+      cleaned.join(okIds, Seq("doc_id"))
+    }, "qdocs")
+    val sdocs = cut(() => {
+      val pairs = Dedup.minHashLsh(qdocs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 8)
+        .filter(col("jaccard") >= 0.5)
+      val survivors = Dedup.keepBest(qdocs, "doc_id", "text", pairs, iterations = 3)
+        .select(col("doc_id"))
+      qdocs.join(survivors, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    }, "sdocs")
+    val pool = cut(() => {
+      val dsirSel = Curation.dsirSelect(sdocs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256, keepFrac = 0.25)
+      sdocs.filter(col("lang") === "en")
+        .unionByName(sdocs.join(dsirSel.select(col("doc_id")), Seq("doc_id")))
+    }, "pool")
+    val keyed = cut(() => {
+      val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
+        budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
+      val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
+      val order = Curation.epochShuffle(selected, "doc_id",
+        seed = epochSeed, nShards = epochShards)
+      selected.join(order, Seq("doc_id"))
+        .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
+    }, "keyed")
     val packed = TextAnalysis.packSequences(keyed, "__ord", "text", seqLen = 512)
     packed.select(col("doc_id").as("__ord"), col("n_tokens"),
         col("seq_start"), col("seq_end"), col("offset"))
@@ -2572,16 +2588,29 @@ object SparkEntryExt {
     * Curation.curate stagePath pattern, extended to the full 7-stage
     * chain). At cluster scale this is the form you run: a lost
     * executor re-reads from storage instead of dying with its
-    * checkpoint blocks, a restarted job resumes from the last staged
-    * table, and the staged `cleaned`/`qdocs`/`sdocs` tables are the
-    * natural ingest points for downstream consumers. Pinned
-    * row-identical to the checkpointed form in OpsSpec.
+    * checkpoint blocks, and the staged `cleaned`/`qdocs`/`sdocs`
+    * tables are the natural ingest points for downstream consumers.
+    * Pinned row-identical to the checkpointed form in OpsSpec.
+    *
+    * `resume = true` makes the restart claim real code, not an
+    * operator's manual: a stage whose table already committed (the
+    * `_SUCCESS` marker — a killed mid-write stage has none and is
+    * recomputed) is READ, with its entire upstream construction
+    * skipped; the first missing stage and everything after recompute
+    * and write as usual. The contract is the same one every staged
+    * warehouse pipeline carries: stage tables under one `stagePath`
+    * belong to one logical run — resuming over stages produced by
+    * DIFFERENT inputs/knobs is the caller's staleness bug, which
+    * production runs prevent by deriving `stagePath` from a run id
+    * (OpsSpec pins both the skip and the recompute sides).
     */
   private[graft] def pipelineE2eStaged(s: SparkSession, d: String,
-      stagePath: String): DataFrame =
-    pipelineE2eChain(s, d, (df, name) => {
+      stagePath: String, resume: Boolean = false): DataFrame =
+    pipelineE2eChain(s, d, (compute, name) => {
       val p = s"$stagePath/$name"
-      df.write.mode("overwrite").parquet(p)
+      val committed = new java.io.File(p, "_SUCCESS").isFile
+      if (!(resume && committed))
+        compute().write.mode("overwrite").parquet(p)
       s.read.parquet(p)
     })
 

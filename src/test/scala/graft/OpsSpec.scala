@@ -1139,7 +1139,7 @@ class OpsSpec extends SparkSpec {
     val sf001 = "/root/testdata/sf0.01"
     def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
     val ckpt = SparkEntryExt.pipelineE2eChain(spark, sf001,
-      (df, _) => df.localCheckpoint(false)).collect().map(key)
+      (compute, _) => compute().localCheckpoint(false)).collect().map(key)
     val tmp = java.nio.file.Files.createTempDirectory("e2e_stage").toString
     val staged = SparkEntryExt.pipelineE2eStaged(spark, sf001, tmp).collect().map(key)
     assert(ckpt.nonEmpty, "chain produced no packed rows at sf0.01")
@@ -1149,6 +1149,37 @@ class OpsSpec extends SparkSpec {
     for (stage <- Seq("cleaned", "qdocs", "sdocs", "pool", "keyed")) {
       assert(spark.read.parquet(s"$tmp/$stage").count() > 0, s"empty stage $stage")
     }
+
+    // --- restart semantics, both sides of the resume contract ---
+    def listing(stage: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$tmp/$stage")
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = Seq("cleaned", "qdocs", "sdocs", "pool", "keyed").map(s => s -> listing(s))
+    // (a) full resume over a completed run: every stage table is read,
+    // none recomputed or rewritten (file-level identity, the
+    // upsertPartitioned discipline), output identical
+    val resumed = SparkEntryExt.pipelineE2eStaged(spark, sf001, tmp, resume = true)
+      .collect().map(key)
+    assert(resumed.toSeq == ckpt.toSeq, "resumed run diverged")
+    for ((s0, b) <- before)
+      assert(listing(s0) == b, s"resume rewrote completed stage $s0")
+    // (b) partial resume: kill the last two stages (as a mid-run crash
+    // would) — upstream tables must stay untouched while the dead
+    // stages recompute from them, and the output must not move
+    def rmStage(stage: String): Unit = {
+      val d = new java.io.File(s"$tmp/$stage")
+      d.listFiles().foreach(_.delete()); d.delete()
+      assert(!d.exists)
+    }
+    rmStage("pool"); rmStage("keyed")
+    val partial = SparkEntryExt.pipelineE2eStaged(spark, sf001, tmp, resume = true)
+      .collect().map(key)
+    assert(partial.toSeq == ckpt.toSeq, "partial resume diverged")
+    for ((s0, b) <- before.take(3))
+      assert(listing(s0) == b, s"partial resume rewrote upstream stage $s0")
+    assert(spark.read.parquet(s"$tmp/pool").count() > 0, "pool stage not rebuilt")
   }
 
   test("incremental curation: quality gate first, then exact/near corpus dedup") {
