@@ -273,8 +273,13 @@ object DevProfile {
     val mixed = TextAnalysis.tokenBudgetSample(pool, "doc_id", "lang", "text",
       budgets = Map("en" -> 6000L, "zh" -> 1500L), defaultBudget = 2000L)
     val selected = pool.join(mixed.select(col("doc_id")), Seq("doc_id"))
+    // knobs single-sourced from the registry chain (pipelineE2eChain
+    // is the source of truth; this profile re-expresses its stages
+    // inline ONLY to attach per-stage timers and counts — keep any
+    // knob change there mirrored here or the staged-vs-checkpointed
+    // comparisons stop measuring the same chain)
     val order = graft.ops.Curation.epochShuffle(selected, "doc_id",
-      seed = "epoch1", nShards = 8)
+      seed = SparkEntryExt.epochSeed, nShards = SparkEntryExt.epochShards)
     val keyed = time("5-6-construct checkpoint") {
       selected.join(order, Seq("doc_id"))
         .withColumn("__ord", col("shard").cast("long") * lit(1L << 40) + col("pos"))
@@ -301,13 +306,20 @@ object DevProfile {
     val stageDir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
       java.nio.file.Files.createTempDirectory("e2e_staged").toString)
     println(s"[profile] stageDir=$stageDir")
-    val out = time("staged chain (all 7 stages + stage writes)") {
+    // the 5 staged boundaries run eagerly here; the final pack+join
+    // builds lazily on the keyed table and executes under the second
+    // timer — sum BOTH for the chain total (the checkpointed profile's
+    // per-stage sum includes its pack stage)
+    val out = time("5 staged boundaries (writes+reads)") {
       SparkEntryExt.pipelineE2eStaged(spark, sfDir, stageDir)
     }
-    time("final pack count")(println("  n=" + out.count()))
+    time("final pack + join (lazy tail)")(println("  n=" + out.count()))
     for (name <- Seq("cleaned", "qdocs", "sdocs", "pool", "keyed")) {
       val d = new java.io.File(s"$stageDir/$name")
-      val bytes = Option(d.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+      // parquet payload only — _SUCCESS/_schema.json/.crc excluded
+      val bytes = Option(d.listFiles())
+        .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum)
+        .getOrElse(0L)
       println(f"[profile]   stage $name%-8s ${bytes / 1e6}%9.1f MB  " +
         s"rows=${spark.read.parquet(d.toString).count()}")
     }

@@ -2516,8 +2516,8 @@ object SparkEntryExt {
     * side cannot silently break engine/oracle parity (the `spanN`
     * discipline).
     */
-  private val epochSeed = "epoch1"
-  private val epochShards = 8
+  private[graft] val epochSeed = "epoch1"
+  private[graft] val epochShards = 8
 
   /** The `pipeline_e2e` chain with a pluggable stage-boundary cut —
     * ONE body serves both execution forms so they cannot drift:
@@ -2593,26 +2593,63 @@ object SparkEntryExt {
     * Pinned row-identical to the checkpointed form in OpsSpec.
     *
     * `resume = true` makes the restart claim real code, not an
-    * operator's manual: a stage whose table already committed (the
-    * `_SUCCESS` marker — a killed mid-write stage has none and is
-    * recomputed) is READ, with its entire upstream construction
-    * skipped; the first missing stage and everything after recompute
-    * and write as usual. The contract is the same one every staged
-    * warehouse pipeline carries: stage tables under one `stagePath`
-    * belong to one logical run — resuming over stages produced by
-    * DIFFERENT inputs/knobs is the caller's staleness bug, which
-    * production runs prevent by deriving `stagePath` from a run id
-    * (OpsSpec pins both the skip and the recompute sides).
+    * operator's manual: a stage whose table already committed is
+    * READ, with its entire upstream construction skipped; the first
+    * missing stage and EVERYTHING AFTER it recompute and rewrite
+    * (cuts fire in chain order, so one `dirty` latch gives the
+    * cascade — a recomputed middle stage can never be silently
+    * stitched to downstream tables derived from its previous
+    * generation). Commit is checked through the path's Hadoop
+    * `FileSystem` (so `hdfs://`/`s3a://` stage paths resume too, not
+    * just local disk) and requires BOTH the writer's `_SUCCESS`
+    * marker AND the `_schema.json` this cut writes after the data
+    * commits — a crash anywhere mid-stage leaves at most one of the
+    * two, and the stage recomputes. On object-store committers
+    * configured to skip `_SUCCESS` markers, resume degrades SAFELY:
+    * nothing skips, everything recomputes. Reads always carry an
+    * explicit schema (the written df's, or `_schema.json` on a
+    * skip), so a stage that legitimately winnows to ZERO rows —
+    * Parquet dir with no part files — reads back as the empty
+    * DataFrame instead of failing schema inference, keeping the
+    * staged twin row-identical to the checkpointed form on
+    * degenerate corpora too. The remaining contract is the same one
+    * every staged warehouse pipeline carries: stage tables under one
+    * `stagePath` belong to one logical run — resuming over stages
+    * produced by DIFFERENT inputs/knobs is the caller's staleness
+    * bug, which production runs prevent by deriving `stagePath` from
+    * a run id (OpsSpec pins the skip, tail-recompute, and
+    * middle-stage-cascade sides).
     */
   private[graft] def pipelineE2eStaged(s: SparkSession, d: String,
-      stagePath: String, resume: Boolean = false): DataFrame =
+      stagePath: String, resume: Boolean = false): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{DataType, StructType}
+    var dirty = false
     pipelineE2eChain(s, d, (compute, name) => {
-      val p = s"$stagePath/$name"
-      val committed = new java.io.File(p, "_SUCCESS").isFile
-      if (!(resume && committed))
-        compute().write.mode("overwrite").parquet(p)
-      s.read.parquet(p)
+      val dir = new Path(s"$stagePath/$name")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new Path(dir, "_SUCCESS")
+      val schemaFile = new Path(dir, "_schema.json")
+      val committed = fs.exists(marker) && fs.exists(schemaFile)
+      if (resume && committed && !dirty) {
+        val in = fs.open(schemaFile)
+        val json =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        s.read.schema(DataType.fromJson(json).asInstanceOf[StructType])
+          .parquet(dir.toString)
+      } else {
+        dirty = true
+        val df = compute()
+        df.write.mode("overwrite").parquet(dir.toString)
+        // schema sidecar AFTER the data commit: its presence is half
+        // the commit predicate, so a crash between the two writes
+        // reads as uncommitted and the stage recomputes
+        val out = fs.create(schemaFile, true)
+        try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+        s.read.schema(df.schema).parquet(dir.toString)
+      }
     })
+  }
 
   /** Shingle width for the `dedup_spans` family — ONE definition
     * feeds the Spark registry entries, the CTE chain, and every

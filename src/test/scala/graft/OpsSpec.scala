@@ -1180,6 +1180,18 @@ class OpsSpec extends SparkSpec {
     for ((s0, b) <- before.take(3))
       assert(listing(s0) == b, s"partial resume rewrote upstream stage $s0")
     assert(spark.read.parquet(s"$tmp/pool").count() > 0, "pool stage not rebuilt")
+    // (c) cascade: killing a MIDDLE stage must recompute everything
+    // downstream of it too — a committed pool/keyed derived from the
+    // PREVIOUS sdocs generation must not be stitched to a fresh sdocs
+    val afterB = Seq("cleaned", "qdocs", "sdocs", "pool", "keyed").map(s => s -> listing(s))
+    rmStage("sdocs")
+    val cascaded = SparkEntryExt.pipelineE2eStaged(spark, sf001, tmp, resume = true)
+      .collect().map(key)
+    assert(cascaded.toSeq == ckpt.toSeq, "cascaded resume diverged")
+    for ((s0, b) <- afterB.take(2))
+      assert(listing(s0) == b, s"cascade rewrote upstream stage $s0")
+    for ((s0, b) <- afterB.drop(2))
+      assert(listing(s0) != b, s"cascade did NOT rebuild downstream stage $s0")
   }
 
   test("incremental curation: quality gate first, then exact/near corpus dedup") {
