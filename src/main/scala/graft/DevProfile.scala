@@ -320,8 +320,19 @@ object DevProfile {
       val bytes = Option(d.listFiles())
         .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum)
         .getOrElse(0L)
+      // read with the stage's _schema.json (the staged cut's own
+      // degenerate-corpus discipline): a stage that winnows to zero
+      // rows has no part files and would fail schema inference here
+      val schemaFile = new java.io.File(d, "_schema.json")
+      val reader =
+        if (schemaFile.isFile) {
+          val json = new String(
+            java.nio.file.Files.readAllBytes(schemaFile.toPath), "UTF-8")
+          spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        } else spark.read
       println(f"[profile]   stage $name%-8s ${bytes / 1e6}%9.1f MB  " +
-        s"rows=${spark.read.parquet(d.toString).count()}")
+        s"rows=${reader.parquet(d.toString).count()}")
     }
   }
 }

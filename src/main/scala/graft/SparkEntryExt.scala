@@ -2631,22 +2631,34 @@ object SparkEntryExt {
       val marker = new Path(dir, "_SUCCESS")
       val schemaFile = new Path(dir, "_schema.json")
       val committed = fs.exists(marker) && fs.exists(schemaFile)
-      if (resume && committed && !dirty) {
-        val in = fs.open(schemaFile)
-        val json =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        s.read.schema(DataType.fromJson(json).asInstanceOf[StructType])
-          .parquet(dir.toString)
-      } else {
-        dirty = true
-        val df = compute()
-        df.write.mode("overwrite").parquet(dir.toString)
-        // schema sidecar AFTER the data commit: its presence is half
-        // the commit predicate, so a crash between the two writes
-        // reads as uncommitted and the stage recomputes
-        val out = fs.create(schemaFile, true)
-        try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
-        s.read.schema(df.schema).parquet(dir.toString)
+      // a torn sidecar (crash after fs.create succeeded but before the
+      // write/close finished) must read as UNCOMMITTED — fall through
+      // to recompute instead of throwing out of DataType.fromJson,
+      // keeping the "crash anywhere mid-stage recomputes" contract
+      val schema: Option[StructType] =
+        if (resume && committed && !dirty) {
+          val in = fs.open(schemaFile)
+          val json =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          scala.util.Try(DataType.fromJson(json).asInstanceOf[StructType]).toOption
+        } else None
+      schema match {
+        case Some(st) => s.read.schema(st).parquet(dir.toString)
+        case None =>
+          dirty = true
+          val df = compute()
+          df.write.mode("overwrite").parquet(dir.toString)
+          // schema sidecar AFTER the data commit, written to a temp name
+          // and renamed into place: its presence is half the commit
+          // predicate, so neither a crash between the two writes nor a
+          // torn sidecar write can read as committed
+          val tmp = new Path(dir, "._schema.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+          if (fs.exists(schemaFile)) fs.delete(schemaFile, false): Unit
+          if (!fs.rename(tmp, schemaFile))
+            throw new java.io.IOException(s"rename $tmp -> $schemaFile failed")
+          s.read.schema(df.schema).parquet(dir.toString)
       }
     })
   }

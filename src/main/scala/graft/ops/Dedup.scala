@@ -618,41 +618,37 @@ object Dedup {
     // Iterative algorithm discipline (same reason GraphX checkpoints):
     // each round references `labels` TWICE (self ∪ neighbor-join), so an
     // unpersisted lineage doubles per round — round 3 would re-run the
-    // whole upstream LSH pipeline up to 8×. Persist the edge list once
-    // and the (tiny) label table each round to pin the lineage.
-    // NOTE: cache materialization is only AQE-planned when
-    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
-    // (set in Bench/Verify/test sessions; see SCALING.md) — without it
-    // the persisted subtree executes a static plan (measured 5.7× slower
-    // here: the LSH candidate join loses its runtime broadcast).
-    // both directions in ONE pass over pairs (a union of two selects
+    // whole upstream LSH pipeline up to 8×. `localCheckpoint(true)`
+    // per round — the [[clusterLabelsConverged]] / Pq / Bpe rule, NOT
+    // persist + count: persist pins execution but leaves the LOGICAL
+    // plan doubling per round (measured here: a 3-round unroll over a
+    // real LSH pair pipeline reached a ~1000-Exchange, 600 KB plan
+    // string, and every downstream action re-analyzed it), while the
+    // eager checkpoint truncates each round to a leaf, so planning cost
+    // is flat and the materializing action replaces the old count().
+    // Superseded rounds' blocks are released asynchronously by the
+    // ContextCleaner once the old `labels` reference drops. (On a
+    // cluster, executor loss invalidates a local checkpoint and fails
+    // the job — the retry-from-scratch trade documented at
+    // [[clusterLabelsConverged]], which production callers use.)
+    // Both directions in ONE pass over pairs (a union of two selects
     // would embed — and therefore execute — the upstream pair pipeline
-    // twice before the cache can fill)
+    // twice), checkpointed so the pair pipeline runs exactly once and
+    // the per-round plans are edge-leaf-sized.
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("label"))
     for (_ <- 1 to iterations) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
-      val next = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .persist()
-      // materialize eagerly so the superseded round's cache can be
-      // RELEASED now — without this, every round's table stays pinned
-      // for the session's lifetime (the leak grows per invocation)
-      next.count()
-      labels.unpersist() // no-op on round 1's unpersisted init projection
-      labels = next
+      labels = labels.union(nbr).groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
     }
-    // all rounds are materialized — the edge cache has served its purpose
-    edges.unpersist()
-    // the final label table stays cached for the caller's action(s);
-    // it is the operator's (small, one-per-call) result, not a leak of
-    // intermediate lineage
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
