@@ -35,12 +35,20 @@ object Bpe {
 
   /** Adjacent-pair frame of a token-array column: one row per
     * position with its token and successor (`nxt` NULL at the end).
+    *
+    * The successor comes from the ARRAY (`get(toks, p + 1)` — NULL past
+    * the end), not a `lead` window: the window form shuffled and sorted
+    * every token row by doc_id just to look one element ahead in an
+    * array the row already holds. The projection collapses into the
+    * Generate's codegen stage, so the array is a local reference per
+    * output row, never copied — and the pair-count consumer
+    * ([[trainMerges]]'s argmax) now aggregates map-side with NO
+    * token-sized exchange at all.
     */
-  private def pairFrame(seqs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    seqs.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-  }
+  private def pairFrame(seqs: DataFrame): DataFrame =
+    seqs.select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), col("tok"),
+        get(col("toks"), col("p") + 1).as("nxt"))
 
   /** Apply ONE merge `(left, right) -> merged` canonically greedily to
     * every sequence: eligible positions (tok = left, next = right)
@@ -51,15 +59,26 @@ object Bpe {
   private def applyMerge(seqs: DataFrame, left: String, right: String,
       merged: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val wRun = Window.partitionBy(col("doc_id"), col("runkey")).orderBy(col("p"))
+    // Every window here shares ONE (doc_id, p) spec, so the whole pass
+    // is a single exchange + sort. The previous form ranked eligible
+    // rows inside a (doc_id, runkey) window — a SECOND full token-sized
+    // shuffle per merge — but positions are dense (posexplode), so a
+    // run of consecutive eligible positions is a run of consecutive
+    // ROWS, and the within-run rank falls out of the running eligible
+    // count: for the k-th member of a run, eidx - eidx(run start) =
+    // k - 1, so "1st, 3rd, 5th… of the run" ⇔ that difference is even.
     val flagged = pairFrame(seqs)
       .withColumn("elig", col("tok") === left && col("nxt") === right)
-      // running eligible count; within a run of CONSECUTIVE eligible
-      // positions p - eidx is constant => the run key
       .withColumn("eidx", sum(when(col("elig"), 1).otherwise(0)).over(w))
-      .withColumn("runkey", when(col("elig"), col("p") - col("eidx")))
-      .withColumn("rrn", when(col("elig"), row_number().over(wRun)))
-      .withColumn("sel", coalesce(col("elig") && col("rrn") % 2 === 1, lit(false)))
+      // first eligible row of each run (dense p ⇒ the previous ROW)
+      .withColumn("rstart",
+        col("elig") && !coalesce(lag(col("elig"), 1).over(w), lit(false)))
+      // eidx at the current run's start: a running last-value — rows
+      // between a run's start and its members are the run itself
+      .withColumn("rseidx",
+        last(when(col("rstart"), col("eidx")), ignoreNulls = true).over(w))
+      .withColumn("sel",
+        coalesce(col("elig") && (col("eidx") - col("rseidx")) % 2 === 0, lit(false)))
     flagged
       .withColumn("prevsel", coalesce(lag(col("sel"), 1).over(w), lit(false)))
       .filter(!col("prevsel")) // the right token of a selected pair is consumed
