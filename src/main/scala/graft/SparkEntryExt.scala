@@ -2167,13 +2167,6 @@ object SparkEntryExt {
       val qLab = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("label").as("q_label"))
       val pLab = emb.select(col("vec_id").as("point_id"), col("label").as("p_label"))
-      def ndcgRow(name: String, hits: DataFrame): DataFrame = {
-        val withRel = hits.join(qLab, "query_id").join(pLab, "point_id")
-          .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
-        Eval.ndcgAtK(withRel, "query_id", "rank", "rel")
-          .agg(count(lit(1)).as("n_queries"), round(avg(col("ndcg")), 6).as("mean_ndcg"))
-          .select(lit(name).as("method"), col("n_queries"), col("mean_ndcg"))
-      }
       // lineage cut on the two expensive retrieval passes: the 4-way
       // union re-evaluates each consumer branch's FULL subtree (the
       // pipeline_mix_pack lesson) — without these, BM25 over the corpus
@@ -2202,9 +2195,26 @@ object SparkEntryExt {
           col("embedding").as("__pv"), col("__rel"))
       val mmr3 = Retrieval.mmrFromPool(pool, selectK = 3, lambda = MmrLambda)
         .select(col("query_id"), col("sel_rank").as("rank"), col("point_id"))
-      Seq(ndcgRow("knn", knn5), ndcgRow("bm25", bm5),
-          ndcgRow("rrf", rrf5), ndcgRow("hybrid_mmr", mmr3))
-        .reduce(_.unionByName(_)).orderBy(col("method"))
+      // ONE label-join + nDCG + mean pass over the UNION of the four
+      // (small, already-truncated) hit tables, keyed by a composite
+      // "method|query_id" — the per-(method, query) nDCG values are
+      // identical to four separate passes (nDCG sees only its own
+      // partition), but the old per-path tails planned 4× (2 joins +
+      // group-fold + mean aggregate) ≈ 16 extra sequential AQE stage
+      // jobs for 80 rows of input.
+      val tagged = Seq("knn" -> knn5, "bm25" -> bm5, "rrf" -> rrf5,
+          "hybrid_mmr" -> mmr3)
+        .map { case (n, h) => h.withColumn("method", lit(n)) }
+        .reduce(_.unionByName(_))
+      val withRel = tagged.join(qLab, "query_id").join(pLab, "point_id")
+        .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
+        .withColumn("__mq", concat_ws("|", col("method"), col("query_id")))
+      Eval.ndcgAtK(withRel, "__mq", "rank", "rel")
+        .withColumn("method", substring_index(col("query_id"), "|", 1))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_queries"), round(avg(col("ndcg")), 6).as("mean_ndcg"))
+        .select(col("method"), col("n_queries"), col("mean_ndcg"))
+        .orderBy(col("method"))
     }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection
     // from the kNN pool — the redundancy filter before context assembly

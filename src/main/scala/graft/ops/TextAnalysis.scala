@@ -149,6 +149,16 @@ object TextAnalysis {
     * cluster-scale story is unchanged — the shuffle volume is linear in
     * corpus grams and partition-parallel; revisit only if Spark ever
     * codegens HOF lambdas.
+    *
+    * Measured-rejected design (r21, twice): fusing the three n-gram
+    * pipelines into ONE order-tagged explode (`transform(shingles(n),
+    * g => struct(n, g))` per order, concat, group by (doc, n, g), then
+    * one per-doc conditional max/sum) — exact output parity and fewer
+    * jobs (text_repetition 12 → 6), but CPU and shuffle both REGRESSED
+    * (text_quality CPU 1.26 → 2.4-3.0 s, shuffle 7.2 → 14.2 MB;
+    * pipeline_e2e shuffle 28 → 40.6 MB): the struct-tagging transform
+    * lambda is interpreted per gram and pushes the explode input out of
+    * whole-stage codegen, exactly the r19 lesson above in another coat.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
