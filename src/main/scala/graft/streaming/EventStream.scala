@@ -104,6 +104,32 @@ object EventStream {
   private def ensureProgressRetention(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
+  /** Exact row count of every parquet data file under `dir`
+    * (recursive, so partitioned layouts count too), summed from the
+    * file footers on the driver — the same number
+    * `spark.read.parquet(dir).count()` computes, without launching a
+    * job. Only used for the [[drainAll]] ingest ledger, where the
+    * input is a finite fixture directory of a few files.
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
+  }
+
   /** Drain `q` until every row currently in `inputDir` has been
     * ingested. `processAllAvailable()` alone was observed — once, in a
     * long many-query Verify run — to return before the file source's
@@ -128,7 +154,11 @@ object EventStream {
     require(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt >= 10000,
       "drainAll: progress retention not raised before query start — " +
         "the ledger could undercount; call ensureProgressRetention pre-start")
-    val expected = spark.read.parquet(inputDir).count()
+    // Parquet footers already hold the exact row count, so the expected
+    // volume is a driver-side metadata read (a few ms), not a Spark
+    // count job — the old `spark.read.parquet(inputDir).count()` paid a
+    // full scheduler round-trip per drain, once per stream query.
+    val expected = parquetRowCount(spark, inputDir)
     def ingested: Long = q.recentProgress.iterator.map(_.numInputRows).sum
     q.processAllAvailable()
     val deadline = System.nanoTime() + timeoutSec * 1000000000L
