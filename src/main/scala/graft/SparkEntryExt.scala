@@ -904,16 +904,33 @@ object SparkEntryExt {
         points.select(col("point_id"), col("embedding")),
         "vec_id", "point_id", "embedding", "b", "sig",
         bits = 4, dim = 64, nprobe = 2, shortlist = 20, k = 3))
-    paths.map { case (name, approx) =>
-      SimilaritySearch.recallAtK(exact,
-          approx.select(col("query_id"), col("point_id")),
-          "query_id", "point_id", 3)
-        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("sum_hits"))
-        .select(lit(name).as("method"),
-          col("n_queries"), col("sum_hits"),
-          round(col("sum_hits").cast("double") / (col("n_queries") * 3), 6)
-            .as("mean_recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("method"))
+    // ONE method-tagged tail instead of nine (the eval_ndcg_paths
+    // fusion): each path's recallAtK + mean used to plan its own
+    // semi-join, per-query fold, zero-fill join, and final aggregate —
+    // ~3 sequential AQE stage jobs per path over ≤30 rows of hits.
+    // Union the (tiny) hit tables tagged by method, dedup to preserve
+    // the semi-join's count-once semantics, one semi-join against the
+    // exact truth, one count per method. n_queries is path-independent
+    // (recallAtK zero-fills misses from the exact side), so it comes
+    // from the exact table once; the when(n_queries > 0) guards keep
+    // the empty-input outputs (null sum/recall) bit-identical to the
+    // old per-path aggregate.
+    val tagged = paths.map { case (name, approx) =>
+        approx.select(lit(name).as("method"), col("query_id"), col("point_id"))
+      }.reduce(_.unionByName(_)).distinct()
+    val hitCounts = tagged
+      .join(exact, Seq("query_id", "point_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("__hits"))
+    import s.implicits._
+    val sumHits = when(col("n_queries") > 0, coalesce(col("__hits"), lit(0L)))
+    paths.map(_._1).toDF("method")
+      .crossJoin(exact.agg(count_distinct(col("query_id")).as("n_queries")))
+      .join(hitCounts, Seq("method"), "left")
+      .select(col("method"), col("n_queries"),
+        sumHits.as("sum_hits"),
+        round(sumHits.cast("double") / (col("n_queries") * 3), 6)
+          .as("mean_recall"))
+      .orderBy(col("method"))
   }
 
   /** DuckDB mirror of `SimilaritySearch.packSignBits` word `w`: sign
