@@ -229,10 +229,24 @@ object Dedup {
     require(n >= 2, s"n ($n) must be >= 2")
     require(minDf >= 2, s"minDf ($minDf) must be >= 2 (1 matches every doc)")
     val base = spanBase(docs, idCol, textCol, n)
-    val dupGrams = base.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("g"))
+    // minDf == 2 (every current caller): "seen in >= 2 distinct docs"
+    // is exactly min(doc_id) != max(doc_id), and min/max partial-
+    // aggregate map-side over the RAW positional rows — one exchange
+    // of (g, min, max) partials instead of count(distinct)'s two-phase
+    // plan (a (g, doc_id) dedup exchange of every distinct pair, then
+    // a second exchange on g). Higher thresholds keep the exact
+    // distinct count.
+    val dupGrams =
+      if (minDf == 2)
+        base.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi"))
+          .select(col("g"))
+      else
+        base.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("__df"))
+          .filter(col("__df") >= minDf)
+          .select(col("g"))
     mergeIslands(base.join(dupGrams, "g"), n)
   }
 
