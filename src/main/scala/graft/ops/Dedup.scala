@@ -929,10 +929,17 @@ object Dedup {
         .select(col("doc_id").as(as), h32(col("sh")).as("h"))
     val tr = hashed(train, "train_id")
     val te = hashed(test, "test_id")
-    val trOk = tr
-      .withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("__df") <= maxShingleDf)
+    // df cap as an EXCLUSION list, not a window: only degenerate grams
+    // exceed maxShingleDf, so the heavy set is tiny and anti-joins
+    // broadcast — the old count-over-Window.partitionBy(h) exchanged
+    // and sorted EVERY train shingle row just to drop a handful of
+    // boilerplate grams. Identical rows kept (count(1) per h > cap ⟺
+    // window df > cap); the train side now reaches the probe join with
+    // no shuffle of its own.
+    val heavy = tr.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .select(col("h"))
+    val trOk = tr.join(heavy, Seq("h"), "left_anti")
       .select(col("train_id"), col("h"))
     val teTotals = te.groupBy(col("test_id")).agg(count(lit(1)).as("__n_sh"))
     trOk.join(te, "h")
