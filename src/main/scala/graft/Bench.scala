@@ -197,11 +197,12 @@ object Bench {
     // it through WITHOUT the "[info] " prefix that defeated the
     // driver's JSON parse in rounds 1-8.)
     println(totalLine)
-    // Belt-and-braces beyond stdout: the summary also lands (a) on
-    // stderr, which some harnesses capture separately from the sbt
-    // logger, and (b) as a FILE in the working directory — immune to
-    // any stream prefixing/truncation whatsoever.
-    System.err.println(totalLine)
+    // Each result line is emitted exactly ONCE, on stdout only. A
+    // previous stderr copy of the total line corrupted the round-20
+    // bench artifact: when a harness merges the two streams, the stderr
+    // copy can land MID-LINE inside the per-query JSON and destroy the
+    // per-query parse. The file below is the only secondary channel —
+    // immune to any stream prefixing/truncation/interleaving.
     // Absolute path (env-overridable): a relative path lands wherever
     // the forked JVM's cwd is — right under sbt's default fork cwd,
     // silently elsewhere under spark-submit. And the write must not be

@@ -320,8 +320,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
       plan.contains("ShuffledHashJoin"),
       s"shingle-hash join is not an equi-join:\n$plan")
-    assert(plan.contains("Window"),
-      s"train-df guard window missing from the plan:\n$plan")
+    // The shingle-df cap is an anti-join against the tiny over-cap gram
+    // set (which broadcasts), NOT a count-over-window: a Window here
+    // would mean every train shingle row is exchanged and sorted just to
+    // drop a handful of boilerplate grams.
+    assert(plan.contains("LeftAnti"),
+      s"train-df guard anti-join missing from the plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"df cap regressed to a full count-over-window of train shingles:\n$plan")
   }
 
   test("heavy hitters: sketch aggregates map-side, candidates broadcast into a semi-join") {
