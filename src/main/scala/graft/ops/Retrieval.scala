@@ -203,35 +203,52 @@ object Retrieval {
     require(selectK >= 1, s"selectK ($selectK) must be >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda ($lambda) must be in [0, 1]")
     val hits = pool.localCheckpoint(false)
-    // pairwise sims inside the pool: poolK² rows per query
+    // pairwise sims inside the pool: poolK² rows per query. Lineage-cut
+    // like the pool itself: every greedy round probes it, and uncut each
+    // probe re-embeds (and re-executes) the poolK² self-join — measured
+    // on rag_hybrid_mmr, the uncut unroll replanned the pool leaf 72
+    // times into a 2 297-line plan.
     val a = hits.select(col("query_id"), col("point_id").as("__pa"), col("__pv").as("__va"))
     val b = hits.select(col("query_id"), col("point_id").as("__pb"), col("__pv").as("__vb"))
     val sims = a.join(b, "query_id")
       .filter(col("__pa") =!= col("__pb"))
       .select(col("query_id"), col("__pa"), col("__pb"),
         VectorOps.cosine(col("__va"), col("__vb")).as("__sim"))
+      .localCheckpoint(false)
     val wSel = Window.partitionBy(col("query_id")).orderBy(desc("__obj"), col("point_id").asc)
     def argmax(cands: DataFrame): DataFrame =
       cands.withColumn("__rn", row_number().over(wSel))
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("point_id"), col("__obj"))
     // pick 1: pure relevance
-    var selected = argmax(hits.withColumn("__obj", round(col("__rel"), 6)))
-      .withColumn("sel_rank", lit(1L))
+    var pick = argmax(hits.withColumn("__obj", round(col("__rel"), 6)))
+    var selected = pick.withColumn("sel_rank", lit(1L))
+    // Greedy rounds carry RUNNING candidate state
+    // (query_id, point_id, __rel, __maxsim): the max-sim-to-selected
+    // penalty is a fold of pairwise max over the picks — greatest() per
+    // round is EXACTLY the old full-selected-set max aggregate (max over
+    // doubles has no rounding), but each round now touches only the new
+    // pick's poolK sim rows instead of re-joining and re-aggregating the
+    // whole selected set. The inner join on the new pick's sim rows also
+    // evicts the pick itself (sims has no self-pair), replacing the
+    // anti-join. Each round's state is lineage-cut (the clusterLabels
+    // discipline) so round t's plan is leaf-sized, not 2^t subtrees.
+    var cands = hits.select(col("query_id"), col("point_id"), col("__rel"))
+      .withColumn("__maxsim", lit(null).cast("double"))
     for (t <- 2 to selectK) {
-      val selSet = selected.select(col("query_id"), col("point_id"))
-      val cands = hits.join(selSet, Seq("query_id", "point_id"), "left_anti")
-      // max sim of each candidate to the selected set
-      val penalty = cands
-        .join(sims.withColumnRenamed("__pa", "point_id"), Seq("query_id", "point_id"))
-        .join(selSet.withColumnRenamed("point_id", "__pb"), Seq("query_id", "__pb"))
-        .groupBy(col("query_id"), col("point_id"))
-        .agg(max(col("__sim")).as("__maxsim"))
-      val scored = cands.join(penalty, Seq("query_id", "point_id"))
-        .withColumn("__obj",
-          round(col("__rel") * lambda - col("__maxsim") * (1.0 - lambda), 6))
-      selected = selected.unionByName(
-        argmax(scored).withColumn("sel_rank", lit(t.toLong)))
+      val simsToNew = sims
+        .join(pick.select(col("query_id"), col("point_id").as("__pb")),
+          Seq("query_id", "__pb"))
+        .select(col("query_id"), col("__pa").as("point_id"), col("__sim"))
+      // greatest() skips NULLs, so the round-2 fold over the NULL seed
+      // is exactly sim-to-first-pick
+      cands = cands.join(simsToNew, Seq("query_id", "point_id"))
+        .select(col("query_id"), col("point_id"), col("__rel"),
+          greatest(col("__maxsim"), col("__sim")).as("__maxsim"))
+        .localCheckpoint(false)
+      pick = argmax(cands.withColumn("__obj",
+        round(col("__rel") * lambda - col("__maxsim") * (1.0 - lambda), 6)))
+      selected = selected.unionByName(pick.withColumn("sel_rank", lit(t.toLong)))
     }
     selected.select(col("query_id"), col("sel_rank"), col("point_id"),
       col("__obj").as("objective"))
