@@ -649,6 +649,14 @@ object Dedup {
     // would embed — and therefore execute — the upstream pair pipeline
     // twice), checkpointed so the pair pipeline runs exactly once and
     // the per-round plans are edge-leaf-sized.
+    // Measured-rejected (r22): dropping the per-ROUND checkpoints (edges
+    // leaf only, trusting ReuseExchange to dedup the doubled label
+    // subtrees) cut jobs ~12% (dedup_cluster 25→22, pipeline_e2e 90→85)
+    // but REGRESSED min-CPU on 3 of 4 consumers (dedup_keep_best
+    // 5.8→7.1 s, pipeline_e2e 11.7→12.6 s, same-window A/B at sf0.1)
+    // and raised shuffle read — the doubled subtrees re-execute beyond
+    // what ReuseExchange dedups, and the uncut plan doubles per round
+    // (2^6 copies at the OpsSpec iterations=6 call).
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),

@@ -92,6 +92,35 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** One state partition per this many input rows. The commit cost is
+    * per partition per batch, so the divisor prices a partition's
+    * KEEP: a task folds this many rows far faster than idle stores pay
+    * their per-batch commits (same-window A/B at sf0.1, fixed 8 vs
+    * volume-sized 1: stream_hourly 74 → 67 tasks, stream_dedup 53 → 39
+    * tasks and shuffle write 3.88 → 3.73 MB, stream_join CPU 2.6 →
+    * 1.2 s, stream_sessionize CPU 2.9 → 0.7 s; outputs identical —
+    * this host's CPU channel swings ~3x between identical runs, so the
+    * deterministic task/shuffle counts are the pinned evidence).
+    */
+  private val RowsPerStatePartition = 250000L
+
+  /** Volume-sized state-partition count for a finite input dir:
+    * ⌈rows / [[RowsPerStatePartition]]⌉ from the parquet footers (a
+    * driver-side metadata read, the [[drainAll]] ledger source), later
+    * clamped to the session's shuffle parallelism by
+    * [[withStatePartitions]]. Same discipline as
+    * [[graft.VolumeConf]]: the count tracks stream VOLUME with the
+    * session width as the ceiling, instead of a constant tuned to
+    * either the local core count or one fixture size — a production
+    * deployment's volume pushes it up to the session's own
+    * parallelism, a small fixture shrinks it to 1.
+    */
+  private def statePartitionsFor(spark: SparkSession, inputDir: String): Int = {
+    val rows = parquetRowCount(spark, inputDir)
+    math.max(1L, (rows + RowsPerStatePartition - 1) / RowsPerStatePartition)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Raise the progress-log retention to 10k entries. MUST run before
     * `start()`: StreamExecution clones the session at start, so a conf
     * set afterwards never reaches the running query's progress buffer
@@ -175,7 +204,7 @@ object EventStream {
     */
   def runSessionsOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
     import spark.implicits._
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, inputDir)) {
       val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
         // CONTRACT (shared with Relational.sessionize): session
         // identity requires a non-null user key and a non-null event
@@ -212,7 +241,7 @@ object EventStream {
     * append-mode memory sink.
     */
   def runDedupOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, inputDir)) {
       val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
       val q = dedupStream(stream, "1 hour", Seq("event_id")).writeStream
         .outputMode("append")
@@ -264,7 +293,7 @@ object EventStream {
     * [[withStatePartitions]]; see its note for the measurements.
     */
   def runJoinOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, inputDir)) {
       val ev = spark.readStream.schema(eventSchema).parquet(inputDir)
       val q = attributionJoin(
           ev.filter(col("event_type") === "click"),
@@ -895,7 +924,7 @@ object EventStream {
     * materialized result table.
     */
   def runOnce(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, inputDir)) {
       val stream = spark.readStream
         .schema(eventSchema)
         .parquet(inputDir)
