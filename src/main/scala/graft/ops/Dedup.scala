@@ -885,11 +885,22 @@ object Dedup {
     val shB = shingleRows(batch, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
     val shC = shingleRows(corpus, idCol, textCol, shingleN).withColumn("h", h32(col("sh")))
     val bandsB = lshBands(minHashSignatures(shB, numHashes), numHashes, rowsPerBand)
+    // Hot-bucket cap as an EXCLUSION list, the contamination df-cap
+    // discipline: only boilerplate buckets exceed the cap, so the heavy
+    // set is tiny and anti-joins broadcast — the old count-over-
+    // Window.partitionBy(band, key) exchanged AND sorted every corpus
+    // band row just to drop a handful of buckets. The corpus band table
+    // is lineage-cut first so the heavy aggregate and the probe read
+    // one materialization instead of running the corpus signature
+    // pipeline twice. Identical rows kept (count per bucket > cap ⟺
+    // window bucket size > cap; band/key are never null).
     val bandsC = lshBands(minHashSignatures(shC, numHashes), numHashes, rowsPerBand)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))
-    val cGuard = bandsC
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
+      .localCheckpoint(false)
+    val heavy = bandsC.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val cGuard = bandsC.join(heavy, Seq("band", "key"), "left_anti")
       .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
     val cands = bandsB.select(col("doc_id").as("new_id"), col("band"), col("key"))
       .join(cGuard, Seq("band", "key"))
