@@ -67,9 +67,18 @@ object Retrieval {
     // postings: one shuffle on (doc_id, term); BOTH doc lengths and
     // document frequencies fold out of the postings (tf already has
     // exactly one row per (doc, term), so df is a plain term count —
-    // no re-tokenize, no extra distinct shuffle). The three consumers
-    // share tf's aggregate exchange, which ReuseExchange dedups.
+    // no re-tokenize, no extra distinct shuffle). The postings table is
+    // LINEAGE-CUT: ReuseExchange does NOT dedup the three consumers'
+    // copies — the df branch's aggregate loses its count (df needs only
+    // the keys) and the dl branch loses the candidate join's
+    // isnotnull(doc_id) pushdown, so the three exchanges stop
+    // canonicalizing equal and the corpus tokenize+explode ran THREE
+    // times (measured in the executed plan: 3 separate FileScan+
+    // Generate subtrees; the cut leaves exactly 1). This is also the
+    // documented 100 TB shape — the postings are built once at index
+    // time and every consumer reads the artifact.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = broadcast(dl.agg(
