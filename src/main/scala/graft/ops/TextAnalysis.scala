@@ -301,9 +301,14 @@ object TextAnalysis {
     // cross join is a BroadcastNestedLoopJoin against one row — free.
     val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("__n_docs")))
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    // df folds out of tf (tf has exactly one row per (doc, term), so df
+    // is a plain per-term row count — the old tok.distinct() branch
+    // re-tokenized the corpus: its exchange does not canonicalize equal
+    // to tf's, the bm25TopK lesson), and tf is lineage-cut so both
+    // consumers read one materialization of the postings.
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf_raw"), col("term").asc)
     tf.join(broadcast(df), "term")
       .crossJoin(nDocs)
@@ -400,9 +405,18 @@ object TextAnalysis {
       minCount: Int): DataFrame = {
     require(minCount >= 1, s"minCount ($minCount) must be >= 1")
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    // The corpus unigram table and the corpus total FOLD OUT of the
+    // per-(doc, term) counts (cf = Σ c per term, total = Σ c — the same
+    // integers exactly), and docTerm is lineage-cut: uncut, the three
+    // consumers' exchanges do not canonicalize equal (the bm25TopK
+    // lesson) and the corpus tokenize+explode ran three times (6
+    // Generate subtrees in the executed plan; 1 after). The cut
+    // materializes the compact per-doc feature table — the artifact a
+    // production scorer stores at ingest.
     val docTerm = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-    val corpus = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val total = broadcast(tok.agg(count(lit(1)).cast("double").as("__total")))
+      .localCheckpoint(false)
+    val corpus = docTerm.groupBy(col("term")).agg(sum(col("c")).as("cf"))
+    val total = broadcast(docTerm.agg(sum(col("c")).cast("double").as("__total")))
     docTerm.join(broadcast(corpus), "term")
       .crossJoin(total)
       .groupBy(col("doc_id"))
