@@ -415,12 +415,18 @@ object Dedup {
     */
   def crossSourceContamination(docs: DataFrame, idCol: String,
       textCol: String, srcCol: String, n: Int): DataFrame = {
+    // the distinct (doc, src, gram) table feeds BOTH the per-source gram
+    // corpus and the probe side; uncut, the two consumers' exchanges
+    // key differently ((doc,src,g) vs (src,g)) and never canonicalize
+    // equal, so the tokenize+shingle explode ran twice (the bm25TopK
+    // lesson) — the cut leaves one pass
     val grams = docs
       .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
         tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("src"),
         explode(shingles(col("__toks"), n)).as("g"))
       .distinct()
+      .localCheckpoint(false)
     val corpus = grams.select(col("src").as("osrc"), col("g")).distinct()
     val hits = grams.join(corpus, Seq("g"))
       .filter(col("osrc") =!= col("src"))

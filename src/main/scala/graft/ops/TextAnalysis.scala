@@ -162,6 +162,7 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .localCheckpoint(false)
     def gramCounts(n: Int): DataFrame =
       base.select(col("doc_id"), explode(Dedup.shingles(col("__t"), n)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
