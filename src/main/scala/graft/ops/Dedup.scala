@@ -952,8 +952,14 @@ object Dedup {
     def hashed(docs: DataFrame, as: String): DataFrame =
       shingleRows(docs, idCol, textCol, n)
         .select(col("doc_id").as(as), h32(col("sh")).as("h"))
-    val tr = hashed(train, "train_id")
-    val te = hashed(test, "test_id")
+    // Both hashed shingle tables are lineage-cut: each feeds two
+    // aggregation branches (train: df-cap aggregate + probe; test:
+    // per-doc totals + probe) whose exchanges do not canonicalize equal
+    // (the bm25TopK lesson — measured 6 Generate subtrees, 1 reused
+    // exchange, before the cuts; 2 after), so each corpus shingled
+    // twice. The cut leaves one shingle+hash pass per side.
+    val tr = hashed(train, "train_id").localCheckpoint(false)
+    val te = hashed(test, "test_id").localCheckpoint(false)
     // df cap as an EXCLUSION list, not a window: only degenerate grams
     // exceed maxShingleDf, so the heavy set is tiny and anti-joins
     // broadcast — the old count-over-Window.partitionBy(h) exchanged
