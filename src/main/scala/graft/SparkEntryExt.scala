@@ -918,6 +918,11 @@ object SparkEntryExt {
     val tagged = paths.map { case (name, approx) =>
         approx.select(lit(name).as("method"), col("query_id"), col("point_id"))
       }.reduce(_.unionByName(_)).distinct()
+    // Semi-join direction is approx-against-exact (the reverse of
+    // recallAtK's exact-against-approx); the hit COUNTS are equal only
+    // because knnJoin's row_number guarantees distinct (query_id,
+    // point_id) on the exact side — if the exact path ever keeps ties,
+    // this tail must .distinct() the exact projection too.
     val hitCounts = tagged
       .join(exact, Seq("query_id", "point_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("__hits"))
@@ -2226,11 +2231,21 @@ object SparkEntryExt {
       val withRel = tagged.join(qLab, "query_id").join(pLab, "point_id")
         .withColumn("rel", (col("q_label") === col("p_label")).cast("int"))
         .withColumn("__mq", concat_ws("|", col("method"), col("query_id")))
-      Eval.ndcgAtK(withRel, "__mq", "rank", "rel")
+      val perMethod = Eval.ndcgAtK(withRel, "__mq", "rank", "rel")
         .withColumn("method", substring_index(col("query_id"), "|", 1))
         .groupBy(col("method"))
         .agg(count(lit(1)).as("n_queries"), round(avg(col("ndcg")), 6).as("mean_ndcg"))
-        .select(col("method"), col("n_queries"), col("mean_ndcg"))
+      // LEFT-join against the literal method list (the sim_recall_all
+      // fusion's discipline): the old per-method agg-without-groupBy
+      // emitted one row per method even when a method had zero hit rows
+      // (n_queries = 0, mean_ndcg null); a bare groupBy would silently
+      // drop such methods. Identical output whenever every method has
+      // hits — the case at every bench/verify scale.
+      import s.implicits._
+      Seq("knn", "bm25", "rrf", "hybrid_mmr").toDF("method")
+        .join(perMethod, Seq("method"), "left")
+        .select(col("method"), coalesce(col("n_queries"), lit(0L)).as("n_queries"),
+          col("mean_ndcg"))
         .orderBy(col("method"))
     }),
     // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim selection

@@ -965,8 +965,10 @@ object Dedup {
     // broadcast — the old count-over-Window.partitionBy(h) exchanged
     // and sorted EVERY train shingle row just to drop a handful of
     // boilerplate grams. Identical rows kept (count(1) per h > cap ⟺
-    // window df > cap); the train side now reaches the probe join with
-    // no shuffle of its own.
+    // window df > cap; an anti-join never matches NULL keys, but h32 is
+    // non-null for every non-null shingle, so no row's fate differs
+    // from the window form); the train side now reaches the probe join
+    // with no shuffle of its own.
     val heavy = tr.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDf)
       .select(col("h"))

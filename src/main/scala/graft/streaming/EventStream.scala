@@ -133,18 +133,21 @@ object EventStream {
   private def ensureProgressRetention(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
-  /** Exact row count of every parquet data file under `dir`
-    * (recursive, so partitioned layouts count too), summed from the
-    * file footers on the driver — the same number
+  /** Exact row count of the parquet data files DIRECTLY under `dir`,
+    * summed from the file footers on the driver — the same number
     * `spark.read.parquet(dir).count()` computes, without launching a
-    * job. Only used for the [[drainAll]] ingest ledger, where the
-    * input is a finite fixture directory of a few files.
+    * job. Used for the [[drainAll]] ingest ledger and
+    * [[statePartitionsFor]], whose inputs are finite flat fixture
+    * directories. NON-recursive deliberately, to match
+    * FileStreamSource's own listing: a nested subdirectory's files
+    * would inflate `expected` past what the source can ever ingest and
+    * turn every drain into a full-timeout loud failure.
     */
   private def parquetRowCount(spark: SparkSession, dir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
+    val it = fs.listFiles(root, false)
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
